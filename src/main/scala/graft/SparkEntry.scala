@@ -1,13 +1,47 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY.md §2 (and the LLM-pipeline
+  * extensions) is exposed as a named query over the driver-provided corpus,
+  * with an equivalent DuckDB SQL oracle where SQL can express it.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    RelationalQueries.q1Pricing(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing"       -> (RelationalQueries.q1Pricing _),
+    "q3_shipping"      -> (RelationalQueries.q3ShippingPriority _),
+    "q5_region"        -> (RelationalQueries.q5RegionRevenue _),
+    "q6_revenue"       -> (RelationalQueries.q6Revenue _),
+    "q7_top_orders"    -> (RelationalQueries.q7TopOrdersPerCustomer _),
+    "q9_distinct_agg"  -> (RelationalQueries.q9DistinctAgg _),
+    "q10_semi_join"    -> (RelationalQueries.q10SemiJoin _),
+    "q11_anti_join"    -> (RelationalQueries.q11AntiJoin _),
+    "q12_case_agg"     -> (RelationalQueries.q12CaseAgg _),
+    "q13_rollup"       -> (RelationalQueries.q13Rollup _),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing"       -> RelationalQueries.q1PricingSql,
+    "q3_shipping"      -> RelationalQueries.q3ShippingPrioritySql,
+    "q5_region"        -> RelationalQueries.q5RegionRevenueSql,
+    "q6_revenue"       -> RelationalQueries.q6RevenueSql,
+    "q7_top_orders"    -> RelationalQueries.q7TopOrdersPerCustomerSql,
+    "q9_distinct_agg"  -> RelationalQueries.q9DistinctAggSql,
+    "q10_semi_join"    -> RelationalQueries.q10SemiJoinSql,
+    "q11_anti_join"    -> RelationalQueries.q11AntiJoinSql,
+    "q12_case_agg"     -> RelationalQueries.q12CaseAggSql,
+    "q13_rollup"       -> RelationalQueries.q13RollupSql,
+  )
 }

@@ -1,0 +1,262 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** The analyst SQL surface over the lake (SURVEY.md §2.7): the reference
+  * hands analysts full Presto SQL via Athena; here the same capability is
+  * the DataFrame API + `spark.sql` over registered tables. These queries
+  * exercise scans, filters, joins (broadcast + shuffle), aggregations,
+  * windows, semi/anti joins, rollups, and top-k — each with a DuckDB oracle
+  * in [[graft.SparkEntry.oracleSql]].
+  *
+  * Numeric determinism: double-typed measures are cast to exact decimals
+  * BEFORE aggregation, summed exactly, and cast back to double at the end —
+  * so Spark and the DuckDB oracle produce bit-identical doubles regardless
+  * of summation order. This is also the right call at 100 TB: money-typed
+  * aggregates in floating point drift with partition count.
+  */
+object RelationalQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private val dec12_2 = DecimalType(12, 2)
+  private val dec6_4  = DecimalType(6, 4)
+
+  /** TPC-H Q1-style pricing summary: full-scan groupBy aggregation with
+    * map-side partial aggregation. Scale note: partial agg means the shuffle
+    * carries |groups| rows per partition, not data rows. */
+  def q1Pricing(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val dq = col("l_quantity").cast(dec12_2)
+    val dp = col("l_extendedprice").cast(dec12_2)
+    val dd = col("l_discount").cast(dec6_4)
+    val dt = col("l_tax").cast(dec6_4)
+    val one = lit(1).cast(dec6_4)
+    li.filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dq).cast("double").as("sum_qty"),
+        sum(dp).cast("double").as("sum_base_price"),
+        sum(dp * (one - dd)).cast("double").as("sum_disc_price"),
+        sum(dp * (one - dd) * (one + dt)).cast("double").as("sum_charge"),
+        (sum(dq).cast("double") / count(lit(1))).as("avg_qty"),
+        (sum(dp).cast("double") / count(lit(1))).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val q1PricingSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4))) * (CAST(1 AS DECIMAL(6,4)) + CAST(l_tax AS DECIMAL(6,4)))) AS DOUBLE) AS sum_charge,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Selective filter + aggregate (TPC-H Q6 shape): the filter must reach
+    * the parquet scan as PushedFilters so a 100 TB scan prunes row groups. */
+  def q6Revenue(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    li.filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1997-01-01") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(sum(col("l_extendedprice").cast(dec12_2) * col("l_discount").cast(dec6_4))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  val q6RevenueSql: String =
+    """SELECT
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(6,4))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  /** Fact ⋈ fact ⋈ dim join with aggregation (TPC-H Q3 shape). customer is
+    * small relative to orders/lineitem → broadcast; orders⋈lineitem is the
+    * genuine shuffle join on the fact key. */
+  def q3ShippingPriority(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val ord  = t(s, dir, "orders").filter(col("o_orderdate") < lit("1995-03-15"))
+    val li   = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1995-03-15"))
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(col("l_extendedprice").cast(dec12_2) *
+          (lit(1).cast(dec6_4) - col("l_discount").cast(dec6_4)))
+        .cast("double").as("revenue"))
+      .select(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_orderpriority"), col("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(20)
+  }
+
+  val q3ShippingPrioritySql: String =
+    """SELECT l_orderkey,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+      |  o_orderpriority,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1995-03-15'
+      |  AND l_shipdate > TIMESTAMP '1995-03-15'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 20""".stripMargin
+
+  /** Multi-way dimension chain join: lineitem ⋈ supplier ⋈ nation ⋈ region,
+    * all three dims broadcast (each is tiny even at 100 TB fact scale). */
+  def q5RegionRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li  = t(s, dir, "lineitem")
+    val sup = t(s, dir, "supplier")
+    val nat = t(s, dir, "nation")
+    val reg = t(s, dir, "region")
+    li.join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+      .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
+      .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        sum(col("l_extendedprice").cast(dec12_2) *
+            (lit(1).cast(dec6_4) - col("l_discount").cast(dec6_4)))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  val q5RegionRevenueSql: String =
+    """SELECT r_name, n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+
+  /** Window ranking: top-3 orders per customer by totalprice.
+    * Single shuffle on o_custkey; rank + filter stays in one stage. */
+  def q7TopOrdersPerCustomer(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders")
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    ord.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_totalprice").cast(dec12_2).cast("double").as("o_totalprice"),
+        col("rnk"))
+      .orderBy(col("o_custkey"), col("rnk"))
+  }
+
+  val q7TopOrdersPerCustomerSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS o_totalprice, rnk
+      |FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      |  FROM orders)
+      |WHERE rnk <= 3
+      |ORDER BY o_custkey, rnk""".stripMargin
+
+  /** Left-semi join: customers that have at least one order (EXISTS). */
+  def q10SemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val ord  = t(s, dir, "orders")
+    cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val q10SemiJoinSql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_customers
+      |FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  /** Left-anti join: customers with no orders (NOT EXISTS). */
+  def q11AntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val ord  = t(s, dir, "orders")
+    cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val q11AntiJoinSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Distinct aggregation: per-priority order counts + distinct customers.
+    * count(DISTINCT) expands to a two-phase aggregate in Spark — partials
+    * still apply, so the shuffle is bounded by distinct keys. */
+  def q9DistinctAgg(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders")
+    ord.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_customers"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q9DistinctAggSql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_orders,
+      |  COUNT(DISTINCT o_custkey) AS n_customers
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** ROLLUP grouping sets over returnflag/linestatus (free via Catalyst,
+    * SURVEY §2.4 note). */
+  def q13Rollup(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    li.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast(dec12_2)).cast("double").as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+
+  val q13RollupSql: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  /** Conditional aggregation with CASE expressions (TPC-H Q12 shape). */
+  def q12CaseAgg(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders")
+    ord.groupBy(col("o_orderstatus"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0)).as("high_line_count"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0)).as("low_line_count"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val q12CaseAggSql: String =
+    """SELECT o_orderstatus,
+      |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+      |  SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+}
