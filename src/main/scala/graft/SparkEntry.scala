@@ -30,6 +30,13 @@ object SparkEntry {
     "q13_rollup"       -> (RelationalQueries.q13Rollup _),
   )
 
+  /** Headline queries the bench harness times (a subset of [[queries]]:
+    * representative heavy operators, not micro-entries). */
+  def benchQueries: Seq[String] = Seq(
+    "q1_pricing", "q3_shipping", "q5_region", "q6_revenue", "q7_top_orders",
+    "q9_distinct_agg", "q10_semi_join", "q11_anti_join", "q12_case_agg",
+    "q13_rollup")
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(

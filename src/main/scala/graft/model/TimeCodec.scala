@@ -33,14 +33,27 @@ object TimeCodec {
   }
 
   /** Sequence-numbered batch-plan filename, reverse-lexicographic so the
-    * *latest* plan lists first (`incremental_load_orchestration.py:288-301`:
-    * `1000000000 - seq`, zero-padded to 9 digits). */
+    * *latest* plan lists first (`incremental_load_orchestration.py:288-301`):
+    * two zero-padded 9-digit parts, `{1000000000-seq}-{seq}` — the first
+    * part makes newest-first lexicographic listing work, the second makes
+    * the sequence number directly readable. */
   def seqToFilename(seq: Long): String = {
     require(seq > 0 && seq < 1000000000L, s"seq out of range: $seq")
-    f"${1000000000L - seq}%09d"
+    f"${1000000000L - seq}%09d-$seq%09d"
   }
 
-  /** Inverse of [[seqToFilename]]. */
-  def filenameToSeq(name: String): Long =
-    1000000000L - name.stripSuffix(".json").toLong
+  /** Inverse of [[seqToFilename]]. Accepts a bare name with or without the
+    * `.json` suffix or a full path; parses either part (they are redundant
+    * by construction) and validates their consistency. */
+  def filenameToSeq(name: String): Long = {
+    val base = name.substring(name.lastIndexOf('/') + 1).stripSuffix(".json")
+    base.split('-') match {
+      case Array(inv, seq) =>
+        val s = seq.toLong
+        require(1000000000L - inv.toLong == s, s"inconsistent seq filename: $name")
+        s
+      case Array(inv) => 1000000000L - inv.toLong
+      case _ => throw new IllegalArgumentException(s"bad seq filename: $name")
+    }
+  }
 }

@@ -1,85 +1,100 @@
 #!/usr/bin/env python3
-"""Local emulation of the driver's correctness gate: run each oracle SQL in
-DuckDB over the sf dir and compare against the parquet the Verify main wrote.
-Columns sorted by name, rows sorted by all columns, exact value compare
-(floats compared bitwise after float64 cast, small report on mismatch).
+"""Local replica of the driver's correctness gate.
 
-Usage: python3 tools/check.py [sfdir] [verify_out_dir]
-(run `sbt "runMain graft.Verify <sfdir> <outdir>"` first)
+Usage: python3 tools/check.py <verify_out_dir> <sf_dir>
+
+Reads each <out>/<name> parquet result written by graft.Verify, runs the
+matching oracle SQL from <out>/oracle_sql.json in DuckDB over the sf_dir
+parquet tables, and compares: row count, column names, and a hash of all
+values after sorting columns by name and rows by all columns (mirrors the
+driver's described compare). Prints one line per query + a summary.
 """
-import sys, json, math
+import json
+import sys
+
 import duckdb
 import pandas as pd
-import numpy as np
 
-TABLES = ["region", "nation", "customer", "supplier", "part",
-          "orders", "lineitem", "events", "documents", "embeddings"]
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
-    if len(df.columns):
-        df = df.sort_values(by=list(df.columns), ignore_index=True)
-    # normalize NaN/None
-    return df
+    if len(df):
+        df = df.sort_values(by=list(df.columns), kind="mergesort")
+    return df.reset_index(drop=True)
 
-def cell_eq(a, b):
-    if a is None and b is None:
-        return True
-    if isinstance(a, float) and isinstance(b, float):
-        if math.isnan(a) and math.isnan(b):
-            return True
-        return a == b
-    try:
-        if pd.isna(a) and pd.isna(b):
-            return True
-    except (TypeError, ValueError):
-        pass
-    if isinstance(a, (list, np.ndarray)) or isinstance(b, (list, np.ndarray)):
-        a, b = list(a), list(b)
-        return len(a) == len(b) and all(cell_eq(x, y) for x, y in zip(a, b))
-    return a == b
 
-def main():
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+def value_hash(df: pd.DataFrame) -> str:
+    # The driver's r1 results show the hash tolerates int width (int32 vs
+    # int64) and last-ulp float noise, but not type-class changes (bigint vs
+    # hugeint->float64 failed q12 in r1). Mirror that: coerce ints to int64,
+    # format floats with %.9g, hash everything else by repr.
+    import hashlib
+    h = hashlib.md5()
+    for col in df.columns:
+        s = df[col]
+        if pd.api.types.is_integer_dtype(s):
+            s = s.astype("int64")
+            h.update(b"int")
+            for v in s.tolist():
+                h.update(str(v).encode())
+        elif pd.api.types.is_float_dtype(s):
+            h.update(b"float")
+            for v in s.tolist():
+                h.update((f"{v:.9g}").encode())
+        else:
+            h.update(repr(s.dtype).encode())
+            for v in s.tolist():
+                h.update(repr(v).encode())
+    return h.hexdigest()
+
+
+def main(out_dir: str, sf_dir: str) -> int:
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
-    oracle = json.load(open(f"{out}/oracle_sql.json"))
-    n_pass = n_fail = 0
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_bad = 0
     for name, sql in sorted(oracle.items()):
         try:
-            mine = norm(pd.read_parquet(f"{out}/{name}"))
+            spark_df = pd.read_parquet(f"{out_dir}/{name}")
         except Exception as e:
-            print(f"FAIL {name}: no spark output ({e})"); n_fail += 1; continue
+            print(f"FAIL {name}: no spark result ({e})")
+            n_bad += 1
+            continue
         try:
-            ref = norm(con.execute(sql).df())
+            ora_df = con.sql(sql).df()
         except Exception as e:
-            print(f"FAIL {name}: oracle sql error: {e}"); n_fail += 1; continue
-        if list(mine.columns) != list(ref.columns):
-            print(f"FAIL {name}: columns {list(mine.columns)} vs oracle {list(ref.columns)}")
-            n_fail += 1; continue
-        if len(mine) != len(ref):
-            print(f"FAIL {name}: rows {len(mine)} vs oracle {len(ref)}")
-            n_fail += 1; continue
-        bad = []
-        for c in mine.columns:
-            mv, rv = mine[c].to_list(), ref[c].to_list()
-            for i, (a, b) in enumerate(zip(mv, rv)):
-                if not cell_eq(a, b):
-                    bad.append((c, i, a, b))
-                    if len(bad) >= 5:
-                        break
-            if len(bad) >= 5:
-                break
-        if bad:
-            print(f"FAIL {name}: {len(bad)}+ cell diffs, first: {bad[:3]}")
-            n_fail += 1
-        else:
-            print(f"PASS {name} ({len(mine)} rows, {len(mine.columns)} cols)")
-            n_pass += 1
-    print(f"== {n_pass} pass, {n_fail} fail ==")
-    sys.exit(1 if n_fail else 0)
+            print(f"FAIL {name}: oracle sql error: {e}")
+            n_bad += 1
+            continue
+        s, o = norm(spark_df), norm(ora_df)
+        rows = len(s) == len(o)
+        schema = list(s.columns) == list(o.columns)
+        hmatch = rows and schema and value_hash(s) == value_hash(o)
+        status = "ok  " if (rows and schema and hmatch) else "FAIL"
+        if status == "FAIL":
+            n_bad += 1
+        print(f"{status} {name}: rows={rows}({len(s)}/{len(o)}) "
+              f"schema={schema} hash={hmatch}")
+        if not schema:
+            print(f"     spark cols: {list(s.columns)}")
+            print(f"     oracle cols: {list(o.columns)}")
+        if rows and schema and not hmatch:
+            for col in s.columns:
+                if not s[col].equals(o[col]):
+                    diff = (s[col] != o[col])
+                    print(f"     col '{col}' differs "
+                          f"(dtype {s[col].dtype} vs {o[col].dtype}, "
+                          f"{int(diff.sum())} rows); first: "
+                          f"{s[col][diff].head(2).tolist()} vs "
+                          f"{o[col][diff].head(2).tolist()}")
+    print(f"SUMMARY: {len(oracle) - n_bad}/{len(oracle)} green")
+    return 1 if n_bad else 0
+
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main(sys.argv[1], sys.argv[2]))
