@@ -28,6 +28,16 @@ object SparkEntry {
     "q11_anti_join"    -> (RelationalQueries.q11AntiJoin _),
     "q12_case_agg"     -> (RelationalQueries.q12CaseAgg _),
     "q13_rollup"       -> (RelationalQueries.q13Rollup _),
+    "q20_cdc_merge"    -> (CdcQueries.q20CdcMerge _),
+    "q21_latest_wins"  -> (CdcQueries.q21LatestWins _),
+    "q22_partition_derive" -> (CdcQueries.q22PartitionDerive _),
+    "q23_drop_normalize"   -> (CdcQueries.q23DropNormalize _),
+    "q24_event_filter"     -> (CdcQueries.q24EventFilter _),
+    "q25_synthetic_key"    -> (CdcQueries.q25SyntheticKey _),
+    "q26_props_extract"    -> (CdcQueries.q26PropsExtract _),
+    "q27_sql_surface"      -> (CdcQueries.q27SqlSurface _),
+    "q28_count_rows"       -> (CdcQueries.q28CountRows _),
+    "q32_compare_diff"     -> (CdcQueries.q32CompareDiff _),
   )
 
   /** Headline queries the bench harness times (a subset of [[queries]]:
@@ -50,5 +60,15 @@ object SparkEntry {
     "q11_anti_join"    -> RelationalQueries.q11AntiJoinSql,
     "q12_case_agg"     -> RelationalQueries.q12CaseAggSql,
     "q13_rollup"       -> RelationalQueries.q13RollupSql,
+    "q20_cdc_merge"    -> CdcQueries.q20CdcMergeSql,
+    "q21_latest_wins"  -> CdcQueries.q21LatestWinsSql,
+    "q22_partition_derive" -> CdcQueries.q22PartitionDeriveSql,
+    "q23_drop_normalize"   -> CdcQueries.q23DropNormalizeSql,
+    "q24_event_filter"     -> CdcQueries.q24EventFilterSql,
+    "q25_synthetic_key"    -> CdcQueries.q25SyntheticKeySql,
+    "q26_props_extract"    -> CdcQueries.q26PropsExtractSql,
+    "q27_sql_surface"      -> CdcQueries.q27SqlSurfaceSql,
+    "q28_count_rows"       -> CdcQueries.q28CountRowsSql,
+    "q32_compare_diff"     -> CdcQueries.q32CompareDiffSql,
   )
 }

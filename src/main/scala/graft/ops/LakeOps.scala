@@ -65,6 +65,12 @@ object LakeOps {
   /** Drop the CDC operation marker column (`incremental.py:210`). */
   def dropOp(df: DataFrame): DataFrame = df.drop("Op")
 
+  /** P3 — skip delete events: the reference's stream consumer drops REMOVE
+    * records because deletes are intentionally out of scope
+    * (`dynamodb_stream_consumer.py:38-39`, `README.rst:53`). */
+  def filterRemoves(df: DataFrame, opCol: String = "Op"): DataFrame =
+    df.filter(col(opCol) =!= "REMOVE")
+
   /** Drop derived partition columns and engine meta columns before the
     * source-vs-lake equality compare (`compare.py:38-48`). */
   def normalizeForCompare(df: DataFrame): DataFrame =

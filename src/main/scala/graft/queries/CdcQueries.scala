@@ -1,0 +1,272 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.LakeOps
+import graft.oracle.CompareTables
+import graft.sink.{KeyedLakeTable, LakeTableSpec}
+import graft.sql.QueryEngine
+
+/** CORRECTNESS entries for the CDC-lake operator family (SURVEY.md §2),
+  * exercised over the driver corpus's `events` table (event_id, ts[ns],
+  * user_id, event_type, value, props).
+  *
+  * Timestamp convention: the corpus stores nanosecond parquet timestamps.
+  * Spark reads them as long nanos (`nanosAsLong`), DuckDB truncates to
+  * microseconds on read — so every derived time value is computed at
+  * microsecond precision on both sides (`ts div 1000` ↔ `epoch_us(ts)`).
+  */
+object CdcQueries {
+
+  private val isoFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+  /** events + µs-precision helper columns. */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables.load(s, dir, "events")
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("update_at", date_format(timestamp_micros(expr("ts div 1000")), isoFmt))
+  }
+
+  /** The events table viewed as a CDC stream of keyed full-row images:
+    * record key = user, precombine = event-time ISO string, and a synthetic
+    * per-key `create_at` (constant across all versions of a key — the
+    * reference's invariant, `README.rst:124`) bounded to ≤56 distinct
+    * partitions at any scale factor. */
+  private def cdcView(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).select(
+      concat(lit("user-"), lpad(col("user_id").cast("string"), 6, "0")).as("id"),
+      concat(lit("2024-01-"),
+        lpad((pmod(col("user_id"), lit(7)) + 1).cast("string"), 2, "0"), lit(" "),
+        lpad(pmod(col("user_id"), lit(4)).cast("string"), 2, "0"), lit(":"),
+        lpad(pmod(col("user_id"), lit(2)).cast("string"), 2, "0"),
+        lit(":00.000000")).as("create_at"),
+      col("update_at"), col("event_type"), col("value"), col("props"),
+      col("event_id"))
+
+  private val cdcViewSql =
+    """SELECT 'user-' || lpad(CAST(user_id AS VARCHAR), 6, '0') AS id,
+      |       '2024-01-' || lpad(CAST(user_id % 7 + 1 AS VARCHAR), 2, '0') || ' ' ||
+      |         lpad(CAST(user_id % 4 AS VARCHAR), 2, '0') || ':' ||
+      |         lpad(CAST(user_id % 2 AS VARCHAR), 2, '0') || ':00.000000' AS create_at,
+      |       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS update_at,
+      |       event_type, value, props, event_id
+      |FROM events""".stripMargin
+
+  // ---------------------------------------------------------------- q20
+  /** K1/K2/J1/U1 — the engine core: bootstrap the lake from one third of the
+    * CDC log, then merge the other two thirds in as upsert batches; the
+    * result must equal global latest-wins over the whole log. */
+  def q20CdcMerge(s: SparkSession, dir: String): DataFrame = {
+    val cdc = cdcView(s, dir)
+    val path = Files.createTempDirectory("graft_q20_lake").toString
+    val table = new KeyedLakeTable(s, LakeTableSpec(
+      path, recordKeys = Seq("id"), precombine = "update_at",
+      partitionSource = "create_at", tieBreak = Seq("event_id")))
+    val bucket = pmod(col("event_id"), lit(3))
+    table.overwrite(cdc.filter(bucket === 0))
+    table.upsert(cdc.filter(bucket === 1))
+    table.upsert(cdc.filter(bucket === 2))
+    table.read().select(
+      col("id"), col("create_year"), col("create_month"), col("create_day"),
+      col("create_hour"), col("create_minute"), col("update_at"),
+      col("event_type"), col("value"), col("props"), col("event_id"))
+      .orderBy("id")
+  }
+
+  val q20CdcMergeSql: String =
+    s"""WITH cdc AS ($cdcViewSql),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY update_at DESC, event_id DESC) AS rn
+      |  FROM cdc)
+      |SELECT id,
+      |  substring(create_at, 1, 4) AS create_year,
+      |  substring(create_at, 6, 2) AS create_month,
+      |  substring(create_at, 9, 2) AS create_day,
+      |  substring(create_at, 12, 2) AS create_hour,
+      |  substring(create_at, 15, 2) AS create_minute,
+      |  update_at, event_type, value, props, event_id
+      |FROM ranked WHERE rn = 1
+      |ORDER BY id""".stripMargin
+
+  // ---------------------------------------------------------------- q21
+  /** W1 — the signature latest-wins dedup, directly on the event stream. */
+  def q21LatestWins(s: SparkSession, dir: String): DataFrame =
+    LakeOps.latestWinsDedup(events(s, dir), Seq("user_id"), "ts_us",
+      tieBreak = Seq(col("event_id").desc))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_us"))
+      .orderBy("user_id")
+
+  val q21LatestWinsSql: String =
+    """SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us
+      |FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+      |  FROM events)
+      |WHERE rn = 1
+      |ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- q22
+  /** P1 — 5-column partition derivation with the exact substring positions. */
+  def q22PartitionDerive(s: SparkSession, dir: String): DataFrame = {
+    val withIso = events(s, dir).withColumn("create_at", col("update_at"))
+    LakeOps.derivePartitionColumns(withIso)
+      .select(col("event_id"), col("create_year"), col("create_month"),
+        col("create_day"), col("create_hour"), col("create_minute"))
+      .orderBy("event_id")
+  }
+
+  val q22PartitionDeriveSql: String =
+    """SELECT event_id,
+      |  substring(strftime(ts, '%Y-%m-%d %H:%M:%S.%f'), 1, 4) AS create_year,
+      |  substring(strftime(ts, '%Y-%m-%d %H:%M:%S.%f'), 6, 2) AS create_month,
+      |  substring(strftime(ts, '%Y-%m-%d %H:%M:%S.%f'), 9, 2) AS create_day,
+      |  substring(strftime(ts, '%Y-%m-%d %H:%M:%S.%f'), 12, 2) AS create_hour,
+      |  substring(strftime(ts, '%Y-%m-%d %H:%M:%S.%f'), 15, 2) AS create_minute
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------- q23
+  /** P2/P9 — helper/meta/partition column stripping round-trip: adding the
+    * engine columns then normalizing must restore the original row image. */
+  def q23DropNormalize(s: SparkSession, dir: String): DataFrame = {
+    val base = events(s, dir).select(
+      col("event_id"), col("ts_us"), col("user_id"), col("event_type"),
+      col("value"), col("props"))
+    val decorated = LakeOps.derivePartitionColumns(
+      base.withColumn("Op", lit("U"))
+        .withColumn("create_at", date_format(timestamp_micros(col("ts_us")), isoFmt)))
+      .withColumn("_hoodie_commit_time", lit("20240101000000"))
+    LakeOps.normalizeForCompare(LakeOps.dropOp(decorated))
+      .drop("create_at")
+      .orderBy("event_id")
+  }
+
+  val q23DropNormalizeSql: String =
+    """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------- q24
+  /** P3 — REMOVE-event filtering (deletes out of scope in the reference). */
+  def q24EventFilter(s: SparkSession, dir: String): DataFrame = {
+    val withOp = events(s, dir).withColumn("Op",
+      when(pmod(col("event_id"), lit(10)) === 0, "REMOVE")
+        .when(pmod(col("event_id"), lit(10)) < 5, "INSERT")
+        .otherwise("MODIFY"))
+    LakeOps.filterRemoves(withOp)
+      .groupBy(col("Op"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(12, 2)))
+          .cast("double").as("total_value"))
+      .orderBy("Op")
+  }
+
+  val q24EventFilterSql: String =
+    """SELECT Op, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      |FROM (
+      |  SELECT *, CASE WHEN event_id % 10 = 0 THEN 'REMOVE'
+      |                 WHEN event_id % 10 < 5 THEN 'INSERT'
+      |                 ELSE 'MODIFY' END AS Op
+      |  FROM events)
+      |WHERE Op <> 'REMOVE'
+      |GROUP BY Op
+      |ORDER BY Op""".stripMargin
+
+  // ---------------------------------------------------------------- q25
+  /** P5 — synthetic composite key (`s1_data_ingest.py:97` id format). */
+  def q25SyntheticKey(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).select(col("event_id"),
+      concat(lit("user-"), lpad(col("user_id").cast("string"), 6, "0"),
+        lit("="), col("update_at")).as("id"))
+      .orderBy("event_id")
+
+  val q25SyntheticKeySql: String =
+    """SELECT event_id,
+      |  'user-' || lpad(CAST(user_id AS VARCHAR), 6, '0') || '=' ||
+      |    strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS id
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------- q26
+  /** P4 — tagged-attribute extraction: JSON props → typed column. */
+  def q26PropsExtract(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+
+  val q26PropsExtractSql: String =
+    """SELECT user_id,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  COUNT(*) AS n_events
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- q27
+  /** S8/§2.7 — the spark.sql surface over registered tables, with SQL that
+    * is valid verbatim in both engines. */
+  private val sharedSql =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  COUNT(DISTINCT user_id) AS n_users,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  def q27SqlSurface(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    QueryEngine.registerCorpus(s, dir)
+    QueryEngine.sql(s, sharedSql)
+  }
+
+  val q27SqlSurfaceSql: String = sharedSql
+
+  // ---------------------------------------------------------------- q28
+  /** A2 — COUNT(*) through the catalog (`athena.py:81-86`). */
+  def q28CountRows(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    QueryEngine.registerCorpus(s, dir)
+    QueryEngine.countRows(s, "events")
+  }
+
+  val q28CountRowsSql: String = "SELECT COUNT(*) AS n_rows FROM events"
+
+  // ---------------------------------------------------------------- q32
+  /** J2/A5 — the source-vs-lake equality oracle as a diff-count query:
+    * compare the stream against a copy with 1% of values perturbed. */
+  def q32CompareDiff(s: SparkSession, dir: String): DataFrame = {
+    val left = events(s, dir).select(col("event_id"), col("user_id"), col("value"))
+    val right = events(s, dir).select(col("event_id"), col("user_id"),
+      when(pmod(col("event_id"), lit(100)) === 0, col("value") + 1)
+        .otherwise(col("value")).as("value"))
+    val diff = CompareTables.compare(left, right)
+    import s.implicits._
+    Seq((diff.leftCount, diff.rightCount, diff.onlyLeftCount, diff.onlyRightCount))
+      .toDF("n_left", "n_right", "only_left", "only_right")
+  }
+
+  val q32CompareDiffSql: String =
+    """SELECT
+      |  (SELECT COUNT(*) FROM events) AS n_left,
+      |  (SELECT COUNT(*) FROM events) AS n_right,
+      |  (SELECT COUNT(*) FROM (
+      |     SELECT event_id, user_id, value FROM events
+      |     EXCEPT ALL
+      |     SELECT event_id, user_id,
+      |       CASE WHEN event_id % 100 = 0 THEN value + 1 ELSE value END AS value
+      |     FROM events)) AS only_left,
+      |  (SELECT COUNT(*) FROM (
+      |     SELECT event_id, user_id,
+      |       CASE WHEN event_id % 100 = 0 THEN value + 1 ELSE value END AS value
+      |     FROM events
+      |     EXCEPT ALL
+      |     SELECT event_id, user_id, value FROM events)) AS only_right""".stripMargin
+}

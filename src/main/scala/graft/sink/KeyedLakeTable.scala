@@ -1,0 +1,163 @@
+package graft.sink
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.LakeOps
+
+/** Specification of a keyed, partitioned, upsertable lake table — the three
+  * degrees of freedom of the reference's lake tables (SURVEY.md §1.1 item 4;
+  * `glue_jobs/initial_load.py:156-183`, `glue_jobs/incremental.py:216-243`):
+  * record key, precombine key (latest-wins), and the timestamp column the
+  * 5-level partition path derives from.
+  *
+  * @param path            table root directory
+  * @param recordKeys      unique record key (possibly composite)
+  * @param precombine      conflict-resolution column: greatest value wins
+  * @param partitionSource ISO-8601 string column the partition columns are
+  *                        derived from; the reference's invariant is that it
+  *                        NEVER changes across versions of one key
+  *                        (`README.rst:124`), so a key lives in exactly one
+  *                        partition — the merge exploits and asserts this
+  * @param tieBreak        columns ordering rows with *equal* precombine
+  *                        values descending, to make merges deterministic
+  *                        (ADVICE r1: same-timestamp CDC updates are common)
+  */
+final case class LakeTableSpec(
+    path: String,
+    recordKeys: Seq[String] = Seq("id"),
+    precombine: String = "update_at",
+    partitionSource: String = "create_at",
+    tieBreak: Seq[String] = Nil)
+
+/** Keyed upsert-merge lake table — a pure-Spark, Hudi-COPY_ON_WRITE-
+  * equivalent sink with no external table-format dependency.
+  *
+  * Write path (reference semantics, Spark-first plan):
+  *
+  *  1. incoming batch → derive the 5 partition columns (narrow projection),
+  *     drop the CDC `Op` marker, window-dedup within the batch
+  *     (`incremental.py:172-183`);
+  *  2. `upsert` prunes the existing table read to ONLY the partitions the
+  *     batch touches (partition values are collected from the deduped batch —
+  *     bounded by batch size, never table size), unions existing + incoming
+  *     with a source-priority column, and resolves per key with latest-wins
+  *     where ties go to the incoming row (Hudi precombine behavior,
+  *     `incremental.py:225-226`);
+  *  3. the merged rows are written back with dynamic partition overwrite, so
+  *     only touched partitions are rewritten — the 100 TB cost of a batch is
+  *     O(touched partitions), not O(table).
+  *
+  * The one shuffle is the dedup window on the record key; its input is
+  * (touched partitions + batch), which the never-changing `partitionSource`
+  * invariant keeps proportional to batch size.
+  */
+final class KeyedLakeTable(spark: SparkSession, val spec: LakeTableSpec) {
+  import spec._
+
+  private val partCols = LakeOps.partitionCols
+
+  /** Batch prep shared by both write modes: drop Op, derive partitions,
+    * in-batch latest-wins dedup (W1 before the sink, like the reference). */
+  private def prep(df: DataFrame): DataFrame = {
+    val withParts = LakeOps.derivePartitionColumns(LakeOps.dropOp(df), partitionSource)
+    LakeOps.latestWinsDedup(withParts, recordKeys, precombine,
+      tieBreak.map(c => col(c).desc))
+  }
+
+  /** K1 — bootstrap: full overwrite of the table from a snapshot
+    * (`initial_load.py:156-183`). */
+  def overwrite(df: DataFrame): Unit =
+    prep(df).write
+      .mode(SaveMode.Overwrite)
+      .partitionBy(partCols: _*)
+      .parquet(path)
+
+  /** K2/J1/U1 — incremental keyed merge: update-if-exists-else-insert with
+    * latest-wins precombine, ties resolved for the incoming row
+    * (`incremental.py:216-243`). */
+  def upsert(df: DataFrame): Unit = {
+    val incoming = prep(df)
+
+    // Partition pruning: collect the partition tuples the batch touches
+    // (bounded by batch row count; in practice a handful of minutes).
+    val touched = incoming.select(partCols.map(col): _*).distinct().collect()
+    if (touched.isEmpty) return
+
+    if (!exists) { overwrite(df); return }
+
+    // Read only the touched partitions of the existing table. The filter
+    // must reference the RAW partition columns (whatever type Spark's
+    // partition discovery gave them) with type-matched literals so
+    // PruneFileSourcePartitions actually prunes the listing — filtering on
+    // a normalized projection would scan every partition. Normalization to
+    // zero-padded strings happens after the filter (projection over a
+    // pruned scan).
+    val raw = spark.read.parquet(path)
+    val partTypes = raw.schema.fields.map(f => f.name -> f.dataType).toMap
+    def partLit(c: String, v: String) = partTypes(c) match {
+      case org.apache.spark.sql.types.StringType => lit(v)
+      case _ => lit(v.toInt) // inference only ever yields integral types here
+    }
+    val partFilter = touched.map { r =>
+      partCols.zipWithIndex
+        .map { case (c, i) => col(c) === partLit(c, r.getString(i)) }
+        .reduce(_ && _)
+    }.reduce(_ || _)
+    val existing = normalizeParts(raw.filter(partFilter))
+
+    // Union with a source-priority column: on equal precombine values the
+    // incoming row must win (Hudi precombine tie behavior).
+    val srcTie = col("__src").desc +: tieBreak.map(c => col(c).desc)
+    val cols = incoming.columns.filterNot(_ == "__src")
+    val merged = LakeOps.latestWinsDedup(
+      existing.withColumn("__src", lit(0)).select((cols :+ "__src").map(col): _*)
+        .unionByName(incoming.withColumn("__src", lit(1))
+          .select((cols :+ "__src").map(col): _*)),
+      recordKeys, precombine, srcTie)
+      .drop("__src")
+
+    // The merged frame reads from `path`; truncate lineage before the
+    // dynamic partition overwrite of the same path (Spark refuses a write
+    // whose plan still scans the destination). Touched partitions are
+    // bounded by the batch, so the checkpoint is batch-sized, not
+    // table-sized.
+    val materialized = merged.localCheckpoint(true)
+
+    val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try materialized.write
+      .mode(SaveMode.Overwrite)
+      .partitionBy(partCols: _*)
+      .parquet(path)
+    finally prevMode match {
+      case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
+  /** Normalize partition columns to the zero-padded strings the partition
+    * scheme is defined over. Spark's partition type inference would read
+    * `create_minute=04` back as int 4, and a merge would then write a
+    * *second* `create_minute=4` directory for the same logical partition —
+    * normalizing makes the table's schema independent of the session's
+    * `partitionColumnTypeInference` setting. */
+  private def normalizeParts(df: DataFrame): DataFrame = {
+    val widths = Map("create_year" -> 4).withDefaultValue(2)
+    partCols.foldLeft(df) { (d, c) =>
+      d.withColumn(c, lpad(col(c).cast("string"), widths(c), "0"))
+    }
+  }
+
+  def read(): DataFrame = normalizeParts(spark.read.parquet(path))
+
+  /** Hive-sync analog (`initial_load.py:168-174`): make the table queryable
+    * through `spark.sql`. */
+  def registerAs(name: String): Unit = read().createOrReplaceTempView(name)
+
+  def exists: Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).nonEmpty
+  }
+}

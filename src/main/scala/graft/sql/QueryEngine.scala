@@ -1,0 +1,40 @@
+package graft.sql
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+
+/** The analyst SQL surface over registered lake tables — the in-process
+  * analog of the reference's Athena layer (`rds_to_datalake/athena.py:67-86`,
+  * `vendor/aws_athena.py:50-55`). Catalyst provides the full SELECT surface
+  * (joins, windows, CTEs, grouping sets); these helpers are the specific
+  * operations the reference's code issues.
+  */
+object QueryEngine {
+
+  /** Catalog registration (hive-sync analog, `initial_load.py:168-174`). */
+  def registerCorpus(spark: SparkSession, dir: String): Unit =
+    Tables.registerAll(spark, dir)
+
+  /** Arbitrary SQL → DataFrame (S8: the reference round-trips Athena result
+    * CSVs; in-process Spark returns the frame directly). */
+  def sql(spark: SparkSession, query: String): DataFrame = spark.sql(query)
+
+  /** `SELECT * FROM t LIMIT n` (`athena.py:74-77`). */
+  def preview(spark: SparkSession, table: String, n: Int = 10): DataFrame =
+    spark.sql(s"SELECT * FROM $table LIMIT $n")
+
+  /** `SELECT COUNT(*) as n_rows FROM t` (`athena.py:81-86`). */
+  def countRows(spark: SparkSession, table: String): DataFrame =
+    spark.sql(s"SELECT COUNT(*) AS n_rows FROM $table")
+
+  /** K5 — `UNLOAD (sql) TO path WITH (format='parquet')`
+    * (`vendor/aws_athena.py:50-55`). */
+  def unload(spark: SparkSession, query: String, path: String): Unit =
+    spark.sql(query).write.mode("overwrite").parquet(path)
+
+  /** K6 — CSV result sink (`athena.py:78`). */
+  def unloadCsv(spark: SparkSession, query: String, path: String): Unit =
+    spark.sql(query).coalesce(1).write.mode("overwrite")
+      .option("header", "true").csv(path)
+}

@@ -1,0 +1,137 @@
+package graft.sink
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.ops.LakeOps
+import graft.oracle.{CompareTables, Workload}
+
+class KeyedLakeTableSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def newTable(tieBreak: Seq[String] = Nil): KeyedLakeTable =
+    new KeyedLakeTable(spark, LakeTableSpec(
+      path = tmpDir("lake-txn"), recordKeys = Seq("id"),
+      precombine = "update_at", partitionSource = "create_at",
+      tieBreak = tieBreak))
+
+  private def asState(df: DataFrame): Set[Workload.Txn] =
+    LakeOps.normalizeForCompare(df).as[Workload.Txn].collect().toSet
+
+  test("overwrite bootstraps a partitioned keyed table") {
+    val log = Workload.generate(seed = 1, n = 200)
+    val table = newTable()
+    table.overwrite(log.txns.toDF())
+    assert(asState(table.read()) === Workload.expectedTxnState(log).toSet)
+    // partition layout exists on disk (5-level hive-style dirs)
+    val root = new java.io.File(table.spec.path)
+    val yearDirs = root.listFiles().filter(_.isDirectory).map(_.getName)
+    assert(yearDirs.exists(_.startsWith("create_year=")))
+  }
+
+  test("bootstrap + upserts == source-of-truth last-writer state") {
+    val log = Workload.generate(seed = 2, n = 600)
+    val batches = log.txns.grouped(200).toSeq
+    val table = newTable()
+    table.overwrite(batches.head.toDF())
+    batches.tail.foreach(b => table.upsert(b.toDF()))
+    assert(asState(table.read()) === Workload.expectedTxnState(log).toSet)
+  }
+
+  test("any batch split of the same log yields the same table") {
+    val log = Workload.generate(seed = 3, n = 400)
+    val splits = Seq(Seq(400), Seq(100, 300), Seq(150, 150, 100), Seq(47, 212, 90, 51))
+    val states = splits.map { sizes =>
+      assert(sizes.sum === 400)
+      val table = newTable()
+      var rest = log.txns
+      var first = true
+      sizes.foreach { k =>
+        val (batch, r) = rest.splitAt(k)
+        rest = r
+        if (first) { table.overwrite(batch.toDF()); first = false }
+        else table.upsert(batch.toDF())
+      }
+      asState(table.read())
+    }
+    assert(states.distinct.size === 1)
+    assert(states.head === Workload.expectedTxnState(log).toSet)
+  }
+
+  test("a late batch with an older update_at never clobbers a newer row") {
+    // incremental.py:225-226 semantics: precombine guards against
+    // out-of-order application.
+    val t0 = "2024-01-01T00:00:01.000000+0000"
+    val t1 = "2024-01-01T00:00:05.000000+0000"
+    val table = newTable()
+    table.overwrite(Seq(
+      Workload.Txn("k1", "a1", t0, t1, "fuel", 10, 0, "newer")).toDF())
+    table.upsert(Seq(
+      Workload.Txn("k1", "a1", t0, t0, "fuel", 10, 0, "older-late")).toDF())
+    val note = table.read().select("note").as[String].collect().toSeq
+    assert(note === Seq("newer"))
+  }
+
+  test("on an equal precombine value the incoming row wins (Hudi tie rule)") {
+    val t0 = "2024-01-01T00:00:01.000000+0000"
+    val t1 = "2024-01-01T00:00:05.000000+0000"
+    val table = newTable()
+    table.overwrite(Seq(
+      Workload.Txn("k1", "a1", t0, t1, "fuel", 10, 0, "original")).toDF())
+    table.upsert(Seq(
+      Workload.Txn("k1", "a1", t0, t1, "fuel", 10, 0, "incoming")).toDF())
+    val note = table.read().select("note").as[String].collect().toSeq
+    assert(note === Seq("incoming"))
+  }
+
+  test("upsert rewrites only the touched partitions") {
+    val log = Workload.generate(seed = 5, n = 300)
+    val table = newTable()
+    table.overwrite(log.txns.toDF())
+    val root = java.nio.file.Paths.get(table.spec.path)
+    def fileMtimes(): Map[String, Long] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet"))
+        .map(p => p.toString -> java.nio.file.Files.getLastModifiedTime(p).toMillis)
+        .toMap
+    }
+    val before = fileMtimes()
+    Thread.sleep(20)
+    // update one existing key only
+    val one = log.txns.head
+    table.upsert(Seq(one.copy(update_at = "2024-12-31T00:00:00.000000+0000",
+      note = "touched")).toDF())
+    val after = fileMtimes()
+    val unchanged = before.keySet.intersect(after.keySet)
+      .count(k => before(k) == after(k))
+    // every partition except the touched one keeps its original files
+    assert(unchanged > 0 && before.size - unchanged <= before.size / 2)
+    // and the final state is still exact
+    val expected = Workload.expectedTxnState(log).map(t =>
+      if (t.id == one.id) t.copy(update_at = "2024-12-31T00:00:00.000000+0000", note = "touched") else t)
+    assert(asState(table.read()) === expected.toSet)
+  }
+
+  test("upsert into an empty path behaves as bootstrap") {
+    val log = Workload.generate(seed = 7, n = 100)
+    val table = newTable()
+    table.upsert(log.txns.toDF())
+    assert(asState(table.read()) === Workload.expectedTxnState(log).toSet)
+  }
+
+  test("CompareTables proves source == lake after a CDC run, and catches drift") {
+    val log = Workload.generate(seed = 8, n = 500)
+    val table = newTable()
+    val batches = log.txns.grouped(120).toSeq
+    table.overwrite(batches.head.toDF())
+    batches.tail.foreach(b => table.upsert(b.toDF()))
+    val source = Workload.expectedTxnState(log).toDF()
+    val diff = CompareTables.compare(source, table.read())
+    assert(diff.isEqual, s"diff: $diff")
+    // and the oracle actually detects a corrupted lake
+    val corrupted = table.read().limit(table.read().count().toInt - 1)
+    assert(!CompareTables.compare(source, corrupted).isEqual)
+  }
+}
