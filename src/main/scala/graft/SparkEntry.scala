@@ -37,6 +37,7 @@ object SparkEntry {
     "q26_props_extract"    -> (CdcQueries.q26PropsExtract _),
     "q27_sql_surface"      -> (CdcQueries.q27SqlSurface _),
     "q28_count_rows"       -> (CdcQueries.q28CountRows _),
+    "q29_incremental_replay" -> (CdcQueries.q29IncrementalReplay _),
     "q32_compare_diff"     -> (CdcQueries.q32CompareDiff _),
   )
 
@@ -69,6 +70,7 @@ object SparkEntry {
     "q26_props_extract"    -> CdcQueries.q26PropsExtractSql,
     "q27_sql_surface"      -> CdcQueries.q27SqlSurfaceSql,
     "q28_count_rows"       -> CdcQueries.q28CountRowsSql,
+    "q29_incremental_replay" -> CdcQueries.q29IncrementalReplaySql,
     "q32_compare_diff"     -> CdcQueries.q32CompareDiffSql,
   )
 }

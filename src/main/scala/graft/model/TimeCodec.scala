@@ -19,6 +19,14 @@ object TimeCodec {
   private val keyFmt  = DateTimeFormatter.ofPattern("yyyy/MM/dd/HH/yyyyMMdd-HHmmssSSS")
   private val nameFmt = DateTimeFormatter.ofPattern("yyyyMMdd-HHmmssSSS")
 
+  /** Epoch-microseconds → LocalDateTime (UTC) — the µs-long convention the
+    * engine uses wherever nanosecond parquet timestamps are involved. */
+  def fromMicros(us: Long): LocalDateTime =
+    LocalDateTime.ofEpochSecond(
+      java.lang.Math.floorDiv(us, 1000000L),
+      java.lang.Math.floorMod(us, 1000000L).toInt * 1000,
+      java.time.ZoneOffset.UTC)
+
   /** `datetime → "YYYY/MM/DD/HH/YYYYMMDD-HHMMSSfff"` (microseconds truncated
     * to milliseconds, matching the reference's `%f`[:-3] —
     * `incremental_load_orchestration.py:73-80`). */

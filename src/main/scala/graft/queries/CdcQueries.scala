@@ -46,7 +46,7 @@ object CdcQueries {
         lpad(pmod(col("user_id"), lit(2)).cast("string"), 2, "0"),
         lit(":00.000000")).as("create_at"),
       col("update_at"), col("event_type"), col("value"), col("props"),
-      col("event_id"))
+      col("event_id"), col("ts_us"))
 
   private val cdcViewSql =
     """SELECT 'user-' || lpad(CAST(user_id AS VARCHAR), 6, '0') AS id,
@@ -238,6 +238,46 @@ object CdcQueries {
   }
 
   val q28CountRowsSql: String = "SELECT COUNT(*) AS n_rows FROM events"
+
+  // ---------------------------------------------------------------- q29
+  /** S1/S3/P8/W5/§2.8 — the full incremental pipeline end-to-end: write the
+    * CDC stream as a time-keyed file tree (LOAD snapshot + 48h-bucket
+    * files), then let the checkpointed orchestrator replay it in bounded
+    * batches through the merge sink. Must equal global latest-wins — the
+    * same oracle as q20, reached through the planner/orchestrator path. */
+  def q29IncrementalReplay(s: SparkSession, dir: String): DataFrame = {
+    import graft.orchestrate.CdcOrchestrator
+    import graft.sources.{CdcTreeWriter, SnapshotSource}
+    val cdc = cdcView(s, dir)
+    val root = Files.createTempDirectory("graft_q29_cdc").toString
+    val tableRoot = s"$root/events"
+    val bounds = cdc.agg(min(col("ts_us")), max(col("ts_us"))).head()
+    val cut = bounds.getLong(0) + (bounds.getLong(1) - bounds.getLong(0)) / 4
+    CdcTreeWriter.writeLoadFile(s, cdc.filter(col("ts_us") <= cut), tableRoot)
+    CdcTreeWriter.write(s, cdc.filter(col("ts_us") > cut), tableRoot,
+      "ts_us", bucketUs = 48L * 3600L * 1000000L)
+    val lake = new KeyedLakeTable(s, LakeTableSpec(
+      Files.createTempDirectory("graft_q29_lake").toString,
+      recordKeys = Seq("id"), precombine = "update_at",
+      partitionSource = "create_at", tieBreak = Seq("event_id")))
+    lake.overwrite(SnapshotSource.read(s, SnapshotSource.listLoadFiles(
+      s.sparkContext.hadoopConfiguration, tableRoot)))
+    val orch = new CdcOrchestrator(s, root, s"$root/_plans",
+      s"$root/_tracker.json", Seq("events"),
+      maxFiles = 2, maxIntervalSeconds = 5L * 24 * 3600,
+      execute = (_, df) => lake.upsert(df))
+    orch.seed("events", graft.model.TimeCodec.fromMicros(cut))
+    orch.runUntilCaughtUp()
+    lake.read().select(
+      col("id"), col("create_year"), col("create_month"), col("create_day"),
+      col("create_hour"), col("create_minute"), col("update_at"),
+      col("event_type"), col("value"), col("props"), col("event_id"))
+      .orderBy("id")
+  }
+
+  /** Same result contract as the direct merge — the orchestrated path must
+    * land on the identical table. */
+  val q29IncrementalReplaySql: String = q20CdcMergeSql
 
   // ---------------------------------------------------------------- q32
   /** J2/A5 — the source-vs-lake equality oracle as a diff-count query:

@@ -1,0 +1,82 @@
+package graft.sources
+
+import java.time.LocalDateTime
+import java.time.temporal.ChronoUnit
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+
+import graft.model.TimeCodec
+
+/** S3/P8/W5 — the checkpointed incremental file planner: key-range listing
+  * over a time-keyed CDC file tree (`YYYY/MM/DD/HH/YYYYMMDD-HHMMSSfff
+  * .parquet`, names = commit-time upper bounds).
+  *
+  * This is the engine's file-level predicate pushdown
+  * (`incremental_load_orchestration.py:129-161`; naming contract
+  * `DMS.rst:31-57`): because directory layout and file names encode commit
+  * time, planning a batch never touches data files — it lists only the
+  * hour directories inside `(after, after + maxInterval]`, applies three
+  * filename predicates, and takes the first N. At 100 TB the planner's cost
+  * is O(hours in the interval × files per hour), independent of table size.
+  */
+object CdcFileSource {
+
+  final case class Todo(files: Seq[String], endUntil: Option[LocalDateTime]) {
+    def isEmpty: Boolean = files.isEmpty
+  }
+
+  /** The file path encoding a commit-time upper bound (the naming contract
+    * this planner's pushdown relies on). */
+  def cdcFilePath(tableRoot: String, upperBound: LocalDateTime): String =
+    s"$tableRoot/${TimeCodec.datetimeToS3Key(upperBound)}.parquet"
+
+  /** List the next batch of CDC files for one table.
+    *
+    * Predicates (P8, mirroring `incremental_load_orchestration.py:143-149`
+    * and `initial_load.py:100`):
+    *  1. data files only (`.parquet`, not `LOAD*` full-load files);
+    *  2. strictly after the checkpoint (`start_after = last + 1ms`);
+    *  3. within `maxInterval` of the checkpoint (batch time-bound).
+    * Then take the first `maxFiles` in key order (W5) — the next checkpoint
+    * is the last taken file's encoded time. */
+  def listTodo(
+      conf: Configuration,
+      tableRoot: String,
+      after: LocalDateTime,
+      maxFiles: Int,
+      maxIntervalSeconds: Long): Todo = {
+    val until = after.plusSeconds(maxIntervalSeconds)
+    val root = new Path(tableRoot)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) return Todo(Nil, None)
+
+    // Enumerate candidate hour directories in the window — the listing's
+    // range predicate. (The +1 hour guards the boundary where `after`
+    // truncates below the first eligible file's hour.)
+    val startHour = after.truncatedTo(ChronoUnit.HOURS)
+    val hours = Iterator.iterate(startHour)(_.plusHours(1))
+      .takeWhile(h => !h.isAfter(until))
+      .toSeq
+    val hourFmt = java.time.format.DateTimeFormatter.ofPattern("yyyy/MM/dd/HH")
+
+    val candidates = hours.flatMap { h =>
+      val dir = new Path(root, h.format(hourFmt))
+      if (fs.exists(dir))
+        fs.listStatus(dir).toSeq.filter(_.isFile).map(_.getPath.toString)
+      else Nil
+    }
+
+    val eligible = candidates
+      .filter(_.endsWith(".parquet"))
+      .filterNot(p => p.substring(p.lastIndexOf('/') + 1).startsWith("LOAD"))
+      .flatMap { p =>
+        val dt = scala.util.Try(TimeCodec.filenameToDatetime(p)).toOption
+        dt.filter(d => d.isAfter(after) && !d.isAfter(until)).map(d => (d, p))
+      }
+      .sortBy(_._2) // key order == chronological order (codec invariant)
+      .take(maxFiles)
+
+    Todo(eligible.map(_._2), eligible.lastOption.map(_._1))
+  }
+}

@@ -1,0 +1,147 @@
+package graft.orchestrate
+
+import java.nio.file.{Files, Paths}
+import java.time.LocalDateTime
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.model.{BatchPlan, TableTodo, Tracker}
+import graft.ops.LakeOps
+import graft.oracle.Workload
+import graft.sink.{KeyedLakeTable, LakeTableSpec}
+import graft.sources.{CdcFileSource, CdcTreeWriter, SnapshotSource}
+
+class CdcOrchestratorSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("BatchPlan JSON serde round-trips (reference plan-serde test analog)") {
+    val plan = BatchPlan(7, Seq(
+      TableTodo("transactions", "2024-01-01T00:00:00.000", "2024-01-02T12:30:00.123",
+        Seq("/a/2024/01/02/12/20240102-123000123.parquet"))))
+    val back = BatchPlan.fromJson(BatchPlan.toJson(plan))
+    assert(back === plan)
+    assert(plan.filename === "999999993-000000007.json")
+  }
+
+  test("listTodo applies the three predicates and take-N in key order") {
+    val root = tmpDir("cdc-listing")
+    def touch(rel: String): Unit = {
+      val p = Paths.get(root, rel)
+      Files.createDirectories(p.getParent)
+      Files.write(p, Array[Byte]())
+    }
+    touch("LOAD00000001.parquet")                         // full-load: excluded
+    touch("2024/01/01/10/20240101-100000000.parquet")     // before checkpoint
+    touch("2024/01/01/12/20240101-120000000.parquet")     // eligible #1
+    touch("2024/01/01/12/20240101-123000000.notparquet")  // wrong suffix
+    touch("2024/01/01/13/20240101-130000000.parquet")     // eligible #2
+    touch("2024/01/01/14/20240101-140000000.parquet")     // eligible #3 (beyond maxFiles)
+    touch("2024/01/02/09/20240102-090000000.parquet")     // beyond maxInterval
+    val after = LocalDateTime.of(2024, 1, 1, 11, 0)
+    val todo = CdcFileSource.listTodo(
+      spark.sparkContext.hadoopConfiguration, root, after,
+      maxFiles = 2, maxIntervalSeconds = 6 * 3600)
+    assert(todo.files.map(f => f.substring(f.lastIndexOf('/') + 1)) ===
+      Seq("20240101-120000000.parquet", "20240101-130000000.parquet"))
+    assert(todo.endUntil === Some(LocalDateTime.of(2024, 1, 1, 13, 0)))
+  }
+
+  /** Builds LOAD + 1-minute CDC buckets; returns the snapshot cut (µs). */
+  private def buildTxnTree(log: Workload.Log, root: String): Long = {
+    val txns = log.txns.toDF()
+      .withColumn("ts_us", unix_micros(to_timestamp(
+        substring(col("update_at"), 1, 26), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")))
+    // first quarter of event time as the LOAD snapshot, rest as CDC buckets
+    val cut = txns.agg(min("ts_us") + (max("ts_us") - min("ts_us")) / 4)
+      .head().getDouble(0).toLong
+    CdcTreeWriter.writeLoadFile(spark,
+      txns.filter(col("ts_us") <= cut).drop("ts_us"), s"$root/transactions")
+    CdcTreeWriter.write(spark, txns.filter(col("ts_us") > cut),
+      s"$root/transactions", "ts_us", bucketUs = 60L * 1000000) // 1-min buckets
+    cut
+  }
+
+  test("orchestrated replay: snapshot + bounded CDC batches == source of truth") {
+    val log = Workload.generate(seed = 31, n = 400)
+    val root = tmpDir("cdc-tree")
+    val cut = buildTxnTree(log, root)
+
+    val lake = new KeyedLakeTable(spark, LakeTableSpec(
+      tmpDir("cdc-lake"), recordKeys = Seq("id"), precombine = "update_at",
+      partitionSource = "create_at"))
+    lake.overwrite(SnapshotSource.read(spark, SnapshotSource.listLoadFiles(
+      spark.sparkContext.hadoopConfiguration, s"$root/transactions")))
+
+    val planDir = tmpDir("cdc-plans")
+    val orch = new CdcOrchestrator(spark, root, planDir,
+      s"${tmpDir("cdc-state")}/tracker.json", Seq("transactions"),
+      maxFiles = 2, maxIntervalSeconds = 24 * 3600,
+      execute = (_, df) => lake.upsert(LakeOps.latestWinsDedup(df.drop("ts_us"),
+        Seq("id"), "update_at")))
+    orch.seed("transactions", graft.model.TimeCodec.fromMicros(cut))
+    val runs = orch.runUntilCaughtUp()
+    assert(runs > 1, "expected multiple bounded batches")
+
+    val got = LakeOps.normalizeForCompare(lake.read())
+      .as[Workload.Txn].collect().toSet
+    assert(got === Workload.expectedTxnState(log).toSet)
+
+    // plans were persisted, sequence-numbered, and parse back
+    assert(orch.latestPlan().exists(_.seq === runs))
+    // a second catch-up is a no-op
+    assert(orch.runUntilCaughtUp() === 0)
+  }
+
+  test("checkpoint advances only on success; failed batches replay") {
+    val log = Workload.generate(seed = 37, n = 200)
+    val root = tmpDir("cdc-tree-fail")
+    val cut = buildTxnTree(log, root)
+    val lake = new KeyedLakeTable(spark, LakeTableSpec(
+      tmpDir("cdc-lake-fail"), recordKeys = Seq("id"), precombine = "update_at",
+      partitionSource = "create_at"))
+    lake.overwrite(SnapshotSource.read(spark, SnapshotSource.listLoadFiles(
+      spark.sparkContext.hadoopConfiguration, s"$root/transactions")))
+
+    val trackerPath = s"${tmpDir("cdc-state-fail")}/tracker.json"
+    var failNext = false
+    val orch = new CdcOrchestrator(spark, root, tmpDir("plans-fail"),
+      trackerPath, Seq("transactions"), maxFiles = 1,
+      maxIntervalSeconds = 24 * 3600,
+      execute = (_, df) => {
+        if (failNext) sys.error("injected batch failure")
+        lake.upsert(df.drop("ts_us"))
+      })
+    orch.seed("transactions", graft.model.TimeCodec.fromMicros(cut))
+
+    assert(orch.runOnce())
+    val afterFirst = Tracker.load(trackerPath)
+    failNext = true
+    assertThrows[RuntimeException](orch.runOnce())
+    // divergence from the reference (documented): no advance on failure
+    assert(Tracker.load(trackerPath) === afterFirst)
+    failNext = false
+    orch.runUntilCaughtUp()
+    val got = LakeOps.normalizeForCompare(lake.read())
+      .as[Workload.Txn].collect().toSet
+    assert(got === Workload.expectedTxnState(log).toSet)
+  }
+
+  test("single-flight: a reentrant run is refused") {
+    val root = tmpDir("cdc-tree-sf")
+    val log = Workload.generate(seed = 41, n = 80)
+    val cut = buildTxnTree(log, root)
+    var orch: CdcOrchestrator = null
+    var reentrant: Option[Throwable] = None
+    orch = new CdcOrchestrator(spark, root, tmpDir("plans-sf"),
+      s"${tmpDir("state-sf")}/tracker.json", Seq("transactions"),
+      maxFiles = 1, maxIntervalSeconds = 24 * 3600,
+      execute = (_, _) => {
+        reentrant = scala.util.Try(orch.runOnce()).failed.toOption
+      })
+    orch.seed("transactions", graft.model.TimeCodec.fromMicros(cut))
+    orch.runOnce()
+    assert(reentrant.exists(_.isInstanceOf[IllegalStateException]))
+  }
+}
