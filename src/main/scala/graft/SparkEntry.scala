@@ -38,7 +38,10 @@ object SparkEntry {
     "q27_sql_surface"      -> (CdcQueries.q27SqlSurface _),
     "q28_count_rows"       -> (CdcQueries.q28CountRows _),
     "q29_incremental_replay" -> (CdcQueries.q29IncrementalReplay _),
+    "q30_streaming_ingest" -> (CdcQueries.q30StreamingIngest _),
+    "q31_jdbc_roundtrip"   -> (CdcQueries.q31JdbcRoundtrip _),
     "q32_compare_diff"     -> (CdcQueries.q32CompareDiff _),
+    "q33_export_ingest"    -> (CdcQueries.q33ExportIngest _),
   )
 
   /** Headline queries the bench harness times (a subset of [[queries]]:
@@ -71,6 +74,9 @@ object SparkEntry {
     "q27_sql_surface"      -> CdcQueries.q27SqlSurfaceSql,
     "q28_count_rows"       -> CdcQueries.q28CountRowsSql,
     "q29_incremental_replay" -> CdcQueries.q29IncrementalReplaySql,
+    "q30_streaming_ingest" -> CdcQueries.q30StreamingIngestSql,
+    "q31_jdbc_roundtrip"   -> CdcQueries.q31JdbcRoundtripSql,
     "q32_compare_diff"     -> CdcQueries.q32CompareDiffSql,
+    "q33_export_ingest"    -> CdcQueries.q33ExportIngestSql,
   )
 }

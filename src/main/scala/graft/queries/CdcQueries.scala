@@ -279,6 +279,80 @@ object CdcQueries {
     * land on the identical table. */
   val q29IncrementalReplaySql: String = q20CdcMergeSql
 
+  // ---------------------------------------------------------------- q30
+  /** S7/§2.8 — streaming ingest: the CDC stream consumed as Structured
+    * Streaming micro-batches (bounded by maxFilesPerTrigger) through
+    * foreachBatch upsert. Same latest-wins contract as q20 — micro-batch
+    * boundaries must not change the final table. */
+  def q30StreamingIngest(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.CdcStreamIngest
+    val cdc = cdcView(s, dir)
+    val srcDir = Files.createTempDirectory("graft_q30_src").toString
+    cdc.repartition(6).write.mode("overwrite").parquet(srcDir)
+    val lake = new KeyedLakeTable(s, LakeTableSpec(
+      Files.createTempDirectory("graft_q30_lake").toString,
+      recordKeys = Seq("id"), precombine = "update_at",
+      partitionSource = "create_at", tieBreak = Seq("event_id")))
+    val stream = CdcStreamIngest.fileStream(s, srcDir, cdc.schema,
+      maxFilesPerTrigger = 2)
+    CdcStreamIngest.toLakeTable(stream, lake,
+      Files.createTempDirectory("graft_q30_ckpt").toString)
+    lake.read().select(
+      col("id"), col("create_year"), col("create_month"), col("create_day"),
+      col("create_hour"), col("create_minute"), col("update_at"),
+      col("event_type"), col("value"), col("props"), col("event_id"))
+      .orderBy("id")
+  }
+
+  val q30StreamingIngestSql: String = q20CdcMergeSql
+
+  // ---------------------------------------------------------------- q31
+  /** S4 — JDBC source/sink round-trip through embedded Derby: write the
+    * stream to a relational table, read it back as a partitioned JDBC scan. */
+  def q31JdbcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.JdbcTableSource
+    val ev = events(s, dir).select(
+      col("event_id"), col("user_id"), col("event_type"), col("value"),
+      col("ts_us"))
+    val url = JdbcTableSource.derbyUrl(
+      Files.createTempDirectory("graft_q31").toString + "/db")
+    JdbcTableSource.write(ev, url, "events_rt")
+    val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
+    JdbcTableSource.read(s, url, "events_rt",
+      partitionOn = Some(("event_id", 0L, maxId + 1, 8)))
+      .orderBy("event_id")
+  }
+
+  val q31JdbcRoundtripSql: String =
+    """SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------- q33
+  /** S5/P4/K4 — snapshot-export ingest: write the stream as an
+    * attribute-tagged gzip JSON-lines export, read it back through the
+    * manifest-style scan and flatten the tags into typed columns. */
+  def q33ExportIngest(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.DynamoExportSource
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
+    val ev = events(s, dir).select(
+      col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val outDir = Files.createTempDirectory("graft_q33_export").toString
+    DynamoExportSource.writeCompacted(ev,
+      Seq("event_id", "user_id", "event_type", "value"), outDir)
+    val gzFiles = new java.io.File(outDir).listFiles()
+      .map(_.getPath).filter(_.endsWith(".gz")).toSeq
+    DynamoExportSource.readExport(s, gzFiles, Seq(
+      ("event_id", "S", LongType), ("user_id", "S", LongType),
+      ("event_type", "S", StringType), ("value", "S", DoubleType)))
+      .orderBy("event_id")
+  }
+
+  val q33ExportIngestSql: String =
+    """SELECT event_id, user_id, event_type, value
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
   // ---------------------------------------------------------------- q32
   /** J2/A5 — the source-vs-lake equality oracle as a diff-count query:
     * compare the stream against a copy with 1% of values perturbed. */
