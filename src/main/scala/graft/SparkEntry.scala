@@ -42,6 +42,17 @@ object SparkEntry {
     "q31_jdbc_roundtrip"   -> (CdcQueries.q31JdbcRoundtrip _),
     "q32_compare_diff"     -> (CdcQueries.q32CompareDiff _),
     "q33_export_ingest"    -> (CdcQueries.q33ExportIngest _),
+    "q40_exact_dedup"      -> (PipelineQueries.q40ExactDedup _),
+    "q41_ngram_jaccard"    -> (PipelineQueries.q41NgramJaccard _),
+    "q42_minhash_lsh"      -> (PipelineQueries.q42MinhashLsh _),
+    "q44_simsearch_brute"  -> (PipelineQueries.q44SimsearchBrute _),
+    "q45_simsearch_ivf"    -> (PipelineQueries.q45SimsearchIvf _),
+    "q46_token_stats"      -> (PipelineQueries.q46TokenStats _),
+    "q47_lang_id"          -> (PipelineQueries.q47LangId _),
+    "q48_quality"          -> (PipelineQueries.q48Quality _),
+    "q49_fingerprint"      -> (PipelineQueries.q49Fingerprint _),
+    "q50_simhash"          -> (PipelineQueries.q50Simhash _),
+    "q51_multimodal"       -> (PipelineQueries.q51Multimodal _),
   )
 
   /** Headline queries the bench harness times (a subset of [[queries]]:
@@ -78,5 +89,14 @@ object SparkEntry {
     "q31_jdbc_roundtrip"   -> CdcQueries.q31JdbcRoundtripSql,
     "q32_compare_diff"     -> CdcQueries.q32CompareDiffSql,
     "q33_export_ingest"    -> CdcQueries.q33ExportIngestSql,
+    "q40_exact_dedup"      -> PipelineQueries.q40ExactDedupSql,
+    "q41_ngram_jaccard"    -> PipelineQueries.q41NgramJaccardSql,
+    // q42/q45/q50: engine-specific hashes / approximate paths — rows-only
+    "q44_simsearch_brute"  -> PipelineQueries.q44SimsearchBruteSql,
+    "q46_token_stats"      -> PipelineQueries.q46TokenStatsSql,
+    "q47_lang_id"          -> PipelineQueries.q47LangIdSql,
+    "q48_quality"          -> PipelineQueries.q48QualitySql,
+    "q49_fingerprint"      -> PipelineQueries.q49FingerprintSql,
+    "q51_multimodal"       -> PipelineQueries.q51MultimodalSql,
   )
 }

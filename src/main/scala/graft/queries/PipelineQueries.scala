@@ -1,0 +1,283 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.dedup.Dedup
+import graft.functions.GraftFunctions
+import graft.multimodal.MultimodalOps
+import graft.sim.Similarity
+import graft.text.TextOps
+
+/** CORRECTNESS entries for the large-scale training-data-pipeline operator
+  * families (dedup, similarity search, text analysis, multimodal), over the
+  * corpus's `documents` (doc_id, text, lang, source, n_chars) and
+  * `embeddings` (vec_id, embedding float[64], label) tables.
+  *
+  * The DuckDB-oracle'd entries pin exact semantics; the approximate/scale
+  * variants (MinHash-LSH, IVF, SimHash) are driver-checked rows-only and
+  * equivalence-tested against their exact counterparts in the ScalaTest
+  * suite.
+  */
+object PipelineQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  /** The normalized-words SQL fragment shared by the text oracles. */
+  private val normSql =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+  private val wordsSql = s"string_split($normSql, ' ')"
+
+  // ---------------------------------------------------------------- q40
+  /** Exact dedup: duplicate groups by content fingerprint. */
+  def q40ExactDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(docs(s, dir), "doc_id", "text")
+      .orderBy("fingerprint")
+
+  val q40ExactDedupSql: String =
+    s"""SELECT md5($normSql) AS fingerprint, COUNT(*) AS n_docs,
+      |  MIN(doc_id) AS canonical_id
+      |FROM documents
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q41
+  /** Exact word-bigram Jaccard near-dup pairs (threshold 0.9). The exact
+    * baseline the LSH path must reproduce. */
+  def q41NgramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", n = 2,
+      threshold = 0.9)
+      .orderBy("doc_a", "doc_b")
+
+  val q41NgramJaccardSql: String =
+    s"""WITH w AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(ws)),
+      |    i -> ws[i] || ' ' || ws[i+1])) AS shingle
+      |  FROM w),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b,
+      |  CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON sa.doc_id = doc_a
+      |JOIN sizes sb ON sb.doc_id = doc_b
+      |WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.9
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------- q42
+  /** MinHash+LSH near-dup pairs — the scale path (banded signatures,
+    * bucket-join candidates, exact verify). No SQL oracle (hash functions
+    * are engine-specific); the suite asserts equality with q41's exact
+    * result at the same threshold. */
+  def q42MinhashLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.minHashLsh(docs(s, dir), "doc_id", "text", n = 2,
+      bands = 8, rowsPerBand = 4, threshold = 0.9)
+      .orderBy("doc_a", "doc_b")
+
+  // ---------------------------------------------------------------- q44
+  /** Brute-force cosine top-10 for 8 query vectors — the exact ANN
+    * baseline, bit-matched against DuckDB's list arithmetic. */
+  def q44SimsearchBrute(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 8),
+      "vec_id", "embedding", k = 10)
+      .orderBy("q_id", "rank")
+  }
+
+  val q44SimsearchBruteSql: String =
+    """WITH v AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+      |    sqrt(list_sum(list_transform(embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      |  FROM embeddings),
+      |scored AS (
+      |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+      |    list_sum(list_transform(range(1, len(q.e) + 1),
+      |      i -> q.e[i] * c.e[i])) / (q.nrm * c.nrm) AS cosine
+      |  FROM v q JOIN v c ON q.vec_id < 8 AND q.vec_id <> c.vec_id),
+      |ranked AS (
+      |  SELECT *, row_number() OVER
+      |    (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
+      |  FROM scored)
+      |SELECT q_id, n_id, rank, cosine FROM ranked
+      |WHERE rank <= 10
+      |ORDER BY q_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------- q45
+  /** IVF approximate top-10 (16 centroids, probe 4) — the bucketed scale
+    * path. Rows-only for the driver; recall vs q44 asserted in the suite. */
+  def q45SimsearchIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    Similarity.ivfTopK(e, e.filter(col("vec_id") < 8),
+      "vec_id", "embedding", k = 10, nCentroids = 16, nProbe = 4)
+      .orderBy("q_id", "rank")
+  }
+
+  // ---------------------------------------------------------------- q46
+  /** Token statistics: char/whitespace/subword counts + mean word length. */
+  def q46TokenStats(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    d.select(
+      col("doc_id"),
+      length(col("text")).as("n_chars"),
+      TextOps.tokenCountWs(col("text")).as("n_ws_tokens"),
+      TextOps.tokenCountRe(col("text")).as("n_re_tokens"),
+      length(regexp_replace(col("text"), "[^A-Za-z]", "")).as("n_alpha_chars"),
+      size(regexp_extract_all(col("text"), lit("[A-Za-z]+"), lit(0))).as("n_alpha_tokens"))
+      .withColumn("avg_word_len",
+        col("n_alpha_chars").cast("double") /
+          nullif(col("n_alpha_tokens"), lit(0)).cast("double"))
+      .orderBy("doc_id")
+  }
+
+  val q46TokenStatsSql: String =
+    """SELECT doc_id,
+      |  length(text) AS n_chars,
+      |  len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens,
+      |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_re_tokens,
+      |  length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha_chars,
+      |  len(regexp_extract_all(text, '[A-Za-z]+')) AS n_alpha_tokens,
+      |  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) /
+      |    CAST(nullif(len(regexp_extract_all(text, '[A-Za-z]+')), 0) AS DOUBLE)
+      |    AS avg_word_len
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q47
+  /** Language-ID heuristic vs the labeled column: confusion counts. */
+  def q47LangId(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    d.withColumn("predicted",
+      TextOps.langId(TextOps.words(TextOps.normalized(col("text")))))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "predicted")
+  }
+
+  val q47LangIdSql: String = {
+    val scores = TextOps.langMarkers.map { case (l, m) =>
+      val list = m.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_intersect(list_distinct($wordsSql), $list)) AS s_$l"
+    }.mkString(",\n      |    ")
+    val gList = TextOps.langMarkers.map { case (l, _) => s"s_$l" }.mkString(", ")
+    val cases = TextOps.langMarkers.map { case (l, _) =>
+      s"WHEN s_$l >= g AND g > 0 THEN '$l'"
+    }.mkString("\n      |      ")
+    s"""WITH scored AS (
+      |  SELECT lang,
+      |    $scores
+      |  FROM documents),
+      |g AS (SELECT *, greatest($gList) AS g FROM scored),
+      |p AS (
+      |  SELECT lang,
+      |    CASE
+      |      $cases
+      |      ELSE 'und' END AS predicted
+      |  FROM g)
+      |SELECT lang, predicted, COUNT(*) AS n_docs
+      |FROM p
+      |GROUP BY lang, predicted
+      |ORDER BY lang, predicted""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q48
+  /** Per-document quality scoring (length/stopword/digit signals). */
+  def q48Quality(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val w = TextOps.words(TextOps.normalized(col("text")))
+    d.select(
+      col("doc_id"),
+      size(w).as("n_words"),
+      TextOps.stopwordCount(w, TextOps.enStopwords).as("n_stopwords"),
+      length(regexp_replace(col("text"), "[^0-9]", "")).as("n_digit_chars"),
+      length(col("text")).as("n_chars"))
+      .withColumn("stop_ratio", col("n_stopwords").cast("double") /
+        nullif(col("n_words"), lit(0)).cast("double"))
+      .withColumn("digit_ratio", col("n_digit_chars").cast("double") /
+        nullif(col("n_chars"), lit(0)).cast("double"))
+      .withColumn("quality", TextOps.qualityScore(
+        col("n_words"), col("stop_ratio"), col("digit_ratio")))
+      .orderBy("doc_id")
+  }
+
+  val q48QualitySql: String = {
+    val stops = TextOps.enStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH base AS (
+      |  SELECT doc_id,
+      |    len($wordsSql) AS n_words,
+      |    len(list_filter($wordsSql, w -> list_contains($stops, w))) AS n_stopwords,
+      |    length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit_chars,
+      |    length(text) AS n_chars
+      |  FROM documents),
+      |ratios AS (
+      |  SELECT *,
+      |    CAST(n_stopwords AS DOUBLE) / CAST(nullif(n_words, 0) AS DOUBLE) AS stop_ratio,
+      |    CAST(n_digit_chars AS DOUBLE) / CAST(nullif(n_chars, 0) AS DOUBLE) AS digit_ratio
+      |  FROM base)
+      |SELECT doc_id, n_words, n_stopwords, n_digit_chars, n_chars,
+      |  stop_ratio, digit_ratio,
+      |  greatest(0.0, least(1.0,
+      |    0.2 + 0.6 * stop_ratio + 0.002 * CAST(n_words AS DOUBLE)
+      |      - 0.3 * digit_ratio)) AS quality
+      |FROM ratios
+      |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q49
+  /** Document fingerprints (the md5-of-canonical-form rolling key). */
+  def q49Fingerprint(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      TextOps.fingerprint(col("text")).as("fingerprint"))
+      .orderBy("doc_id")
+
+  val q49FingerprintSql: String =
+    s"""SELECT doc_id, md5($normSql) AS fingerprint
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q50
+  /** SimHash-64 per document via the native Catalyst expression. No SQL
+    * oracle (xxhash64 bit pattern is Spark-specific); properties are
+    * asserted in the suite. */
+  def q50Simhash(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    docs(s, dir)
+      .withColumn("words",
+        TextOps.words(TextOps.normalized(col("text"))))
+      .select(col("doc_id"), expr("simhash64(words)").as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- q51
+  /** Multimodal binary plumbing: payload bytes, content hash, frame-sample
+    * count — the decode stub's Spark-visible contract. */
+  def q51Multimodal(s: SparkSession, dir: String): DataFrame = {
+    val media = MultimodalOps.asMediaTable(docs(s, dir), "doc_id", "text")
+    media.select(
+      col("media_id"),
+      length(col("media")).as("n_bytes"),
+      sha2(col("media"), 256).as("sha_hex"),
+      MultimodalOps.frameCount(length(col("media")), 64, 48).as("n_frames"))
+      .orderBy("media_id")
+  }
+
+  val q51MultimodalSql: String =
+    """SELECT doc_id AS media_id,
+      |  octet_length(encode(text)) AS n_bytes,
+      |  sha256(text) AS sha_hex,
+      |  CASE WHEN octet_length(encode(text)) >= 64
+      |       THEN (octet_length(encode(text)) - 64) // 48 + 1
+      |       ELSE 0 END AS n_frames
+      |FROM documents
+      |ORDER BY media_id""".stripMargin
+}

@@ -1,0 +1,104 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search over an `Array[Float]` column.
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]] — exact cosine top-k via a broadcast cross join
+  *    with the (small) query set. Cost O(|corpus| × |queries|): the correct
+  *    baseline, and fine whenever |queries| is bounded;
+  *  - [[ivfTopK]] — the scale path: a one-time centroid assignment turns
+  *    the corpus into an inverted file (cluster → members); each query
+  *    probes only its nProbe nearest clusters, so per-query cost drops by
+  *    ~nCentroids/nProbe. The assignment itself is a broadcast join
+  *    (centroids are tiny) — no all-pairs stage anywhere.
+  *
+  * All arithmetic is float→double casts + sequential double sums, matching
+  * the DuckDB oracle's `list_sum(list_transform(...))` bit for bit.
+  */
+object Similarity {
+
+  /** Sequential-order double dot product of two float arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
+    dot(a, b) / (normA * normB)
+
+  /** Exact top-k neighbors for each query vector (self excluded). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, embCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("n_id"), col(embCol).as("n_emb"))
+      .withColumn("n_norm", l2Norm(col("n_emb")))
+    val q = queries.select(col(idCol).as("q_id"), col(embCol).as("q_emb"))
+      .withColumn("q_norm", l2Norm(col("q_emb")))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cosine",
+        cosine(col("q_emb"), col("n_emb"), col("q_norm"), col("n_norm")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"), col("cosine"))
+  }
+
+  /** Assign every corpus vector to its nearest centroid (IVF build step).
+    * Returns corpus + `cluster` column. Centroids must be small enough to
+    * broadcast — by construction they are (nCentroids rows). */
+  def assignClusters(corpus: DataFrame, centroids: DataFrame,
+      idCol: String, embCol: String): DataFrame = {
+    val cent = centroids.select(col(idCol).as("c_id"), col(embCol).as("c_emb"))
+      .withColumn("c_norm", l2Norm(col("c_emb")))
+    val base = corpus.withColumn("__norm", l2Norm(col(embCol)))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("__sim").desc, col("c_id"))
+    base.crossJoin(broadcast(cent))
+      .withColumn("__sim",
+        cosine(col(embCol), col("c_emb"), col("__norm"), col("c_norm")))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .withColumnRenamed("c_id", "cluster")
+      .drop("c_emb", "c_norm", "__sim", "__rk", "__norm")
+  }
+
+  /** Approximate top-k: probe the `nProbe` clusters nearest to each query,
+    * exact-rank only their members. Deterministic given the centroid set. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      embCol: String, k: Int, nCentroids: Int, nProbe: Int): DataFrame = {
+    val centroids = corpus.orderBy(col(idCol)).limit(nCentroids)
+    val indexed = assignClusters(corpus, centroids, idCol, embCol)
+      .select(col(idCol).as("n_id"), col(embCol).as("n_emb"), col("cluster"))
+      .withColumn("n_norm", l2Norm(col("n_emb")))
+
+    val cent = centroids.select(col(idCol).as("c_id"), col(embCol).as("c_emb"))
+      .withColumn("c_norm", l2Norm(col("c_emb")))
+    val q = queries.select(col(idCol).as("q_id"), col(embCol).as("q_emb"))
+      .withColumn("q_norm", l2Norm(col("q_emb")))
+    val probeW = Window.partitionBy(col("q_id"))
+      .orderBy(col("__sim").desc, col("c_id"))
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("__sim",
+        cosine(col("q_emb"), col("c_emb"), col("q_norm"), col("c_norm")))
+      .withColumn("__rk", row_number().over(probeW))
+      .filter(col("__rk") <= nProbe)
+      .select(col("q_id"), col("q_emb"), col("q_norm"),
+        col("c_id").as("cluster"))
+
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("n_id"))
+    indexed.join(broadcast(probes), "cluster")
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cosine",
+        cosine(col("q_emb"), col("n_emb"), col("q_norm"), col("n_norm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"), col("cosine"))
+  }
+}

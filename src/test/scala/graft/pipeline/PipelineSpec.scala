@@ -1,0 +1,126 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.dedup.Dedup
+import graft.functions.GraftFunctions
+import graft.multimodal.MultimodalOps
+import graft.queries.PipelineQueries
+import graft.sim.Similarity
+import graft.text.TextOps
+
+/** Equivalence and property tests for the approximate/scale paths that have
+  * no SQL oracle, plus unit coverage of the text operators. Uses the
+  * read-only sf0.001 corpus where real near-duplicates are planted. */
+class PipelineSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("TextOps.normalized canonicalizes case/punctuation/whitespace") {
+    val out = Seq("Hello,  WORLD!! 42", "  a  b  ", "").toDF("text")
+      .select(TextOps.normalized(col("text"))).as[String].collect()
+    assert(out === Seq("hello world 42", "a b", ""))
+  }
+
+  test("wordShingles handles short inputs without sequence errors") {
+    val df = Seq("one", "one two", "one two three").toDF("t")
+      .select(TextOps.wordShingles(TextOps.words(col("t")), 2).as("sh"))
+    val got = df.as[Seq[String]].collect()
+    assert(got(0) === Seq())
+    assert(got(1) === Seq("one two"))
+    assert(got(2) === Seq("one two", "two three"))
+  }
+
+  test("MinHash-LSH finds exactly the exact-Jaccard pairs at threshold 0.9") {
+    val exact = PipelineQueries.q41NgramJaccard(spark, sfDir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val lsh = PipelineQueries.q42MinhashLsh(spark, sfDir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "corpus should contain planted near-dups")
+    // precision 1.0 by construction (exact verify); recall must be total
+    // on this corpus at b=8, r=4 (capture prob ≈0.9998 per pair at J=0.9)
+    assert(lsh === exact)
+  }
+
+  test("IVF top-k achieves high recall against brute force") {
+    val brute = PipelineQueries.q44SimsearchBrute(spark, sfDir)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val ivf = PipelineQueries.q45SimsearchIvf(spark, sfDir)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall = ivf.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.5, f"IVF recall@10 too low: $recall%.2f")
+    // every IVF hit is a real vector pair with correctly computed cosine —
+    // spot-check one query's ranking is internally consistent
+    val oneQ = PipelineQueries.q45SimsearchIvf(spark, sfDir)
+      .filter(col("q_id") === 0).orderBy("rank")
+      .select("cosine").as[Double].collect()
+    assert(oneQ.sameElements(oneQ.sorted(Ordering[Double].reverse)))
+  }
+
+  test("simhash64: deterministic, identical texts collide, near-dups are close") {
+    GraftFunctions.register(spark)
+    def hashes(texts: Seq[String]) =
+      texts.toDF("text")
+        .withColumn("w", TextOps.words(TextOps.normalized(col("text"))))
+        .select(expr("simhash64(w)")).as[Long].collect()
+    val Seq(a1, a2) = hashes(Seq("the quick brown fox", "the quick brown fox")).toSeq
+    assert(a1 === a2)
+    def hamming(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    // a planted near-dup pair from the corpus must be closer than a random pair
+    val pair = PipelineQueries.q41NgramJaccard(spark, sfDir).head()
+    val (da, db) = (pair.getLong(0), pair.getLong(1))
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val sh = docs
+      .withColumn("w", TextOps.words(TextOps.normalized(col("text"))))
+      .select(col("doc_id"), expr("simhash64(w)").as("h"))
+      .as[(Long, Long)].collect().toMap
+    val near = hamming(sh(da), sh(db))
+    val far = hamming(sh(da), sh((sh.keySet - da - db).min))
+    assert(near < far, s"near-dup hamming $near should beat random $far")
+    assert(near <= 8, s"planted near-dup pair should be within 8 bits, got $near")
+  }
+
+  test("exact dedup groups cover every document exactly once") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val groups = Dedup.exactGroups(docs, "doc_id", "text")
+    assert(groups.agg(sum("n_docs")).head().getLong(0) === docs.count())
+  }
+
+  test("multimodal decode stub: batched, deterministic, frame math matches") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(50)
+    val media = MultimodalOps.asMediaTable(docs, "doc_id", "text")
+    val feats = MultimodalOps.decodeStub(media).collect()
+    assert(feats.length === 50)
+    val byId = feats.map(f => f.media_id -> f).toMap
+    val expected = media.select(col("media_id"), length(col("media")),
+      MultimodalOps.frameCount(length(col("media")), 64, 48))
+      .as[(Long, Int, Int)].collect()
+    expected.foreach { case (id, n, frames) =>
+      assert(byId(id).n_bytes === n)
+      assert(byId(id).n_frames === frames)
+    }
+    // deterministic across runs
+    val again = MultimodalOps.decodeStub(media).collect()
+      .map(f => f.media_id -> f.head_hash).toMap
+    feats.foreach(f => assert(again(f.media_id) === f.head_hash))
+    // frame sampling slices line up with the count
+    val sliced = media.select(col("media_id"),
+      size(MultimodalOps.sampleFrames(col("media"), 64, 48)).as("n"))
+      .as[(Long, Int)].collect().toMap
+    expected.foreach { case (id, _, frames) => assert(sliced(id) === frames) }
+  }
+
+  test("language id picks the highest-scoring marker set deterministically") {
+    val out = Seq(
+      "the cat and the dog is a pet",  // en markers
+      "le chat et la mer des les",     // fr markers
+      "xyzzy qwerty")                  // no markers
+      .toDF("text")
+      .select(TextOps.langId(TextOps.words(TextOps.normalized(col("text")))))
+      .as[String].collect()
+    assert(out === Seq("en", "fr", "und"))
+  }
+}
