@@ -56,11 +56,15 @@ object SparkEntry {
   )
 
   /** Headline queries the bench harness times (a subset of [[queries]]:
-    * representative heavy operators, not micro-entries). */
+    * representative heavy operators, not micro-entries or fixture-building
+    * harness paths). */
   def benchQueries: Seq[String] = Seq(
     "q1_pricing", "q3_shipping", "q5_region", "q6_revenue", "q7_top_orders",
     "q9_distinct_agg", "q10_semi_join", "q11_anti_join", "q12_case_agg",
-    "q13_rollup")
+    "q13_rollup",
+    "q20_cdc_merge", "q21_latest_wins", "q26_props_extract",
+    "q42_minhash_lsh", "q44_simsearch_brute", "q46_token_stats",
+    "q48_quality", "q50_simhash", "q51_multimodal")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

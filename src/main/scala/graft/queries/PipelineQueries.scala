@@ -22,11 +22,22 @@ import graft.text.TextOps
   */
 object PipelineQueries {
 
+  /** The corpus ships these tables as single small parquet files, which
+    * Spark reads as ONE partition — serializing every per-row operator on
+    * one core. Spread them across the cluster when (and only when) the
+    * scan's own parallelism is below the session default; at real scale the
+    * scan has plenty of partitions and this is a no-op, so no shuffle is
+    * added where it would hurt. */
+  private def parallel(s: SparkSession, df: DataFrame): DataFrame = {
+    val target = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   private def docs(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "documents")
+    parallel(s, Tables.load(s, dir, "documents"))
 
   private def embs(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "embeddings")
+    parallel(s, Tables.load(s, dir, "embeddings"))
 
   /** The normalized-words SQL fragment shared by the text oracles. */
   private val normSql =
@@ -80,7 +91,7 @@ object PipelineQueries {
     * result at the same threshold. */
   def q42MinhashLsh(s: SparkSession, dir: String): DataFrame =
     Dedup.minHashLsh(docs(s, dir), "doc_id", "text", n = 2,
-      bands = 8, rowsPerBand = 4, threshold = 0.9)
+      bands = 16, rowsPerBand = 8, threshold = 0.9)
       .orderBy("doc_a", "doc_b")
 
   // ---------------------------------------------------------------- q44

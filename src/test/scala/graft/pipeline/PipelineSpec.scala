@@ -41,7 +41,7 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(exact.nonEmpty, "corpus should contain planted near-dups")
     // precision 1.0 by construction (exact verify); recall must be total
-    // on this corpus at b=8, r=4 (capture prob ≈0.9998 per pair at J=0.9)
+    // on this corpus at b=16, r=8 (capture prob ≥0.9999 per pair at J=0.9)
     assert(lsh === exact)
   }
 
