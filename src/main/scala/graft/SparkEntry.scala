@@ -42,6 +42,9 @@ object SparkEntry {
     "q31_jdbc_roundtrip"   -> (CdcQueries.q31JdbcRoundtrip _),
     "q32_compare_diff"     -> (CdcQueries.q32CompareDiff _),
     "q33_export_ingest"    -> (CdcQueries.q33ExportIngest _),
+    "q34_table_counts"     -> (CdcQueries.q34TableCounts _),
+    "q35_chunking"         -> (CdcQueries.q35Chunking _),
+    "q36_unload"           -> (CdcQueries.q36Unload _),
     "q40_exact_dedup"      -> (PipelineQueries.q40ExactDedup _),
     "q41_ngram_jaccard"    -> (PipelineQueries.q41NgramJaccard _),
     "q42_minhash_lsh"      -> (PipelineQueries.q42MinhashLsh _),
@@ -93,6 +96,9 @@ object SparkEntry {
     "q31_jdbc_roundtrip"   -> CdcQueries.q31JdbcRoundtripSql,
     "q32_compare_diff"     -> CdcQueries.q32CompareDiffSql,
     "q33_export_ingest"    -> CdcQueries.q33ExportIngestSql,
+    "q34_table_counts"     -> CdcQueries.q34TableCountsSql,
+    "q35_chunking"         -> CdcQueries.q35ChunkingSql,
+    "q36_unload"           -> CdcQueries.q36UnloadSql,
     "q40_exact_dedup"      -> PipelineQueries.q40ExactDedupSql,
     "q41_ngram_jaccard"    -> PipelineQueries.q41NgramJaccardSql,
     // q42/q45/q50: engine-specific hashes / approximate paths — rows-only

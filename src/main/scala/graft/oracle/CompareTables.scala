@@ -35,4 +35,16 @@ object CompareTables {
     Diff(l.count(), r.count(), onlyL.count(), onlyR.count(),
       onlyL.limit(sample).collect().toSeq, onlyR.limit(sample).collect().toSeq)
   }
+
+  /** J3 — file-list reconciliation: set-diff of expected vs processed file
+    * URIs (the reference's sorted-zip pipeline audit, `temp.py:25-46`).
+    * Driver-side: these are file LISTS, bounded by file count. */
+  final case class FileListDiff(missing: Seq[String], unexpected: Seq[String]) {
+    def isReconciled: Boolean = missing.isEmpty && unexpected.isEmpty
+  }
+
+  def reconcileFileLists(expected: Seq[String], processed: Seq[String]): FileListDiff =
+    FileListDiff(
+      missing = (expected.toSet -- processed.toSet).toSeq.sorted,
+      unexpected = (processed.toSet -- expected.toSet).toSeq.sorted)
 }

@@ -353,6 +353,66 @@ object CdcQueries {
       |FROM events
       |ORDER BY event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q34
+  /** A2/A3 — per-source row counts across the whole corpus catalog (the
+    * reference's per-file/manifest count checks, `athena.py:81-86`,
+    * `vendor/aws_dynamodb_export_to_s3.py:339-345`). */
+  def q34TableCounts(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables.names.map { t =>
+      Tables.load(s, dir, t).select(lit(t).as("table_name"),
+        lit(1).as("one")).groupBy(col("table_name"))
+        .agg(count(lit(1)).as("n_rows"))
+    }.reduce(_ unionByName _).orderBy("table_name")
+  }
+
+  val q34TableCountsSql: String =
+    Tables.names.map(t => s"SELECT '$t' AS table_name, COUNT(*) AS n_rows FROM $t")
+      .mkString("", "\nUNION ALL\n", "\nORDER BY table_name")
+
+  // ---------------------------------------------------------------- q35
+  /** A4/W5 — fixed-size chunking: deterministic 100-row batches over a
+    * total order (the coordinator's grouper_list fan-out,
+    * `…post_processor_coordinator.py:22-41`). */
+  def q35Chunking(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("event_id"))
+    events(s, dir)
+      .withColumn("chunk",
+        ((row_number().over(w) - 1) / lit(100)).cast("long"))
+      .groupBy(col("chunk"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("event_id")).as("first_id"), max(col("event_id")).as("last_id"))
+      .orderBy("chunk")
+  }
+
+  val q35ChunkingSql: String =
+    """SELECT chunk, COUNT(*) AS n_rows,
+      |  MIN(event_id) AS first_id, MAX(event_id) AS last_id
+      |FROM (
+      |  SELECT event_id,
+      |    (row_number() OVER (ORDER BY event_id) - 1) // 100 AS chunk
+      |  FROM events)
+      |GROUP BY chunk
+      |ORDER BY chunk""".stripMargin
+
+  // ---------------------------------------------------------------- q36
+  /** K5 — UNLOAD: materialize a SQL result to parquet, read it back. */
+  def q36Unload(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    QueryEngine.registerCorpus(s, dir)
+    val out = Files.createTempDirectory("graft_q36_unload").toString + "/result"
+    QueryEngine.unload(s,
+      """SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY user_id""".stripMargin, out)
+    s.read.parquet(out).orderBy("user_id")
+  }
+
+  val q36UnloadSql: String =
+    """SELECT user_id, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   // ---------------------------------------------------------------- q32
   /** J2/A5 — the source-vs-lake equality oracle as a diff-count query:
     * compare the stream against a copy with 1% of values perturbed. */

@@ -1,0 +1,62 @@
+package graft.sql
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.oracle.CompareTables
+
+class QueryEngineSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("preview returns at most n rows with the table's schema (W4)") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    QueryEngine.registerCorpus(spark, sfDir)
+    val p = QueryEngine.preview(spark, "region", 3)
+    assert(p.count() === 3)
+    assert(p.columns.nonEmpty)
+  }
+
+  test("countRows matches df.count (A2)") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    QueryEngine.registerCorpus(spark, sfDir)
+    val n = QueryEngine.countRows(spark, "nation").head().getLong(0)
+    assert(n === spark.read.parquet(s"$sfDir/nation.parquet").count())
+  }
+
+  test("unload writes a parquet result readable with identical content (K5)") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    QueryEngine.registerCorpus(spark, sfDir)
+    val sql = "SELECT r_regionkey, r_name FROM region"
+    val out = tmpDir("unload") + "/res"
+    QueryEngine.unload(spark, sql, out)
+    val back = spark.read.parquet(out)
+    val direct = spark.sql(sql)
+    assert(back.exceptAll(direct).isEmpty && direct.exceptAll(back).isEmpty)
+  }
+
+  test("unloadCsv writes a single header'd CSV file (K6)") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    QueryEngine.registerCorpus(spark, sfDir)
+    val out = tmpDir("unload-csv") + "/res"
+    QueryEngine.unloadCsv(spark, "SELECT r_regionkey, r_name FROM region", out)
+    val files = new java.io.File(out).listFiles().map(_.getName)
+      .filter(_.endsWith(".csv"))
+    assert(files.length === 1)
+    val lines = scala.io.Source.fromFile(
+      s"$out/${files.head}").getLines().toSeq
+    assert(lines.head === "r_regionkey,r_name")
+    assert(lines.size === 1 + spark.sql("SELECT * FROM region").count())
+  }
+
+  test("file-list reconciliation detects missing and unexpected URIs (J3)") {
+    val expected = Seq("a/1.parquet", "a/2.parquet", "a/3.parquet")
+    val ok = CompareTables.reconcileFileLists(expected, expected.reverse)
+    assert(ok.isReconciled)
+    val bad = CompareTables.reconcileFileLists(expected,
+      Seq("a/1.parquet", "a/4.parquet"))
+    assert(bad.missing === Seq("a/2.parquet", "a/3.parquet"))
+    assert(bad.unexpected === Seq("a/4.parquet"))
+  }
+}
