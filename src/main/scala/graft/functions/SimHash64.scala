@@ -64,10 +64,22 @@ case class SimHash64(child: Expression)
   override def prettyName: String = "simhash64"
 }
 
-/** Session registration for the engine's custom expressions — the
-  * `SparkSessionExtensions`-style hook, callable directly. */
+/** Imperative registration for an already-running session (idempotent). */
 object GraftFunctions {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64", exprs => SimHash64(exprs.head), "built-in")
+}
+
+/** The production injection point: `SparkSessionExtensions` hook, activated
+  * with `spark.sql.extensions=graft.functions.GraftExtensions` (or
+  * `builder.withExtensions(new GraftExtensions)`). Every session built with
+  * it has the engine's custom expressions without imperative setup. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("simhash64"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[SimHash64].getName, "simhash64"),
+      (exprs: Seq[Expression]) => SimHash64(exprs.head)))
 }

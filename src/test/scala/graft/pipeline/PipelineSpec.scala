@@ -60,6 +60,16 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(oneQ.sameElements(oneQ.sorted(Ordering[Double].reverse)))
   }
 
+  test("simhash64 resolves via SparkSessionExtensions injection alone") {
+    // TestSpark builds its session withExtensions(GraftExtensions) and this
+    // test deliberately does NOT call GraftFunctions.register.
+    val out = Seq("alpha beta").toDF("text")
+      .selectExpr("simhash64(split(text, ' ')) AS h")
+      .as[Long].collect()
+    assert(out.length === 1)
+    assert(out.head !== 0L)
+  }
+
   test("simhash64: deterministic, identical texts collide, near-dups are close") {
     GraftFunctions.register(spark)
     def hashes(texts: Seq[String]) =
