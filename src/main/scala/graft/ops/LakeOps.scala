@@ -62,6 +62,25 @@ object LakeOps {
       .drop("__rn")
   }
 
+  /** Skew-safe two-phase latest-wins: when one record key dominates a batch
+    * (a hot entity at 100 TB), the single-window dedup funnels that key's
+    * rows through one task. Phase 1 dedups within (key, salt) — the salt is
+    * a deterministic hash of the ordering columns, so the per-key argmax is
+    * preserved — phase 2 resolves the ≤`saltBuckets` survivors per key.
+    * Identical result to [[latestWinsDedup]] for any total per-key order;
+    * shuffle fan-out bounded by `saltBuckets` per key. */
+  def latestWinsDedupSalted(df: DataFrame, keys: Seq[String], precombine: String,
+      tieBreakCols: Seq[String] = Nil, saltBuckets: Int = 16): DataFrame = {
+    val orderCols = (precombine +: tieBreakCols).map(col)
+    val tieBreak = tieBreakCols.map(c => col(c).desc)
+    val salted = df.withColumn("__salt",
+      pmod(xxhash64(orderCols: _*), lit(saltBuckets)))
+    latestWinsDedup(
+      latestWinsDedup(salted, keys :+ "__salt", precombine, tieBreak),
+      keys, precombine, tieBreak)
+      .drop("__salt")
+  }
+
   /** Drop the CDC operation marker column (`incremental.py:210`). */
   def dropOp(df: DataFrame): DataFrame = df.drop("Op")
 

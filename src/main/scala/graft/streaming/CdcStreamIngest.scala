@@ -49,6 +49,67 @@ object CdcStreamIngest {
     query.awaitTermination()
   }
 
+  /** §2.8 event-time windowing with a watermark: tumbling-window counts per
+    * event type. Append mode emits a window only once its end passes the
+    * watermark, and events arriving later than `watermarkDelay` behind the
+    * stream's max event time are dropped — the state store stays bounded no
+    * matter how long the stream runs (the unbounded-state guard the
+    * reference's minute-bucket consumer never needed because Lambda state
+    * died every 10 s). */
+  def windowedEventCounts(stream: DataFrame, tsCol: String,
+      windowDur: String, watermarkDelay: String): DataFrame =
+    stream.withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDur).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+
+  /** A keyed CDC record for the stateful streaming variant. */
+  final case class KeyedEvent(id: String, update_at: String, payload: String)
+
+  /** §2.8 custom keyed state — latest-wins as a stateful stream: per key,
+    * `flatMapGroupsWithState` keeps the current winner and emits a record
+    * only when a micro-batch produces a NEW winner (a change-data stream of
+    * the lake table, rather than its state). Same precombine semantics as
+    * the sink: lexicographic `update_at`, ties to the incoming row. */
+  def latestWinsStateful(events: org.apache.spark.sql.Dataset[KeyedEvent],
+      checkpointDir: String)(collect: Seq[KeyedEvent] => Unit): Unit = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val changes = events.groupByKey(_.id)
+      .flatMapGroupsWithState[KeyedEvent, KeyedEvent](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (_, it, state) =>
+        val incoming = it.maxBy(_.update_at)
+        state.getOption match {
+          case Some(cur) if cur.update_at > incoming.update_at => Iterator.empty
+          case _ => state.update(incoming); Iterator.single(incoming)
+        }
+      }
+    val q = changes.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[KeyedEvent], _: Long) =>
+        collect(b.collect().toSeq)
+      }
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Drain an append-mode streaming frame batch-by-batch into a callback
+    * (checkpoint-recoverable, unlike the memory sink — restarting against
+    * the same checkpoint continues instead of failing). */
+  def runCollect(df: DataFrame, checkpointDir: String)(
+      collect: Seq[org.apache.spark.sql.Row] => Unit): Unit = {
+    val q = df.writeStream
+      .foreachBatch { (b: DataFrame, _: Long) => collect(b.collect().toSeq) }
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** K3 — partitioned JSON-lines landing sink: bucket records by event-time
     * minute (P6, `dynamodb_stream_consumer.py:61-81`) and append one
     * JSON-lines file set per partition per micro-batch. */

@@ -55,6 +55,15 @@ class LakeOpsSpec extends AnyFunSuite with SparkSpec {
     assert(out.collect().map(_.getString(3)).toSeq === Seq("high"))
   }
 
+  test("salted dedup equals plain dedup (skew path is semantics-free)") {
+    val log = Workload.generate(seed = 71, n = 400)
+    val df = log.txns.toDF()
+    val plain = LakeOps.latestWinsDedup(df, Seq("id"), "update_at")
+    val salted = LakeOps.latestWinsDedupSalted(df, Seq("id"), "update_at")
+    assert(plain.exceptAll(salted).isEmpty && salted.exceptAll(plain).isEmpty)
+    assert(salted.columns.toSeq === df.columns.toSeq)
+  }
+
   test("dropOp and normalizeForCompare strip helper/meta/partition columns") {
     val df = Seq(("a", "2024-01-01T00:00:01.000000+0000", "U"))
       .toDF("id", "create_at", "Op")

@@ -48,6 +48,69 @@ class CdcStreamIngestSpec extends AnyFunSuite with SparkSpec {
     assert(lake.read().select("note").as[String].collect().toSeq === Seq("newer"))
   }
 
+  test("watermarked windowed counts: closed windows emit once, late data is dropped") {
+    val srcDir = tmpDir("wm-src")
+    val ckpt = tmpDir("wm-ckpt")
+    def write(rows: Seq[(String, java.sql.Timestamp)]): Unit =
+      rows.toDF("event_type", "ts").coalesce(1).write.mode("append").parquet(srcDir)
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val schema = Seq(("x", ts("2024-01-01 00:00:00"))).toDF("event_type", "ts").schema
+    def emitted(run: () => Unit): Set[(String, String, Long)] = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+      val stream = spark.readStream.schema(schema).parquet(srcDir)
+      CdcStreamIngest.runCollect(
+        CdcStreamIngest.windowedEventCounts(stream, "ts", "1 minute", "10 minutes"),
+        ckpt) { rows =>
+        buf ++= rows.map(r => (r.getTimestamp(0).toString.stripSuffix(".0"),
+          r.getString(1), r.getLong(2)))
+      }
+      val _ = run
+      buf.toSet
+    }
+    // run 1: events in the 10:00/10:01 windows plus one far ahead — the
+    // watermark (max 10:30 − 10 min = 10:20) closes and emits the early
+    // windows at the end of the run
+    write(Seq(("click", ts("2024-01-01 10:00:10")), ("click", ts("2024-01-01 10:00:50")),
+      ("view", ts("2024-01-01 10:01:20")), ("click", ts("2024-01-01 10:30:00"))))
+    val run1 = emitted(() => ())
+    assert(run1 === Set(
+      ("2024-01-01 10:00:00", "click", 2L),
+      ("2024-01-01 10:01:00", "view", 1L)))
+    // run 2 (same checkpoint): a LATE click for the already-closed 10:00
+    // window must be dropped — nothing re-emits, no count changes
+    write(Seq(("click", ts("2024-01-01 10:00:30")), ("view", ts("2024-01-01 10:31:00"))))
+    val run2 = emitted(() => ())
+    assert(run2.isEmpty)
+  }
+
+  test("stateful latest-wins stream emits only new-winner transitions") {
+    val srcDir = tmpDir("state-src")
+    val ckpt = tmpDir("state-ckpt")
+    import CdcStreamIngest.KeyedEvent
+    def stream() = {
+      val schema = Seq(KeyedEvent("x", "t", "p")).toDF().schema
+      spark.readStream.schema(schema).parquet(srcDir).as[KeyedEvent]
+    }
+    def run(): Seq[KeyedEvent] = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[KeyedEvent]
+      CdcStreamIngest.latestWinsStateful(stream(), ckpt)(buf ++= _)
+      buf.toSeq
+    }
+    // run 1: two versions of k1 in one batch -> one emission (the winner)
+    Seq(KeyedEvent("k1", "2024-01-01T00:00:01", "v1"),
+      KeyedEvent("k1", "2024-01-01T00:00:05", "v5")).toDF()
+      .write.mode("append").parquet(srcDir)
+    assert(run() === Seq(KeyedEvent("k1", "2024-01-01T00:00:05", "v5")))
+    // run 2: a STALE version arrives late -> no emission (state holds v5)
+    Seq(KeyedEvent("k1", "2024-01-01T00:00:03", "stale")).toDF()
+      .write.mode("append").parquet(srcDir)
+    assert(run().isEmpty)
+    // run 3: a genuinely newer version -> exactly one change emitted
+    Seq(KeyedEvent("k1", "2024-01-01T00:00:09", "v9")).toDF()
+      .write.mode("append").parquet(srcDir)
+    assert(run() === Seq(KeyedEvent("k1", "2024-01-01T00:00:09", "v9")))
+  }
+
   test("partitioned JSON-lines landing sink writes minute-partition dirs (K3)") {
     val srcDir = tmpDir("json-src")
     val outDir = tmpDir("json-out")
