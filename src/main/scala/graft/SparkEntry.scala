@@ -48,6 +48,7 @@ object SparkEntry {
     "q40_exact_dedup"      -> (PipelineQueries.q40ExactDedup _),
     "q41_ngram_jaccard"    -> (PipelineQueries.q41NgramJaccard _),
     "q42_minhash_lsh"      -> (PipelineQueries.q42MinhashLsh _),
+    "q43_char_jaccard"     -> (PipelineQueries.q43CharJaccard _),
     "q44_simsearch_brute"  -> (PipelineQueries.q44SimsearchBrute _),
     "q45_simsearch_ivf"    -> (PipelineQueries.q45SimsearchIvf _),
     "q46_token_stats"      -> (PipelineQueries.q46TokenStats _),
@@ -56,6 +57,7 @@ object SparkEntry {
     "q49_fingerprint"      -> (PipelineQueries.q49Fingerprint _),
     "q50_simhash"          -> (PipelineQueries.q50Simhash _),
     "q51_multimodal"       -> (PipelineQueries.q51Multimodal _),
+    "q52_centroids"        -> (PipelineQueries.q52Centroids _),
   )
 
   /** Headline queries the bench harness times (a subset of [[queries]]:
@@ -101,7 +103,9 @@ object SparkEntry {
     "q36_unload"           -> CdcQueries.q36UnloadSql,
     "q40_exact_dedup"      -> PipelineQueries.q40ExactDedupSql,
     "q41_ngram_jaccard"    -> PipelineQueries.q41NgramJaccardSql,
-    // q42/q45/q50: engine-specific hashes / approximate paths — rows-only
+    // q42/q45/q50/q52: engine-specific hashes / approximate paths /
+    // float-agg ordering — rows-only
+    "q43_char_jaccard"     -> PipelineQueries.q43CharJaccardSql,
     "q44_simsearch_brute"  -> PipelineQueries.q44SimsearchBruteSql,
     "q46_token_stats"      -> PipelineQueries.q46TokenStatsSql,
     "q47_lang_id"          -> PipelineQueries.q47LangIdSql,

@@ -44,15 +44,20 @@ object Dedup {
         explode(array_distinct(TextOps.wordShingles(col("__w"), n))).as("shingle"))
       .distinct()
 
-  /** Exact n-gram Jaccard similarity for every pair sharing ≥1 shingle,
-    * thresholded. Correct by construction; use on bounded candidate sets. */
-  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double): DataFrame = {
-    // Deliberately NOT cached: at scale the shingle set is larger than the
-    // corpus and cannot live in memory; recomputing the narrow
-    // scan→normalize→explode chain per use is the right trade (and leaked
-    // cache entries degrade every downstream query in a shared session).
-    val sh = shingleRows(df, idCol, textCol, n)
+  /** Per-document distinct CHARACTER-n-gram shingles — the shingling that
+    * works for scripts without whitespace word boundaries (zh/ja/th). */
+  def charShingleRows(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("doc"),
+        TextOps.normalized(col(textCol)).as("__t"))
+      .filter(length(col("__t")) >= n)
+      .select(col("doc"),
+        explode(array_distinct(TextOps.charShingles(col("__t"), n))).as("shingle"))
+      .distinct()
+
+  /** Exact Jaccard over any (doc, shingle) set for every pair sharing ≥1
+    * shingle, thresholded. Correct by construction; quadratic in docs per
+    * hot shingle — use on bounded candidate sets or small corpora. */
+  def jaccardPairs(sh: DataFrame, threshold: Double): DataFrame = {
     val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n_shingles"))
     val a = sh.toDF("doc_a", "shingle")
     val b = sh.toDF("doc_b", "shingle")
@@ -68,6 +73,20 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
+
+  /** Exact word-n-gram Jaccard pairs.
+    * Deliberately NOT cached: at scale the shingle set is larger than the
+    * corpus and cannot live in memory; recomputing the narrow
+    * scan→normalize→explode chain per use is the right trade (and leaked
+    * cache entries degrade every downstream query in a shared session). */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double): DataFrame =
+    jaccardPairs(shingleRows(df, idCol, textCol, n), threshold)
+
+  /** Exact character-n-gram Jaccard pairs (script-agnostic near-dup). */
+  def charNgramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double): DataFrame =
+    jaccardPairs(charShingleRows(df, idCol, textCol, n), threshold)
 
   /** MinHash signatures: for each doc, the elementwise minimum of
     * `numHashes` independent 64-bit hashes over its shingle set — as

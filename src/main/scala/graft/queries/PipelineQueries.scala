@@ -94,6 +94,46 @@ object PipelineQueries {
       bands = 16, rowsPerBand = 8, threshold = 0.9)
       .orderBy("doc_a", "doc_b")
 
+  // ---------------------------------------------------------------- q43
+  /** Exact character-5-gram Jaccard near-dup pairs — the script-agnostic
+    * shingling (no word boundaries required). */
+  def q43CharJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.charNgramJaccardPairs(docs(s, dir), "doc_id", "text", n = 5,
+      threshold = 0.8)
+      .orderBy("doc_a", "doc_b")
+
+  val q43CharJaccardSql: String =
+    s"""WITH nm AS (SELECT doc_id, $normSql AS t FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_transform(range(1, length(t) - 3),
+      |      i -> substring(t, i, 5))) AS shingle
+      |  FROM nm WHERE length(t) >= 5),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b,
+      |  CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON sa.doc_id = doc_a
+      |JOIN sizes sb ON sb.doc_id = doc_b
+      |WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------- q52
+  /** Per-label embedding centroids via the typed VectorMean Aggregator,
+    * exploded to (label, dim, value). Rows-only for the driver (float
+    * aggregation order is engine-specific); numerically verified against a
+    * per-dimension average in the suite. */
+  def q52Centroids(s: SparkSession, dir: String): DataFrame =
+    embs(s, dir)
+      .groupBy(col("label"))
+      .agg(graft.sim.VectorMean.column(col("embedding")).as("centroid"))
+      .select(col("label"), posexplode(col("centroid")).as(Seq("dim", "value")))
+      .orderBy("label", "dim")
+
   // ---------------------------------------------------------------- q44
   /** Brute-force cosine top-10 for 8 query vectors — the exact ANN
     * baseline, bit-matched against DuckDB's list arithmetic. */

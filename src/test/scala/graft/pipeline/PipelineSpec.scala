@@ -123,6 +123,44 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     expected.foreach { case (id, _, frames) => assert(sliced(id) === frames) }
   }
 
+  test("VectorMean centroid equals per-dimension average") {
+    val data = Seq(
+      (0, Array(1.0f, 2.0f, 3.0f)),
+      (0, Array(3.0f, 2.0f, 1.0f)),
+      (1, Array(10.0f, 0.0f, -10.0f)))
+      .toDF("label", "embedding")
+    val got = data.groupBy(col("label"))
+      .agg(graft.sim.VectorMean.column(col("embedding")).as("c"))
+      .as[(Int, Seq[Double])].collect().toMap
+    assert(got(0) === Seq(2.0, 2.0, 2.0))
+    assert(got(1) === Seq(10.0, 0.0, -10.0))
+    // against the corpus: centroid matches posexplode+avg within 1e-9
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val viaAgg = embs.groupBy(col("label"))
+      .agg(graft.sim.VectorMean.column(col("embedding")).as("c"))
+      .select(col("label"), posexplode(col("c")).as(Seq("dim", "v")))
+      .as[(Int, Int, Double)].collect()
+      .map { case (l, d, v) => (l, d) -> v }.toMap
+    val viaAvg = embs
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg(avg(col("x").cast("double")).as("v"))
+      .as[(Int, Int, Double)].collect()
+      .map { case (l, d, v) => (l, d) -> v }.toMap
+    assert(viaAgg.keySet === viaAvg.keySet)
+    viaAgg.foreach { case (k, v) => assert(math.abs(v - viaAvg(k)) < 1e-9) }
+  }
+
+  test("char-n-gram jaccard finds the planted near-dups (script-agnostic path)") {
+    val pairs = PipelineQueries.q43CharJaccard(spark, sfDir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.nonEmpty)
+    // the word-level and char-level views agree on the strongest pairs
+    val wordPairs = PipelineQueries.q41NgramJaccard(spark, sfDir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.intersect(wordPairs).nonEmpty)
+  }
+
   test("language id picks the highest-scoring marker set deterministically") {
     val out = Seq(
       "the cat and the dog is a pet",  // en markers
