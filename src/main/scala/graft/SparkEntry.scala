@@ -58,6 +58,9 @@ object SparkEntry {
     "q50_simhash"          -> (PipelineQueries.q50Simhash _),
     "q51_multimodal"       -> (PipelineQueries.q51Multimodal _),
     "q52_centroids"        -> (PipelineQueries.q52Centroids _),
+    "q53_embed_neardup"    -> (PipelineQueries.q53EmbedNeardup _),
+    "q54_embed_neardup_clustered" -> (PipelineQueries.q54EmbedNeardupClustered _),
+    "q55_simhash_neardup"  -> (PipelineQueries.q55SimhashNeardup _),
   )
 
   /** Headline queries the bench harness times (a subset of [[queries]]:
@@ -112,5 +115,6 @@ object SparkEntry {
     "q48_quality"          -> PipelineQueries.q48QualitySql,
     "q49_fingerprint"      -> PipelineQueries.q49FingerprintSql,
     "q51_multimodal"       -> PipelineQueries.q51MultimodalSql,
+    "q53_embed_neardup"    -> PipelineQueries.q53EmbedNeardupSql,
   )
 }

@@ -103,6 +103,39 @@ object Dedup {
         (1 until numHashes).map(i =>
           min(xxhash64(lit(i), col("shingle"))).as(s"m$i")): _*)
 
+  /** SimHash near-dup: hash every doc with the simhash64 expression, bucket
+    * by each of the four 16-bit bands (two near-identical hashes differing
+    * in ≤ maxHamming ≤ 16 bits must agree on ≥... at least one band when
+    * the differing bits cluster — the standard pigeonhole: hamming ≤ 3
+    * guarantees one of 4 bands equal), candidate pairs from same-band
+    * buckets, verified with `bit_count(xor)` ≤ maxHamming. All builtins;
+    * no pairwise stage outside the buckets. */
+  def simHashNearDup(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val hashed = df
+      .select(col(idCol).as("doc"),
+        TextOps.words(TextOps.normalized(col(textCol))).as("__w"))
+      .select(col("doc"), expr("simhash64(__w)").as("h"))
+    val banded = hashed.select(col("doc"), col("h"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("h"), b * 16).bitwiseAND(lit(0xFFFFL)).as("sig"))): _*))
+        .as("bs"))
+      .select(col("doc"), col("h"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val buckets = banded.groupBy(col("band"), col("sig"))
+      .agg(collect_set(struct(col("doc"), col("h"))).as("members"))
+      .filter(size(col("members")) > 1)
+    buckets
+      .select(explode(col("members")).as("a"), col("members"))
+      .select(col("a"), explode(col("members")).as("b"))
+      .filter(col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        bit_count(col("a.h").bitwiseXOR(col("b.h"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** MinHash + LSH banded candidate generation + exact verification.
     *
     * `numHashes = bands × rowsPerBand`. Two docs become candidates iff one

@@ -174,6 +174,43 @@ object PipelineQueries {
       .orderBy("q_id", "rank")
   }
 
+  // ---------------------------------------------------------------- q53
+  /** Exact embedding-cosine near-dup pairs (the all-pairs baseline). */
+  def q53EmbedNeardup(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosinePairsExact(embs(s, dir), "vec_id", "embedding",
+      threshold = 0.44)
+      .orderBy("id_a", "id_b")
+
+  val q53EmbedNeardupSql: String =
+    """WITH v AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+      |    sqrt(list_sum(list_transform(embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      |  FROM embeddings)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  list_sum(list_transform(range(1, len(a.e) + 1),
+      |    i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm) AS cosine
+      |FROM v a JOIN v b ON a.vec_id < b.vec_id
+      |WHERE list_sum(list_transform(range(1, len(a.e) + 1),
+      |    i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm) >= 0.44
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // ---------------------------------------------------------------- q54
+  /** Clustered embedding near-dup — the no-n² scale path (rows-only;
+    * subset-of-exact asserted in the suite). */
+  def q54EmbedNeardupClustered(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDupClustered(embs(s, dir), "vec_id", "embedding",
+      threshold = 0.44, nCentroids = 8)
+      .orderBy("id_a", "id_b")
+
+  // ---------------------------------------------------------------- q55
+  /** SimHash banded near-dup over documents (rows-only; Hamming ≤ 3 with
+    * 4 bands is exhaustive by pigeonhole). */
+  def q55SimhashNeardup(s: SparkSession, dir: String): DataFrame =
+    Dedup.simHashNearDup(docs(s, dir), "doc_id", "text", maxHamming = 3)
+      .orderBy("doc_a", "doc_b")
+
   // ---------------------------------------------------------------- q46
   /** Token statistics: char/whitespace/subword counts + mean word length. */
   def q46TokenStats(s: SparkSession, dir: String): DataFrame = {

@@ -49,6 +49,44 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("rank"), col("cosine"))
   }
 
+  /** Exact embedding-cosine near-dup pairs: every unordered pair above the
+    * threshold. O(n²) — the oracle/verifier shape; the scale path is
+    * [[cosineNearDupClustered]]. */
+  def cosinePairsExact(corpus: DataFrame, idCol: String, embCol: String,
+      threshold: Double): DataFrame = {
+    val v = corpus.select(col(idCol).as("id"), col(embCol).as("e"))
+      .withColumn("nrm", l2Norm(col("e")))
+    val a = v.select(col("id").as("id_a"), col("e").as("e_a"), col("nrm").as("n_a"))
+    val b = v.select(col("id").as("id_b"), col("e").as("e_b"), col("nrm").as("n_b"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", cosine(col("e_a"), col("e_b"), col("n_a"), col("n_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
+  /** Embedding-cosine near-dup at scale: centroid-bucket the corpus once,
+    * generate candidate pairs only WITHIN a bucket, exact-verify those.
+    * Cost O(n·C) for assignment + Σ(bucket²) for pairs — no global n²
+    * stage. Approximate: a pair split across buckets is missed (raise
+    * nProbe-style multi-assignment if that matters). */
+  def cosineNearDupClustered(corpus: DataFrame, idCol: String, embCol: String,
+      threshold: Double, nCentroids: Int): DataFrame = {
+    val centroids = corpus.orderBy(col(idCol)).limit(nCentroids)
+    val assigned = assignClusters(corpus, centroids, idCol, embCol)
+      .select(col(idCol).as("id"), col(embCol).as("e"), col("cluster"))
+      .withColumn("nrm", l2Norm(col("e")))
+    val a = assigned.select(col("cluster"), col("id").as("id_a"),
+      col("e").as("e_a"), col("nrm").as("n_a"))
+    val b = assigned.select(col("cluster"), col("id").as("id_b"),
+      col("e").as("e_b"), col("nrm").as("n_b"))
+    a.join(b, "cluster")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", cosine(col("e_a"), col("e_b"), col("n_a"), col("n_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
   /** Assign every corpus vector to its nearest centroid (IVF build step).
     * Returns corpus + `cluster` column. Centroids must be small enough to
     * broadcast — by construction they are (nCentroids rows). */

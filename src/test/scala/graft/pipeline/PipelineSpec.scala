@@ -161,6 +161,26 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(pairs.intersect(wordPairs).nonEmpty)
   }
 
+  test("clustered embedding near-dup is a sound subset of the exact pairs") {
+    val exact = PipelineQueries.q53EmbedNeardup(spark, sfDir)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val clustered = PipelineQueries.q54EmbedNeardupClustered(spark, sfDir)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    assert(clustered.subsetOf(exact))
+  }
+
+  test("simhash banded near-dup agrees with the strongest jaccard pairs") {
+    val sim = PipelineQueries.q55SimhashNeardup(spark, sfDir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val jac = PipelineQueries.q41NgramJaccard(spark, sfDir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(sim.nonEmpty)
+    // the banded Hamming path is exhaustive at ≤3 bits (pigeonhole), so any
+    // overlap gap runs the other way: strong-jaccard pairs may sit >3 bits
+    assert(sim.intersect(jac).nonEmpty)
+  }
+
   test("language id picks the highest-scoring marker set deterministically") {
     val out = Seq(
       "the cat and the dog is a pet",  // en markers
