@@ -2,10 +2,10 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 
-/** Benchmark main. Runs the headline queries on SPARK_GRAFT_SF_DIR three
-  * times — one untimed warmup pass (JVM/codegen/file-index warmup), then two
-  * timed passes, reporting the per-query MINIMUM (the host shows heavy
-  * run-to-run CPU variance; min is the standard noise-robust estimator) —
+/** Benchmark main. Runs the headline queries on SPARK_GRAFT_SF_DIR four
+  * times — one untimed warmup pass (JVM/codegen/file-index warmup), then
+  * three timed passes, reporting the per-query MINIMUM (the host shows up to
+  * 7× run-to-run CPU variance; min is the standard noise-robust estimator) —
   * and emits a single JSON line on stdout (plus `bench_out.json` in cwd for
   * robustness against log interleaving). Queries are fully materialized
   * through the `noop` datasource so column pruning cannot fake a win.
@@ -34,11 +34,10 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     names.foreach(runOne) // warmup pass
-    val t1 = names.map(n => n -> runOne(n)).toMap
-    val t2 = names.map(n => n -> runOne(n)).toMap
+    val passes = (1 to 3).map(_ => names.map(n => n -> runOne(n)).toMap)
     val results = names.map { n =>
-      val (a, b) = (t1(n), t2(n))
-      n -> (if (a < 0) b else if (b < 0) a else math.min(a, b))
+      val ts = passes.map(_(n)).filter(_ >= 0)
+      n -> (if (ts.isEmpty) -1.0 else ts.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
