@@ -42,7 +42,9 @@ object Dedup {
         TextOps.words(TextOps.normalized(col(textCol))).as("__w"))
       .select(col("doc"),
         explode(array_distinct(TextOps.wordShingles(col("__w"), n))).as("shingle"))
-      .distinct()
+    // no trailing .distinct(): array_distinct already makes (doc, shingle)
+    // unique per row, and a global distinct would re-shuffle the exploded
+    // shingle set — the largest intermediate in the pipeline — for nothing
 
   /** Per-document distinct CHARACTER-n-gram shingles — the shingling that
     * works for scripts without whitespace word boundaries (zh/ja/th). */
@@ -52,7 +54,6 @@ object Dedup {
       .filter(length(col("__t")) >= n)
       .select(col("doc"),
         explode(array_distinct(TextOps.charShingles(col("__t"), n))).as("shingle"))
-      .distinct()
 
   /** Exact Jaccard over any (doc, shingle) set for every pair sharing ≥1
     * shingle, thresholded. Correct by construction; quadratic in docs per
@@ -112,6 +113,10 @@ object Dedup {
     * no pairwise stage outside the buckets. */
   def simHashNearDup(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming=$maxHamming: 4 bands of 16 bits guarantee candidate " +
+        "generation only for Hamming distance <= 3 (pigeonhole); a larger " +
+        "threshold would silently miss qualifying pairs — add bands instead")
     graft.functions.GraftFunctions.register(df.sparkSession)
     val hashed = df
       .select(col(idCol).as("doc"),

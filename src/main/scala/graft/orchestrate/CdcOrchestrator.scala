@@ -74,8 +74,9 @@ final class CdcOrchestrator(
       Files.writeString(Paths.get(planDir, plan.filename), BatchPlan.toJson(plan))
 
       // Execute every table's batch; any failure aborts the run before the
-      // checkpoint moves.
-      todos.foreach { todo =>
+      // checkpoint moves. An empty-file todo is a pure checkpoint advance
+      // over an idle window — nothing to execute.
+      todos.filter(_.files.nonEmpty).foreach { todo =>
         execute(todo.table, spark.read.parquet(todo.files: _*))
       }
 
@@ -103,10 +104,12 @@ final class CdcOrchestrator(
     if (!Files.exists(dir)) None
     else {
       import scala.jdk.CollectionConverters._
-      Files.list(dir).iterator().asScala
+      val stream = Files.list(dir)
+      try stream.iterator().asScala
         .map(_.getFileName.toString).filter(_.endsWith(".json"))
         .toSeq.sorted.headOption
         .map(f => BatchPlan.fromJson(Files.readString(dir.resolve(f))))
+      finally stream.close()
     }
   }
 }

@@ -57,10 +57,16 @@ final class KeyedLakeTable(spark: SparkSession, val spec: LakeTableSpec) {
 
   private val partCols = LakeOps.partitionCols
 
-  /** Batch prep shared by both write modes: drop Op, derive partitions,
+  /** Batch prep shared by both write modes: reject null partition sources
+    * (a null would otherwise silently shunt rows into the Hive default
+    * partition and break the pruned merge), drop Op, derive partitions,
     * in-batch latest-wins dedup (W1 before the sink, like the reference). */
   private def prep(df: DataFrame): DataFrame = {
-    val withParts = LakeOps.derivePartitionColumns(LakeOps.dropOp(df), partitionSource)
+    val guarded = df.withColumn(partitionSource,
+      coalesce(col(partitionSource), raise_error(lit(
+        s"KeyedLakeTable($path): null $partitionSource in batch — the " +
+          "partition source column is mandatory (db_orm.py audit-column contract)"))))
+    val withParts = LakeOps.derivePartitionColumns(LakeOps.dropOp(guarded), partitionSource)
     LakeOps.latestWinsDedup(withParts, recordKeys, precombine,
       tieBreak.map(c => col(c).desc))
   }
@@ -86,14 +92,29 @@ final class KeyedLakeTable(spark: SparkSession, val spec: LakeTableSpec) {
     * latest-wins precombine, ties resolved for the incoming row
     * (`incremental.py:216-243`). */
   def upsert(df: DataFrame): Unit = {
+    if (!exists) { overwrite(df); return }
+
+    // The pruned merge is only correct if a key's partitionSource never
+    // changes (`README.rst:124`). Enforce the half that is checkable at
+    // batch cost: two versions of one key with different partition values
+    // in the SAME batch. (A cross-batch violation cannot be detected
+    // without a by-key table scan; it remains a documented contract.)
+    val violations = df
+      .groupBy(recordKeys.map(col): _*)
+      .agg(countDistinct(col(partitionSource)).as("__n"))
+      .filter(col("__n") > 1)
+      .limit(1).collect()
+    require(violations.isEmpty,
+      s"KeyedLakeTable($path): record key ${violations.headOption} has " +
+        s"multiple $partitionSource values in one batch — the partition " +
+        "source must be immutable per key")
+
     val incoming = prep(df)
 
     // Partition pruning: collect the partition tuples the batch touches
     // (bounded by batch row count; in practice a handful of minutes).
     val touched = incoming.select(partCols.map(col): _*).distinct().collect()
     if (touched.isEmpty) return
-
-    if (!exists) { overwrite(df); return }
 
     // Read only the touched partitions of the existing table. The filter
     // must reference the RAW partition columns (whatever type Spark's

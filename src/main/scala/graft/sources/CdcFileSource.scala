@@ -77,6 +77,50 @@ object CdcFileSource {
       .sortBy(_._2) // key order == chronological order (codec invariant)
       .take(maxFiles)
 
-    Todo(eligible.map(_._2), eligible.lastOption.map(_._1))
+    if (eligible.nonEmpty)
+      Todo(eligible.map(_._2), eligible.lastOption.map(_._1))
+    else if (findNextAfter(fs, root, after).exists(_.isAfter(until)))
+      // The window is genuinely empty but the stream has progressed past
+      // it: advance the checkpoint by the full interval (the reference does
+      // the same, `incremental_load_orchestration.py`: next = last +
+      // max_incremental_interval on an empty listing). Without this, any
+      // idle gap longer than maxInterval stalls the table forever. Only
+      // advancing when a LATER file exists keeps late writes into the
+      // window safe.
+      Todo(Nil, Some(until))
+    else
+      Todo(Nil, None)
+  }
+
+  /** First eligible CDC file strictly after `after`, unbounded — a
+    * directory-pruned lexicographic walk (year→month→day→hour), so the cost
+    * is O(directories on the frontier path), not O(files). Used only on the
+    * empty-window path. */
+  private def findNextAfter(fs: org.apache.hadoop.fs.FileSystem, root: Path,
+      after: LocalDateTime): Option[LocalDateTime] = {
+    val afterKey = TimeCodec.datetimeToS3Key(after)
+    def walk(dir: Path, depth: Int, prefix: String): Option[LocalDateTime] = {
+      if (!fs.exists(dir)) return None
+      val children = fs.listStatus(dir).toSeq.sortBy(_.getPath.getName)
+      if (depth == 4) {
+        children.filter(_.isFile).map(_.getPath.toString)
+          .filter(_.endsWith(".parquet"))
+          .filterNot(p => p.substring(p.lastIndexOf('/') + 1).startsWith("LOAD"))
+          .flatMap(p => scala.util.Try(TimeCodec.filenameToDatetime(p)).toOption)
+          .filter(_.isAfter(after))
+          .sorted(Ordering.fromLessThan[LocalDateTime](_ isBefore _))
+          .headOption
+      } else {
+        // keep only directories whose path prefix can still contain a key
+        // >= afterKey (zero-padded names make string compare correct)
+        val afterPrefix = afterKey.split('/').take(depth + 1).mkString("/")
+        children.filter(_.isDirectory).iterator
+          .map(c => (c.getPath, s"$prefix${if (prefix.isEmpty) "" else "/"}${c.getPath.getName}"))
+          .filter { case (_, p) => p >= afterPrefix.take(p.length) }
+          .flatMap { case (d, p) => walk(d, depth + 1, p) }
+          .take(1).toSeq.headOption
+      }
+    }
+    walk(root, 0, "")
   }
 }

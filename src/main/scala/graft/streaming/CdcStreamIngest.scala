@@ -79,7 +79,11 @@ object CdcStreamIngest {
     val changes = events.groupByKey(_.id)
       .flatMapGroupsWithState[KeyedEvent, KeyedEvent](
         OutputMode.Append, GroupStateTimeout.NoTimeout) { (_, it, state) =>
-        val incoming = it.maxBy(_.update_at)
+        // (update_at, payload) — a TOTAL order, so an equal-update_at tie
+        // within a micro-batch resolves identically on every run/replay
+        // (a bare maxBy(update_at) would keep whichever row the shuffle
+        // happened to yield first)
+        val incoming = it.maxBy(e => (e.update_at, e.payload))
         state.getOption match {
           case Some(cur) if cur.update_at > incoming.update_at => Iterator.empty
           case _ => state.update(incoming); Iterator.single(incoming)

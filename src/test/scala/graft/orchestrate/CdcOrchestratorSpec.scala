@@ -94,6 +94,47 @@ class CdcOrchestratorSpec extends AnyFunSuite with SparkSpec {
     assert(orch.runUntilCaughtUp() === 0)
   }
 
+  test("an idle gap longer than maxInterval does not stall the table") {
+    // two CDC files 100 minutes apart, maxInterval = 30 min: the planner
+    // must advance the checkpoint across the empty windows and still
+    // ingest the second file (reference behavior the round-1 port dropped)
+    val root = tmpDir("cdc-gap")
+    def writeOne(ts: String, rows: Seq[Workload.Txn]): Unit = {
+      val upper = java.time.LocalDateTime.parse(ts)
+      val target = new org.apache.hadoop.fs.Path(
+        CdcFileSource.cdcFilePath(s"$root/transactions", upper))
+      val staging = new org.apache.hadoop.fs.Path(s"$root/_stage")
+      rows.toDF().coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val part = fs.listStatus(staging).map(_.getPath)
+        .find(_.getName.endsWith(".parquet")).get
+      fs.mkdirs(target.getParent)
+      fs.rename(part, target)
+      fs.delete(staging, true)
+    }
+    val t0 = "2024-01-01T10:00:00.000000+0000"
+    writeOne("2024-01-01T10:00:01",
+      Seq(Workload.Txn("k1", "a1", t0, t0, "fuel", 1, 0, "first")))
+    val t1 = "2024-01-01T11:40:00.000000+0000"
+    writeOne("2024-01-01T11:40:01",
+      Seq(Workload.Txn("k2", "a1", t1, t1, "rent", 2, 0, "second")))
+
+    val lake = new KeyedLakeTable(spark, LakeTableSpec(
+      tmpDir("gap-lake"), recordKeys = Seq("id"), precombine = "update_at",
+      partitionSource = "create_at"))
+    val orch = new CdcOrchestrator(spark, root, tmpDir("gap-plans"),
+      s"${tmpDir("gap-state")}/tracker.json", Seq("transactions"),
+      maxFiles = 1, maxIntervalSeconds = 30 * 60,
+      execute = (_, df) => lake.upsert(df))
+    orch.seed("transactions", java.time.LocalDateTime.of(2024, 1, 1, 9, 59))
+    val runs = orch.runUntilCaughtUp()
+    assert(runs >= 3, s"expected empty-window advances, got $runs runs")
+    val ids = lake.read().select("id").as[String].collect().toSet
+    assert(ids === Set("k1", "k2"))
+    // fully caught up afterwards
+    assert(orch.runUntilCaughtUp() === 0)
+  }
+
   test("checkpoint advances only on success; failed batches replay") {
     val log = Workload.generate(seed = 37, n = 200)
     val root = tmpDir("cdc-tree-fail")

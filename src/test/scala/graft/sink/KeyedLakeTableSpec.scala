@@ -114,6 +114,34 @@ class KeyedLakeTableSpec extends AnyFunSuite with SparkSpec {
     assert(asState(table.read()) === expected.toSet)
   }
 
+  test("a null partition source fails the batch loudly instead of corrupting") {
+    val table = newTable()
+    table.overwrite(Seq(
+      Workload.Txn("k1", "a1", "2024-01-01T00:00:01.000000+0000",
+        "2024-01-01T00:00:01.000000+0000", "fuel", 1, 0, "ok")).toDF())
+    val bad = Seq(
+      Workload.Txn("k2", "a1", null, "2024-01-01T00:00:02.000000+0000",
+        "fuel", 1, 0, "null-create-at")).toDF()
+    val e = intercept[Exception](table.upsert(bad))
+    assert(e.getMessage.contains("null create_at") ||
+      Option(e.getCause).exists(_.getMessage.contains("null create_at")))
+    // table unchanged
+    assert(table.read().count() === 1)
+  }
+
+  test("two partition values for one key in a batch are rejected (invariant)") {
+    val table = newTable()
+    table.overwrite(Seq(
+      Workload.Txn("k1", "a1", "2024-01-01T00:00:01.000000+0000",
+        "2024-01-01T00:00:01.000000+0000", "fuel", 1, 0, "ok")).toDF())
+    val bad = Seq(
+      Workload.Txn("k1", "a1", "2024-02-01T00:00:01.000000+0000",
+        "2024-02-01T00:00:05.000000+0000", "fuel", 1, 0, "moved"),
+      Workload.Txn("k1", "a1", "2024-03-01T00:00:01.000000+0000",
+        "2024-03-01T00:00:06.000000+0000", "fuel", 1, 0, "moved-again")).toDF()
+    assertThrows[IllegalArgumentException](table.upsert(bad))
+  }
+
   test("upsert into an empty path behaves as bootstrap") {
     val log = Workload.generate(seed = 7, n = 100)
     val table = newTable()

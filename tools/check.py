@@ -35,19 +35,22 @@ def value_hash(df: pd.DataFrame) -> str:
     h = hashlib.md5()
     for col in df.columns:
         s = df[col]
+        # NUL separator after every value: without it, adjacent values can
+        # concatenate identically for different data ([1,111] vs [11,11])
+        # and the gate would print a false PASS.
         if pd.api.types.is_integer_dtype(s):
             s = s.astype("int64")
             h.update(b"int")
             for v in s.tolist():
-                h.update(str(v).encode())
+                h.update(str(v).encode() + b"\x00")
         elif pd.api.types.is_float_dtype(s):
             h.update(b"float")
             for v in s.tolist():
-                h.update((f"{v:.9g}").encode())
+                h.update((f"{v:.9g}").encode() + b"\x00")
         else:
             h.update(repr(s.dtype).encode())
             for v in s.tolist():
-                h.update(repr(v).encode())
+                h.update(repr(v).encode() + b"\x00")
     return h.hexdigest()
 
 
