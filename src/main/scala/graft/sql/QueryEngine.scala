@@ -37,4 +37,16 @@ object QueryEngine {
   def unloadCsv(spark: SparkSession, query: String, path: String): Unit =
     spark.sql(query).coalesce(1).write.mode("overwrite")
       .option("header", "true").csv(path)
+
+  /** Persist a table bucketed (+ sorted) on its join key. Two tables
+    * bucketed the same way join with NO shuffle on either side — the
+    * pre-partitioning technique for repeated fact⋈fact joins at scale
+    * (SURVEY §4): pay one layout shuffle at write time, join exchange-free
+    * forever after. */
+  def saveBucketed(df: org.apache.spark.sql.DataFrame, table: String,
+      bucketCol: String, nBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(table)
 }

@@ -50,6 +50,31 @@ class QueryEngineSpec extends AnyFunSuite with SparkSpec {
     assert(lines.size === 1 + spark.sql("SELECT * FROM region").count())
   }
 
+  test("bucketed tables join without a shuffle on either side") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val customer = spark.read.parquet(s"$sfDir/customer.parquet")
+    QueryEngine.saveBucketed(orders, "orders_b", "o_custkey", 8)
+    QueryEngine.saveBucketed(
+      customer.withColumnRenamed("c_custkey", "o_custkey"), "customer_b",
+      "o_custkey", 8)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("orders_b")
+        .join(spark.table("customer_b"), "o_custkey")
+      joined.collect() // force final (AQE-resolved) plan
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$plan")
+      // and it returns the same rows as the plain join
+      val plain = orders.join(
+        customer.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey")
+      assert(joined.count() === plain.count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
   test("file-list reconciliation detects missing and unexpected URIs (J3)") {
     val expected = Seq("a/1.parquet", "a/2.parquet", "a/3.parquet")
     val ok = CompareTables.reconcileFileLists(expected, expected.reverse)
