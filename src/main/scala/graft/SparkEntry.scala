@@ -45,6 +45,7 @@ object SparkEntry {
     "q34_table_counts"     -> (CdcQueries.q34TableCounts _),
     "q35_chunking"         -> (CdcQueries.q35Chunking _),
     "q36_unload"           -> (CdcQueries.q36Unload _),
+    "q37_sql_cte"          -> (CdcQueries.q37SqlCte _),
     "q40_exact_dedup"      -> (PipelineQueries.q40ExactDedup _),
     "q41_ngram_jaccard"    -> (PipelineQueries.q41NgramJaccard _),
     "q42_minhash_lsh"      -> (PipelineQueries.q42MinhashLsh _),
@@ -104,6 +105,7 @@ object SparkEntry {
     "q34_table_counts"     -> CdcQueries.q34TableCountsSql,
     "q35_chunking"         -> CdcQueries.q35ChunkingSql,
     "q36_unload"           -> CdcQueries.q36UnloadSql,
+    "q37_sql_cte"          -> CdcQueries.q37SqlCteSql,
     "q40_exact_dedup"      -> PipelineQueries.q40ExactDedupSql,
     "q41_ngram_jaccard"    -> PipelineQueries.q41NgramJaccardSql,
     // q42/q45/q50/q52: engine-specific hashes / approximate paths /

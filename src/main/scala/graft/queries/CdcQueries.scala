@@ -413,6 +413,36 @@ object CdcQueries {
       |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- q37
+  /** §2.7 depth — CTE + window + join through the SQL surface, with one
+    * SQL text valid verbatim in both engines. */
+  private val cteSql =
+    """WITH user_totals AS (
+      |  SELECT user_id,
+      |    CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+      |    COUNT(*) AS n_events
+      |  FROM events
+      |  GROUP BY user_id
+      |), ranked AS (
+      |  SELECT user_id, total_value, n_events,
+      |    row_number() OVER (ORDER BY total_value DESC, user_id) AS rnk
+      |  FROM user_totals
+      |)
+      |SELECT r.rnk, r.user_id, r.total_value, r.n_events, e.event_type
+      |FROM ranked r
+      |JOIN events e ON e.user_id = r.user_id
+      |WHERE r.rnk <= 5
+      |GROUP BY r.rnk, r.user_id, r.total_value, r.n_events, e.event_type
+      |ORDER BY r.rnk, e.event_type""".stripMargin
+
+  def q37SqlCte(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    QueryEngine.registerCorpus(s, dir)
+    QueryEngine.sql(s, cteSql)
+  }
+
+  val q37SqlCteSql: String = cteSql
+
   // ---------------------------------------------------------------- q32
   /** J2/A5 — the source-vs-lake equality oracle as a diff-count query:
     * compare the stream against a copy with 1% of values perturbed. */
