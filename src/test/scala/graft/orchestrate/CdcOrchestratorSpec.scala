@@ -169,6 +169,38 @@ class CdcOrchestratorSpec extends AnyFunSuite with SparkSpec {
     assert(got === Workload.expectedTxnState(log).toSet)
   }
 
+  test("a crash between batch commit and checkpoint save replays safely") {
+    // exactly-once across restarts (§2.8): if the process dies after the
+    // merge but before the tracker write, the batch replays on restart —
+    // and the idempotent keyed merge makes the replay a no-op.
+    val log = Workload.generate(seed = 43, n = 200)
+    val root = tmpDir("cdc-crash")
+    val cut = buildTxnTree(log, root)
+    val lake = new KeyedLakeTable(spark, LakeTableSpec(
+      tmpDir("crash-lake"), recordKeys = Seq("id"), precombine = "update_at",
+      partitionSource = "create_at"))
+    lake.overwrite(SnapshotSource.read(spark, SnapshotSource.listLoadFiles(
+      spark.sparkContext.hadoopConfiguration, s"$root/transactions")))
+    val trackerPath = s"${tmpDir("crash-state")}/tracker.json"
+    val orch = new CdcOrchestrator(spark, root, tmpDir("crash-plans"),
+      trackerPath, Seq("transactions"), maxFiles = 2,
+      maxIntervalSeconds = 24 * 3600,
+      execute = (_, df) => lake.upsert(df.drop("ts_us")))
+    orch.seed("transactions", graft.model.TimeCodec.fromMicros(cut))
+
+    assert(orch.runOnce())
+    // simulate the crash: roll the checkpoint back to before that batch
+    val state = Tracker.load(trackerPath)
+    Tracker.save(trackerPath, state.copy(seq = state.seq - 1,
+      tables = Seq(graft.model.TableTrackerState("transactions",
+        graft.model.TimeCodec.fromMicros(cut).format(Tracker.fmt)))))
+    // restart: the same batch replays, then the rest of the backlog drains
+    orch.runUntilCaughtUp()
+    val got = LakeOps.normalizeForCompare(lake.read())
+      .as[Workload.Txn].collect().toSet
+    assert(got === Workload.expectedTxnState(log).toSet)
+  }
+
   test("single-flight: a reentrant run is refused") {
     val root = tmpDir("cdc-tree-sf")
     val log = Workload.generate(seed = 41, n = 80)
