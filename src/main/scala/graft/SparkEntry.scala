@@ -62,6 +62,7 @@ object SparkEntry {
     "q53_embed_neardup"    -> (PipelineQueries.q53EmbedNeardup _),
     "q54_embed_neardup_clustered" -> (PipelineQueries.q54EmbedNeardupClustered _),
     "q55_simhash_neardup"  -> (PipelineQueries.q55SimhashNeardup _),
+    "q56_dedup_corpus"     -> (PipelineQueries.q56DedupCorpus _),
   )
 
   /** Headline queries the bench harness times (a subset of [[queries]]:
@@ -118,5 +119,6 @@ object SparkEntry {
     "q49_fingerprint"      -> PipelineQueries.q49FingerprintSql,
     "q51_multimodal"       -> PipelineQueries.q51MultimodalSql,
     "q53_embed_neardup"    -> PipelineQueries.q53EmbedNeardupSql,
+    "q56_dedup_corpus"     -> PipelineQueries.q56DedupCorpusSql,
   )
 }

@@ -104,6 +104,19 @@ object Dedup {
         (1 until numHashes).map(i =>
           min(xxhash64(lit(i), col("shingle"))).as(s"m$i")): _*)
 
+  /** The user-facing dedup END state: the corpus with near-duplicates
+    * removed. Policy: for every similar pair, the larger id is dropped
+    * (greedy pairwise, deterministic, one anti-join) — the standard cheap
+    * canonicalization when clusters are small. For giant duplicate
+    * clusters, swap the pair policy for iterative min-label propagation;
+    * the surrounding pipeline (pairs → drop-set → anti-join) is unchanged.
+    */
+  def dedupCorpus(df: DataFrame, idCol: String,
+      pairs: DataFrame): DataFrame = {
+    val dropSet = pairs.select(col("doc_b").as(idCol)).distinct()
+    df.join(dropSet, Seq(idCol), "left_anti")
+  }
+
   /** SimHash near-dup: hash every doc with the simhash64 expression, bucket
     * by each of the four 16-bit bands (two near-identical hashes differing
     * in ≤ maxHamming ≤ 16 bits must agree on ≥... at least one band when

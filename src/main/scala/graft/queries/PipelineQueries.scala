@@ -134,6 +134,41 @@ object PipelineQueries {
       .select(col("label"), posexplode(col("centroid")).as(Seq("dim", "value")))
       .orderBy("label", "dim")
 
+  // ---------------------------------------------------------------- q56
+  /** End-to-end dedup: the corpus minus near-duplicates — LSH pairs feed
+    * the drop policy, exact-Jaccard oracle feeds the same policy in SQL
+    * (valid because the suite proves LSH pairs == exact pairs here). */
+  def q56DedupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val pairs = Dedup.minHashLsh(d, "doc_id", "text", n = 2,
+      bands = 16, rowsPerBand = 8, threshold = 0.9)
+    Dedup.dedupCorpus(d, "doc_id", pairs)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  val q56DedupCorpusSql: String =
+    s"""WITH w AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(ws)),
+      |    i -> ws[i] || ' ' || ws[i+1])) AS shingle
+      |  FROM w),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT doc_a, doc_b
+      |  FROM inter
+      |  JOIN sizes sa ON sa.doc_id = doc_a
+      |  JOIN sizes sb ON sb.doc_id = doc_b
+      |  WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.9)
+      |SELECT doc_id, lang, source, n_chars
+      |FROM documents
+      |WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
+      |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q44
   /** Brute-force cosine top-10 for 8 query vectors — the exact ANN
     * baseline, bit-matched against DuckDB's list arithmetic. */
