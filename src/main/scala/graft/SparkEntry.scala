@@ -28,6 +28,10 @@ object SparkEntry {
     "q11_anti_join"    -> (RelationalQueries.q11AntiJoin _),
     "q12_case_agg"     -> (RelationalQueries.q12CaseAgg _),
     "q13_rollup"       -> (RelationalQueries.q13Rollup _),
+    "q14_cube"         -> (RelationalQueries.q14Cube _),
+    "q15_correlated"   -> (RelationalQueries.q15CorrelatedSubquery _),
+    "q18_full_outer"   -> (RelationalQueries.q18FullOuter _),
+    "q19_approx_distinct" -> (RelationalQueries.q19ApproxDistinct _),
     "q20_cdc_merge"    -> (CdcQueries.q20CdcMerge _),
     "q21_latest_wins"  -> (CdcQueries.q21LatestWins _),
     "q22_partition_derive" -> (CdcQueries.q22PartitionDerive _),
@@ -46,6 +50,7 @@ object SparkEntry {
     "q35_chunking"         -> (CdcQueries.q35Chunking _),
     "q36_unload"           -> (CdcQueries.q36Unload _),
     "q37_sql_cte"          -> (CdcQueries.q37SqlCte _),
+    "q38_sessionize"       -> (CdcQueries.q38Sessionize _),
     "q40_exact_dedup"      -> (PipelineQueries.q40ExactDedup _),
     "q41_ngram_jaccard"    -> (PipelineQueries.q41NgramJaccard _),
     "q42_minhash_lsh"      -> (PipelineQueries.q42MinhashLsh _),
@@ -89,6 +94,10 @@ object SparkEntry {
     "q11_anti_join"    -> RelationalQueries.q11AntiJoinSql,
     "q12_case_agg"     -> RelationalQueries.q12CaseAggSql,
     "q13_rollup"       -> RelationalQueries.q13RollupSql,
+    "q14_cube"         -> RelationalQueries.q14CubeSql,
+    "q15_correlated"   -> RelationalQueries.q15CorrelatedSubquerySql,
+    "q18_full_outer"   -> RelationalQueries.q18FullOuterSql,
+    // q19: sketch bits are engine-specific — rows-only
     "q20_cdc_merge"    -> CdcQueries.q20CdcMergeSql,
     "q21_latest_wins"  -> CdcQueries.q21LatestWinsSql,
     "q22_partition_derive" -> CdcQueries.q22PartitionDeriveSql,
@@ -107,6 +116,7 @@ object SparkEntry {
     "q35_chunking"         -> CdcQueries.q35ChunkingSql,
     "q36_unload"           -> CdcQueries.q36UnloadSql,
     "q37_sql_cte"          -> CdcQueries.q37SqlCteSql,
+    "q38_sessionize"       -> CdcQueries.q38SessionizeSql,
     "q40_exact_dedup"      -> PipelineQueries.q40ExactDedupSql,
     "q41_ngram_jaccard"    -> PipelineQueries.q41NgramJaccardSql,
     // q42/q45/q50/q52: engine-specific hashes / approximate paths /

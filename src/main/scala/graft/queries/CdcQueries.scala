@@ -413,6 +413,48 @@ object CdcQueries {
       |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- q38
+  /** Gap-based sessionization over the event stream: a new session starts
+    * after a >30-minute silence per user (lag + running sum — the classic
+    * two-window shape; one shuffle on the user key, both windows share it). */
+  def q38Sessionize(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gapUs = 30L * 60 * 1000000
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val withStart = events(s, dir)
+      .withColumn("prev_ts", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull || col("ts_us") - col("prev_ts") > gapUs, 1)
+          .otherwise(0))
+    val withId = withStart.withColumn("session_id",
+      sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    withId.groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("ts_us")) - min(col("ts_us"))).as("duration_us"))
+      .orderBy("user_id", "session_id")
+  }
+
+  val q38SessionizeSql: String =
+    """WITH marked AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+      |), ids AS (
+      |  SELECT user_id, ts_us,
+      |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM marked
+      |)
+      |SELECT user_id, session_id, COUNT(*) AS n_events,
+      |  MAX(ts_us) - MIN(ts_us) AS duration_us
+      |FROM ids
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
   // ---------------------------------------------------------------- q37
   /** §2.7 depth — CTE + window + join through the SQL surface, with one
     * SQL text valid verbatim in both engines. */

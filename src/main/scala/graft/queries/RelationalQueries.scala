@@ -242,6 +242,73 @@ object RelationalQueries {
       |GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
 
+  /** CUBE grouping sets (all four grouping combinations in one pass). */
+  def q14Cube(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    li.cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast(dec12_2)).cast("double").as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+
+  val q14CubeSql: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  /** Correlated scalar subquery (Catalyst decorrelates it into a join):
+    * items strictly below their part's maximum quantity. MAX keeps the
+    * threshold exact, so the row set is engine-independent. */
+  def q15CorrelatedSubquery(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.Tables.registerAll(s, dir)
+    s.sql(q15CorrelatedSubquerySql)
+  }
+
+  val q15CorrelatedSubquerySql: String =
+    """SELECT l_partkey, COUNT(*) AS n_below_max,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS below_max_value
+      |FROM lineitem l1
+      |WHERE l_quantity < (
+      |  SELECT MAX(l_quantity) FROM lineitem l2
+      |  WHERE l2.l_partkey = l1.l_partkey)
+      |GROUP BY l_partkey
+      |HAVING COUNT(*) >= 5
+      |ORDER BY l_partkey""".stripMargin
+
+  /** Full outer join with per-side presence accounting. */
+  def q18FullOuter(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer").select(col("c_custkey"))
+    val ord = t(s, dir, "orders").select(col("o_custkey")).distinct()
+    cust.join(ord, cust("c_custkey") === ord("o_custkey"), "full_outer")
+      .agg(
+        sum(when(col("c_custkey").isNotNull && col("o_custkey").isNotNull, 1)
+          .otherwise(0)).cast("bigint").as("n_both"),
+        sum(when(col("o_custkey").isNull, 1).otherwise(0)).cast("bigint").as("n_customer_only"),
+        sum(when(col("c_custkey").isNull, 1).otherwise(0)).cast("bigint").as("n_orders_only"))
+  }
+
+  val q18FullOuterSql: String =
+    """SELECT
+      |  CAST(COUNT(*) FILTER (WHERE c_custkey IS NOT NULL AND o_custkey IS NOT NULL) AS BIGINT) AS n_both,
+      |  CAST(COUNT(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT) AS n_customer_only,
+      |  CAST(COUNT(*) FILTER (WHERE c_custkey IS NULL) AS BIGINT) AS n_orders_only
+      |FROM customer
+      |FULL OUTER JOIN (SELECT DISTINCT o_custkey FROM orders) o
+      |  ON c_custkey = o_custkey""".stripMargin
+
+  /** HLL sketch (approx_count_distinct) — the approximate path for
+    * cardinality at scale. No oracle (sketch bits are engine-specific);
+    * the suite bounds its error against the exact count. */
+  def q19ApproxDistinct(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders")
+    ord.groupBy(col("o_orderpriority"))
+      .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_customers"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Conditional aggregation with CASE expressions (TPC-H Q12 shape). */
   def q12CaseAgg(s: SparkSession, dir: String): DataFrame = {
     val ord = t(s, dir, "orders")

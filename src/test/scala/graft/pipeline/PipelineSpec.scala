@@ -181,6 +181,20 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(sim.intersect(jac).nonEmpty)
   }
 
+  test("approx_count_distinct stays within its error bound of the exact count") {
+    val approx = graft.queries.RelationalQueries.q19ApproxDistinct(spark, sfDir)
+      .as[(String, Long)].collect().toMap
+    val exact = spark.read.parquet(s"$sfDir/orders.parquet")
+      .groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (k, n) =>
+      val err = math.abs(approx(k) - n).toDouble / n
+      assert(err <= 0.1, s"priority $k: approx ${approx(k)} vs exact $n")
+    }
+  }
+
   test("language id picks the highest-scoring marker set deterministically") {
     val out = Seq(
       "the cat and the dog is a pet",  // en markers
