@@ -32,6 +32,12 @@ object Dedup {
   /** Per-document distinct word-n-gram shingle sets, exploded to
     * (id, shingle) rows — the shared substrate of the Jaccard paths.
     *
+    * PRECONDITION (all Jaccard/LSH entry points): `idCol` values must be
+    * unique — duplicate id rows would double-count intersections and
+    * produce Jaccard values above 1. Deduplicate (e.g. [[exactGroups]] /
+    * `dropDuplicates(idCol)`) before similarity analysis; the pipeline
+    * deliberately does not pay a global shuffle to re-check it here.
+    *
     * The words array is materialized as its own projection BEFORE the
     * shingling transform: Catalyst does not common-subexpression-eliminate
     * into lambda bodies, so `element_at(split(regex(text)), i)` inside

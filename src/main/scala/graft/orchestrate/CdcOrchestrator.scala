@@ -48,8 +48,9 @@ final class CdcOrchestrator(
       Tracker.save(trackerPath, state.advanced(table, at.format(Tracker.fmt)))
   }
 
-  /** Plan and execute one batch. Returns true if any files were processed,
-    * false when fully caught up. Throws (without advancing) on failure. */
+  /** Plan and execute one batch. Returns true if the checkpoint advanced —
+    * either files were processed or an idle window was crossed — and false
+    * when fully caught up. Throws (without advancing) on failure. */
   def runOnce(): Boolean = {
     if (!inFlight.compareAndSet(false, true))
       throw new IllegalStateException(

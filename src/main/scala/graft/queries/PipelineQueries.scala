@@ -65,8 +65,10 @@ object PipelineQueries {
       threshold = 0.9)
       .orderBy("doc_a", "doc_b")
 
-  val q41NgramJaccardSql: String =
-    s"""WITH w AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+  /** Shared word-bigram shingle/size/intersection CTE block — one source
+    * of truth for every bigram-Jaccard oracle (q41, q56). */
+  private val jaccardCtesSql: String =
+    s"""w AS (SELECT doc_id, $wordsSql AS ws FROM documents),
       |sh AS (
       |  SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(ws)),
       |    i -> ws[i] || ' ' || ws[i+1])) AS shingle
@@ -75,7 +77,10 @@ object PipelineQueries {
       |inter AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2)
+      |  GROUP BY 1, 2)""".stripMargin
+
+  val q41NgramJaccardSql: String =
+    s"""WITH $jaccardCtesSql
       |SELECT doc_a, doc_b,
       |  CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
       |FROM inter
@@ -148,16 +153,7 @@ object PipelineQueries {
   }
 
   val q56DedupCorpusSql: String =
-    s"""WITH w AS (SELECT doc_id, $wordsSql AS ws FROM documents),
-      |sh AS (
-      |  SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(ws)),
-      |    i -> ws[i] || ' ' || ws[i+1])) AS shingle
-      |  FROM w),
-      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-      |inter AS (
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
-      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2),
+    s"""WITH $jaccardCtesSql,
       |pairs AS (
       |  SELECT doc_a, doc_b
       |  FROM inter

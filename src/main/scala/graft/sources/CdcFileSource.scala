@@ -79,17 +79,23 @@ object CdcFileSource {
 
     if (eligible.nonEmpty)
       Todo(eligible.map(_._2), eligible.lastOption.map(_._1))
-    else if (findNextAfter(fs, root, after).exists(_.isAfter(until)))
-      // The window is genuinely empty but the stream has progressed past
-      // it: advance the checkpoint by the full interval (the reference does
-      // the same, `incremental_load_orchestration.py`: next = last +
-      // max_incremental_interval on an empty listing). Without this, any
-      // idle gap longer than maxInterval stalls the table forever. Only
-      // advancing when a LATER file exists keeps late writes into the
-      // window safe.
-      Todo(Nil, Some(until))
-    else
-      Todo(Nil, None)
+    else findNextAfter(fs, root, after) match {
+      case Some(next) if next.isAfter(until) =>
+        // The window is genuinely empty but the stream has progressed past
+        // it: advance the checkpoint (the reference advances by
+        // max_incremental_interval on an empty listing). Without this, any
+        // idle gap longer than maxInterval stalls the table forever; only
+        // advancing when a LATER file exists keeps late writes safe. Since
+        // the next file's time is already known, cross the whole gap in ONE
+        // interval-aligned step — k intervals with the next file inside
+        // (checkpoint, checkpoint+maxInterval] — instead of one empty
+        // planner run (plan file, tracker write, directory walk) per
+        // interval of idle time.
+        val gapSeconds = java.time.Duration.between(after, next).getSeconds
+        val k = math.max(1L, (gapSeconds - 1) / maxIntervalSeconds)
+        Todo(Nil, Some(after.plusSeconds(k * maxIntervalSeconds)))
+      case _ => Todo(Nil, None)
+    }
   }
 
   /** First eligible CDC file strictly after `after`, unbounded — a

@@ -79,15 +79,17 @@ object CdcStreamIngest {
     val changes = events.groupByKey(_.id)
       .flatMapGroupsWithState[KeyedEvent, KeyedEvent](
         OutputMode.Append, GroupStateTimeout.NoTimeout) { (_, it, state) =>
-        // (update_at, payload) — a TOTAL order, so an equal-update_at tie
-        // within a micro-batch resolves identically on every run/replay
-        // (a bare maxBy(update_at) would keep whichever row the shuffle
-        // happened to yield first)
+        // (update_at, payload) is a TOTAL order applied both within the
+        // micro-batch AND against the stored state, so the final winner is
+        // independent of how the stream was micro-batched — a deliberate
+        // divergence from the sink's incoming-wins tie rule, which has no
+        // meaning under re-batching (deterministic > arrival-order here).
         val incoming = it.maxBy(e => (e.update_at, e.payload))
-        state.getOption match {
-          case Some(cur) if cur.update_at > incoming.update_at => Iterator.empty
-          case _ => state.update(incoming); Iterator.single(incoming)
-        }
+        val newer = state.getOption.forall(cur =>
+          Ordering[(String, String)].lt(
+            (cur.update_at, cur.payload), (incoming.update_at, incoming.payload)))
+        if (newer) { state.update(incoming); Iterator.single(incoming) }
+        else Iterator.empty
       }
     val q = changes.writeStream
       .foreachBatch { (b: org.apache.spark.sql.Dataset[KeyedEvent], _: Long) =>

@@ -142,6 +142,19 @@ class KeyedLakeTableSpec extends AnyFunSuite with SparkSpec {
     assertThrows[IllegalArgumentException](table.upsert(bad))
   }
 
+  test("an empty first batch is a no-op, not a poisoned table path") {
+    val table = newTable()
+    table.upsert(Seq.empty[Workload.Txn].toDF())
+    assert(!table.exists)
+    // the table still bootstraps fine afterwards
+    val log = Workload.generate(seed = 91, n = 50)
+    table.upsert(log.txns.toDF())
+    assert(asState(table.read()) === Workload.expectedTxnState(log).toSet)
+    // and an empty later batch changes nothing
+    table.upsert(Seq.empty[Workload.Txn].toDF())
+    assert(asState(table.read()) === Workload.expectedTxnState(log).toSet)
+  }
+
   test("upsert into an empty path behaves as bootstrap") {
     val log = Workload.generate(seed = 7, n = 100)
     val table = newTable()
