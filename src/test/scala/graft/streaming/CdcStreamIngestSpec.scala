@@ -111,6 +111,28 @@ class CdcStreamIngestSpec extends AnyFunSuite with SparkSpec {
     assert(run() === Seq(KeyedEvent("k1", "2024-01-01T00:00:09", "v9")))
   }
 
+  test("streaming dedup: duplicate event ids within the watermark are dropped") {
+    // the at-least-once-source guard: an extractor that re-delivers a CDC
+    // record must not double-apply it downstream
+    val srcDir = tmpDir("dd-src")
+    val ckpt = tmpDir("dd-ckpt")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    Seq(("e1", ts("2024-01-01 10:00:00"), 1.0), ("e2", ts("2024-01-01 10:00:30"), 2.0),
+      ("e1", ts("2024-01-01 10:00:00"), 1.0)) // re-delivered duplicate
+      .toDF("id", "event_ts", "value")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val schema = Seq(("x", ts("2024-01-01 00:00:00"), 0.0))
+      .toDF("id", "event_ts", "value").schema
+    val got = scala.collection.mutable.ArrayBuffer.empty[String]
+    val stream = spark.readStream.schema(schema).parquet(srcDir)
+      .withWatermark("event_ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("id")
+    CdcStreamIngest.runCollect(stream, ckpt) { rows =>
+      got ++= rows.map(_.getString(0))
+    }
+    assert(got.sorted === Seq("e1", "e2"))
+  }
+
   test("partitioned JSON-lines landing sink writes minute-partition dirs (K3)") {
     val srcDir = tmpDir("json-src")
     val outDir = tmpDir("json-out")
