@@ -144,9 +144,15 @@ final class KeyedLakeTable(spark: SparkSession, val spec: LakeTableSpec) {
     }.reduce(_ || _)
     val existing = normalizeParts(raw.filter(partFilter))
 
-    // Union with a source-priority column: on equal precombine values the
-    // incoming row must win (Hudi precombine tie behavior).
-    val srcTie = col("__src").desc +: tieBreak.map(c => col(c).desc)
+    // Union with a source-priority column. With no configured tieBreak,
+    // equal precombine values resolve for the incoming row (Hudi precombine
+    // tie behavior). With a tieBreak, the tieBreak is the total order — it
+    // must rank ABOVE __src, or equal-precombine versions of a key split
+    // across batches would resolve by arrival order and the merge result
+    // would depend on batching (ADVICE r2: batch-split invariance).
+    val srcTie =
+      if (tieBreak.isEmpty) Seq(col("__src").desc)
+      else tieBreak.map(c => col(c).desc) :+ col("__src").desc
     val cols = incoming.columns.filterNot(_ == "__src")
     val merged = LakeOps.latestWinsDedup(
       existing.withColumn("__src", lit(0)).select((cols :+ "__src").map(col): _*)

@@ -85,6 +85,23 @@ class KeyedLakeTableSpec extends AnyFunSuite with SparkSpec {
     assert(note === Seq("incoming"))
   }
 
+  test("a configured tieBreak is a total order across batches, not arrival order") {
+    // ADVICE r2: equal-precombine versions of one key split across batches
+    // must resolve by the tieBreak column regardless of which batch arrived
+    // first — otherwise batch-split invariance fails exactly when the
+    // tieBreak exists to prevent it.
+    val t0 = "2024-01-01T00:00:01.000000+0000"
+    val hi = Workload.Txn("k1", "a1", t0, t0, "fuel", 99, 0, "tiebreak-high")
+    val lo = Workload.Txn("k1", "a1", t0, t0, "fuel", 1, 0, "tiebreak-low")
+    val notes = Seq(Seq(hi, lo), Seq(lo, hi)).map { case Seq(first, second) =>
+      val table = newTable(tieBreak = Seq("amount"))
+      table.overwrite(Seq(first).toDF())
+      table.upsert(Seq(second).toDF())
+      table.read().select("note").as[String].collect().toSeq
+    }
+    assert(notes === Seq(Seq("tiebreak-high"), Seq("tiebreak-high")))
+  }
+
   test("upsert rewrites only the touched partitions") {
     val log = Workload.generate(seed = 5, n = 300)
     val table = newTable()
