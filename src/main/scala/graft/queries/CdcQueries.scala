@@ -360,9 +360,10 @@ object CdcQueries {
   def q34TableCounts(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     Tables.names.map { t =>
-      Tables.load(s, dir, t).select(lit(t).as("table_name"),
-        lit(1).as("one")).groupBy(col("table_name"))
-        .agg(count(lit(1)).as("n_rows"))
+      // constant aggregate, NOT groupBy on a literal: an empty table must
+      // still yield one row with n_rows=0, like the oracle's COUNT(*)
+      Tables.load(s, dir, t).agg(count(lit(1)).as("n_rows"))
+        .select(lit(t).as("table_name"), col("n_rows"))
     }.reduce(_ unionByName _).orderBy("table_name")
   }
 
@@ -374,16 +375,32 @@ object CdcQueries {
   /** A4/W5 — fixed-size chunking: deterministic 100-row batches over a
     * total order (the coordinator's grouper_list fan-out,
     * `…post_processor_coordinator.py:22-41`). */
-  def q35Chunking(s: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("event_id"))
-    events(s, dir)
-      .withColumn("chunk",
-        ((row_number().over(w) - 1) / lit(100)).cast("long"))
-      .groupBy(col("chunk"))
+  def q35Chunking(s: SparkSession, dir: String): DataFrame =
+    chunkStats(chunked(events(s, dir), "event_id", 100))
+
+  /** Scalable global row numbering: range-repartition on the order key (so
+    * partition i's keys all precede partition i+1's), sort within
+    * partitions, then `zipWithIndex` — which runs one lightweight per-
+    * partition count job and assigns offsets with NO single-task global
+    * window (the r2 plan had `Window.orderBy` with no partitionBy: the
+    * whole corpus through one core at scale). */
+  def chunked(df: DataFrame, orderCol: String, chunkRows: Int): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val sorted = df.select(col(orderCol))
+      .repartitionByRange(col(orderCol))
+      .sortWithinPartitions(orderCol)
+    sorted.as[Long].rdd.zipWithIndex()
+      .toDF(orderCol, "__rn")
+      .withColumn("chunk", (col("__rn") / lit(chunkRows)).cast("long"))
+      .drop("__rn")
+  }
+
+  private def chunkStats(df: DataFrame): DataFrame =
+    df.groupBy(col("chunk"))
       .agg(count(lit(1)).as("n_rows"),
         min(col("event_id")).as("first_id"), max(col("event_id")).as("last_id"))
       .orderBy("chunk")
-  }
 
   val q35ChunkingSql: String =
     """SELECT chunk, COUNT(*) AS n_rows,
