@@ -21,6 +21,8 @@ import graft.text.TextOps
   */
 object Dedup {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Exact duplicate groups: canonical id + member count per fingerprint.
     * One hash-shuffle; partial aggregation makes the map side emit one row
     * per (partition, fingerprint). */
@@ -28,6 +30,62 @@ object Dedup {
     df.select(col(idCol), TextOps.fingerprint(col(textCol)).as("fingerprint"))
       .groupBy(col("fingerprint"))
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("canonical_id"))
+
+  /** Exact-duplicate collapse feeding the banded near-dup paths: a
+    * (doc, rep) mapping where `rep` is the smallest doc id sharing the
+    * doc's content fingerprint (same md5-of-normalized key as
+    * [[exactGroups]]).
+    *
+    * Why this exists (the r2 hot-bucket fix): identical documents share
+    * EVERY band signature, so a cluster of k exact duplicates — the normal
+    * case in web-scale corpora (boilerplate, mirrored pages) — would put k
+    * members into the same bucket in all b bands, making the candidate
+    * stage O(b·k²). Banding one canonical per fingerprint makes the banded
+    * stages O(distinct contents) regardless of duplication; member-level
+    * results are reconstructed from this mapping afterwards.
+    *
+    * Docs whose normalized text is EMPTY are dropped here: they carry no
+    * shingles and a degenerate hash, so they can never be a meaningful
+    * near-dup — only a single giant bucket (ADVICE r2). */
+  private[graft] def canonicalMapping(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val fp = df
+      .select(col(idCol).as("doc"), TextOps.normalized(col(textCol)).as("__t"))
+      .filter(length(col("__t")) > 0)
+      .select(col("doc"), md5(col("__t").cast("binary")).as("__fp"))
+    val canon = fp.groupBy(col("__fp")).agg(min(col("doc")).as("rep"))
+    fp.join(canon, "__fp").select(col("doc"), col("rep"))
+  }
+
+  /** Candidate pairs from same-(band, sig) buckets as a capped SELF-JOIN —
+    * never `collect_set`: a bucket must not live in one aggregation buffer
+    * (the r2 OOM vector). Buckets larger than `maxBucket` are dropped with
+    * a loud log line — after exact-duplicate collapse such a bucket means
+    * `maxBucket` DISTINCT contents collide on one band signature, which is
+    * a recall-vs-survival trade the operator must not make silently. */
+  private[graft] def bucketPairs(bandSigs: DataFrame, maxBucket: Int,
+      tag: String): DataFrame = {
+    val bucketCounts = bandSigs.groupBy(col("band"), col("sig"))
+      .agg(count(lit(1)).as("__n"))
+    val over = bucketCounts.filter(col("__n") > maxBucket)
+      .agg(count(lit(1)).as("buckets"),
+        coalesce(max(col("__n")), lit(0L)).as("largest"))
+      .head()
+    if (over.getLong(0) > 0)
+      log.warn(s"$tag: dropping ${over.getLong(0)} bucket(s) larger than " +
+        s"$maxBucket docs (largest=${over.getLong(1)}); near-dup recall for " +
+        "their members is reduced — raise maxBucket or pre-filter boilerplate")
+    val ok = bucketCounts
+      .filter(col("__n") > 1 && col("__n") <= maxBucket)
+      .select(col("band"), col("sig"))
+    val pruned = bandSigs.join(ok, Seq("band", "sig"))
+    pruned.select(col("band"), col("sig"), col("doc").as("doc_a"))
+      .join(pruned.select(col("band"), col("sig"), col("doc").as("doc_b")),
+        Seq("band", "sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+  }
 
   /** Per-document distinct word-n-gram shingle sets, exploded to
     * (id, shingle) rows — the shared substrate of the Jaccard paths.
@@ -124,40 +182,62 @@ object Dedup {
   }
 
   /** SimHash near-dup: hash every doc with the simhash64 expression, bucket
-    * by each of the four 16-bit bands (two near-identical hashes differing
-    * in ≤ maxHamming ≤ 16 bits must agree on ≥... at least one band when
-    * the differing bits cluster — the standard pigeonhole: hamming ≤ 3
-    * guarantees one of 4 bands equal), candidate pairs from same-band
-    * buckets, verified with `bit_count(xor)` ≤ maxHamming. All builtins;
-    * no pairwise stage outside the buckets. */
+    * by each of the four 16-bit bands (the standard pigeonhole: hamming ≤ 3
+    * guarantees at least one of 4 bands equal), candidate pairs from
+    * same-band buckets, verified with `bit_count(xor)` ≤ maxHamming.
+    *
+    * Scale shape (r2 fixes): exact duplicates are collapsed to one
+    * canonical per fingerprint BEFORE hashing (identical docs share every
+    * band — see [[canonicalMapping]]), buckets are capped self-joins (no
+    * per-bucket aggregation buffer), and empty-normalized docs are dropped
+    * rather than all landing in one degenerate bucket. Member-level pairs
+    * are reconstructed afterwards: identical docs are Hamming-0 near-dups
+    * of each other and inherit their canonical's matches. */
   def simHashNearDup(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int): DataFrame = {
+      maxHamming: Int, maxBucket: Int = 10000): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"maxHamming=$maxHamming: 4 bands of 16 bits guarantee candidate " +
         "generation only for Hamming distance <= 3 (pigeonhole); a larger " +
         "threshold would silently miss qualifying pairs — add bands instead")
     graft.functions.GraftFunctions.register(df.sparkSession)
-    val hashed = df
-      .select(col(idCol).as("doc"),
-        TextOps.words(TextOps.normalized(col(textCol))).as("__w"))
-      .select(col("doc"), expr("simhash64(__w)").as("h"))
-    val banded = hashed.select(col("doc"), col("h"),
-      explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band"),
-          shiftright(col("h"), b * 16).bitwiseAND(lit(0xFFFFL)).as("sig"))): _*))
-        .as("bs"))
-      .select(col("doc"), col("h"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-    val buckets = banded.groupBy(col("band"), col("sig"))
-      .agg(collect_set(struct(col("doc"), col("h"))).as("members"))
-      .filter(size(col("members")) > 1)
-    buckets
-      .select(explode(col("members")).as("a"), col("members"))
-      .select(col("a"), explode(col("members")).as("b"))
-      .filter(col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
-        bit_count(col("a.h").bitwiseXOR(col("b.h"))).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
+    val mapping = canonicalMapping(df, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val repIds = mapping.filter(col("doc") === col("rep"))
+        .select(col("doc").as(idCol))
+      val hashed = df.join(repIds, Seq(idCol), "left_semi")
+        .select(col(idCol).as("doc"),
+          TextOps.words(TextOps.normalized(col(textCol))).as("__w"))
+        .select(col("doc"), expr("simhash64(__w)").as("h"))
+      val banded = hashed.select(col("doc"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("h"), b * 16).bitwiseAND(lit(0xFFFFL)).as("sig"))): _*))
+          .as("bs"))
+        .select(col("doc"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      val repPairs = bucketPairs(banded, maxBucket, "simHashNearDup")
+        .join(hashed.select(col("doc").as("doc_a"), col("h").as("h_a")), "doc_a")
+        .join(hashed.select(col("doc").as("doc_b"), col("h").as("h_b")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          bit_count(col("h_a").bitwiseXOR(col("h_b"))).as("hamming"))
+        .filter(col("hamming") <= maxHamming)
+
+      // checkpoint the LINEAR frames eagerly (mapping: one row per doc;
+      // repPairs: true near-dups among distinct contents), then expand
+      // lazily — the quadratic member-level pair set is never buffered here
+      val mapCk = mapping.localCheckpoint(true)
+      val pairCk = repPairs.localCheckpoint(true)
+      val within = mapCk.select(col("rep"), col("doc").as("doc_a"))
+        .join(mapCk.select(col("rep"), col("doc").as("doc_b")), "rep")
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), lit(0).as("hamming"))
+      val cross = pairCk
+        .join(mapCk.select(col("rep").as("doc_a"), col("doc").as("a")), "doc_a")
+        .join(mapCk.select(col("rep").as("doc_b"), col("doc").as("b")), "doc_b")
+        .select(least(col("a"), col("b")).as("doc_a"),
+          greatest(col("a"), col("b")).as("doc_b"), col("hamming"))
+      within.unionByName(cross)
+    } finally mapping.unpersist(false)
   }
 
   /** MinHash + LSH banded candidate generation + exact verification.
@@ -176,14 +256,97 @@ object Dedup {
     * Band row length r must be sized to the corpus's baseline similarity:
     * capture probability is 1-(1-J^r)^b — with r=8, b=16 that is ≥0.9999 at
     * J=0.9 while a random J≈0.45 pair collides with only ~0.17% of bands.
+    *
+    * Exact duplicates are collapsed before the banded stages and the pairs
+    * expanded back afterwards (see [[canonicalMapping]]) — the result is
+    * identical, but duplicate-heavy corpora no longer form hot buckets. For
+    * end-state dedup prefer [[nearDupDedup]], which skips the (inherently
+    * quadratic) member-level pair expansion entirely.
     */
   def minHashLsh(df: DataFrame, idCol: String, textCol: String, n: Int,
-      bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
+      bands: Int, rowsPerBand: Int, threshold: Double,
+      maxBucket: Int = 10000): DataFrame = {
+    val core = lshCore(df, idCol, textCol, n, bands, rowsPerBand, threshold,
+      maxBucket)
+    try {
+      // checkpoint the LINEAR frames eagerly (mapping: one row per doc;
+      // repPairs: near-dup pairs among distinct contents; shingled: one row
+      // per distinct content), then expand to member-level pairs lazily —
+      // the expansion is quadratic in exact-group size BY CONTRACT (it IS
+      // the answer) and must stream out of joins, never sit in a buffer.
+      val mapCk = core.mapping.localCheckpoint(true)
+      val pairCk = core.repPairs.localCheckpoint(true)
+      val shingledCk = core.sizes.select(col("doc").as("rep"))
+        .localCheckpoint(true)
+      // exact duplicates of a SHINGLED content are Jaccard-1.0 pairs (docs
+      // with no shingles never pair — matches the exact-Jaccard semantics)
+      val m = mapCk.join(shingledCk, "rep")
+      val within = m.select(col("rep"), col("doc").as("doc_a"))
+        .join(m.select(col("rep"), col("doc").as("doc_b")), "rep")
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), lit(1.0).as("jaccard"))
+      // members inherit their canonical's matches with the identical
+      // jaccard value (identical normalized text ⇒ identical shingle set)
+      val cross = pairCk
+        .join(mapCk.select(col("rep").as("doc_a"), col("doc").as("a")), "doc_a")
+        .join(mapCk.select(col("rep").as("doc_b"), col("doc").as("b")), "doc_b")
+        .select(least(col("a"), col("b")).as("doc_a"),
+          greatest(col("a"), col("b")).as("doc_b"), col("jaccard"))
+      within.unionByName(cross)
+    } finally core.release()
+  }
+
+  /** The scalable end-state dedup: `df` minus near-duplicates, equivalent to
+    * `dedupCorpus(df, idCol, minHashLsh(df, …))` (proven in the suite) but
+    * WITHOUT ever materializing the member-level pair set — the drop set is
+    * linear in corpus size: non-canonical members of shingled exact groups,
+    * plus every member of a group whose canonical loses a near-dup pair.
+    * Use this, not the pair API, to dedup a duplicate-heavy corpus. */
+  def nearDupDedup(df: DataFrame, idCol: String, textCol: String, n: Int,
+      bands: Int, rowsPerBand: Int, threshold: Double,
+      maxBucket: Int = 10000): DataFrame = {
+    val core = lshCore(df, idCol, textCol, n, bands, rowsPerBand, threshold,
+      maxBucket)
+    try {
+      val shingledReps = core.sizes.select(col("doc").as("rep"))
+      val dupMembers = core.mapping.join(shingledReps, "rep")
+        .filter(col("doc") =!= col("rep"))
+        .select(col("doc"))
+      val losers = core.mapping
+        .join(core.repPairs.select(col("doc_b").as("rep")).distinct(), "rep")
+        .select(col("doc"))
+      val dropSet = dupMembers.union(losers).distinct()
+        .withColumnRenamed("doc", idCol)
+        .localCheckpoint(true) // linear, single column — eager so the
+                               // persisted shingles can be released
+      df.join(dropSet, Seq(idCol), "left_anti")
+    } finally core.release()
+  }
+
+  /** Shared banded-LSH core over canonical representatives. `mapping` and
+    * `sh` are persisted; callers must materialize what they need eagerly
+    * and then call [[LshCore.release]]. */
+  private final case class LshCore(mapping: DataFrame, sh: DataFrame,
+      sizes: DataFrame, repPairs: DataFrame) {
+    def release(): Unit = { sh.unpersist(false); mapping.unpersist(false) }
+  }
+
+  private def lshCore(df: DataFrame, idCol: String, textCol: String, n: Int,
+      bands: Int, rowsPerBand: Int, threshold: Double,
+      maxBucket: Int): LshCore = {
+    // exact-duplicate collapse first (see canonicalMapping): every stage
+    // below sees one doc per distinct content
+    val mapping = canonicalMapping(df, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val reps = df.join(
+      mapping.filter(col("doc") === col("rep")).select(col("doc").as(idCol)),
+      Seq(idCol), "left_semi")
+
     // The shingle set feeds three branches (signatures, candidate verify ×2).
-    // Persist it spill-safely for the duration of THIS operator, compute the
-    // (small) pair result eagerly, then release — no cache entry outlives
-    // the call, and nothing assumes the shingles fit in memory.
-    val sh = shingleRows(df, idCol, textCol, n)
+    // Persist it spill-safely for the duration of THIS operator — no cache
+    // entry outlives the call, and nothing assumes the shingles fit in
+    // memory.
+    val sh = shingleRows(reps, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigs = minHashSignatures(sh, bands * rowsPerBand)
 
@@ -199,15 +362,8 @@ object Dedup {
       .select(col("doc"), explode(array(bandSigCols: _*)).as("bs"))
       .select(col("doc"), col("bs.band").as("band"), col("bs.sig").as("sig"))
 
-    // same-band buckets → unordered candidate pairs (bounded by bucket size)
-    val buckets = bandSigs.groupBy(col("band"), col("sig"))
-      .agg(collect_set(col("doc")).as("docs"))
-      .filter(size(col("docs")) > 1)
-    val candidates = buckets
-      .select(explode(col("docs")).as("doc_a"), col("docs"))
-      .select(col("doc_a"), explode(col("docs")).as("doc_b"))
-      .filter(col("doc_a") < col("doc_b"))
-      .distinct()
+    // same-band buckets → capped, bufferless candidate pairs
+    val candidates = bucketPairs(bandSigs, maxBucket, "minHashLsh")
 
     // stage-1 verify: signature-estimate prefilter (projection-only)
     val k = bands * rowsPerBand
@@ -227,7 +383,7 @@ object Dedup {
     val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n_shingles"))
     val aSh = sh.toDF("doc_a", "shingle")
     val bSh = sh.toDF("doc_b", "shingle")
-    val result = prefiltered
+    val repPairs = prefiltered
       .join(aSh, "doc_a").join(bSh, Seq("doc_b", "shingle"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_inter"))
@@ -237,7 +393,6 @@ object Dedup {
         (col("na") + col("nb") - col("n_inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-    try result.localCheckpoint(true) // eager: pair list is small by design
-    finally sh.unpersist(false)
+    LshCore(mapping, sh, sizes, repPairs)
   }
 }

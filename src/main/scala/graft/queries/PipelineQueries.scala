@@ -140,17 +140,17 @@ object PipelineQueries {
       .orderBy("label", "dim")
 
   // ---------------------------------------------------------------- q56
-  /** End-to-end dedup: the corpus minus near-duplicates — LSH pairs feed
-    * the drop policy, exact-Jaccard oracle feeds the same policy in SQL
-    * (valid because the suite proves LSH pairs == exact pairs here). */
-  def q56DedupCorpus(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
-    val pairs = Dedup.minHashLsh(d, "doc_id", "text", n = 2,
+  /** End-to-end dedup: the corpus minus near-duplicates — the linear
+    * drop-set path (exact-collapse + banded LSH over canonicals, no
+    * member-level pair materialization); the exact-Jaccard oracle applies
+    * the same drop policy in SQL (valid because the suite proves the
+    * pair-based and drop-set paths identical, and LSH pairs == exact
+    * pairs on this corpus). */
+  def q56DedupCorpus(s: SparkSession, dir: String): DataFrame =
+    Dedup.nearDupDedup(docs(s, dir), "doc_id", "text", n = 2,
       bands = 16, rowsPerBand = 8, threshold = 0.9)
-    Dedup.dedupCorpus(d, "doc_id", pairs)
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
       .orderBy("doc_id")
-  }
 
   val q56DedupCorpusSql: String =
     s"""WITH $jaccardCtesSql,
