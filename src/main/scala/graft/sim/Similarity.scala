@@ -10,11 +10,12 @@ import org.apache.spark.sql.functions._
   *  - [[bruteForceTopK]] — exact cosine top-k via a broadcast cross join
   *    with the (small) query set. Cost O(|corpus| × |queries|): the correct
   *    baseline, and fine whenever |queries| is bounded;
-  *  - [[ivfTopK]] — the scale path: a one-time centroid assignment turns
-  *    the corpus into an inverted file (cluster → members); each query
-  *    probes only its nProbe nearest clusters, so per-query cost drops by
-  *    ~nCentroids/nProbe. The assignment itself is a broadcast join
-  *    (centroids are tiny) — no all-pairs stage anywhere.
+  *  - [[ivfTopK]] — the scale path: k-means centroids
+  *    ([[kmeansCentroids]]) turn the corpus into an inverted file
+  *    (cluster → members); each query probes only its nProbe nearest
+  *    clusters, so per-query cost drops by ~nCentroids/nProbe. The
+  *    assignment is a narrow per-row argmax over the inlined centroid
+  *    array — no join, no shuffle, no all-pairs stage anywhere.
   *
   * All arithmetic is float→double casts + sequential double sums, matching
   * the DuckDB oracle's `list_sum(list_transform(...))` bit for bit.
@@ -72,7 +73,7 @@ object Similarity {
     * nProbe-style multi-assignment if that matters). */
   def cosineNearDupClustered(corpus: DataFrame, idCol: String, embCol: String,
       threshold: Double, nCentroids: Int): DataFrame = {
-    val centroids = corpus.orderBy(col(idCol)).limit(nCentroids)
+    val centroids = kmeansCentroids(corpus, idCol, embCol, nCentroids)
     val assigned = assignClusters(corpus, centroids, idCol, embCol)
       .select(col(idCol).as("id"), col(embCol).as("e"), col("cluster"))
       .withColumn("nrm", l2Norm(col("e")))
@@ -87,30 +88,62 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
-  /** Assign every corpus vector to its nearest centroid (IVF build step).
-    * Returns corpus + `cluster` column. Centroids must be small enough to
-    * broadcast — by construction they are (nCentroids rows). */
+  /** Data-aware deterministic centroids: seed with a spread hash-sample of
+    * the corpus (rank by `xxhash64(id)` — r2's first-N-by-id seeds collapse
+    * recall whenever ids track insertion order, which they always do), then
+    * refine with `iterations` Lloyd steps using the two-phase [[VectorMean]]
+    * aggregate. Each step is ONE corpus pass: narrow argmax assignment +
+    * partial-agg group means; the centroid frame is eagerly checkpointed per
+    * step so the loop's lineage stays flat. Clusters that lose all members
+    * drop (standard k-means), so callers get ≤ nCentroids rows. Returns
+    * (idCol, embCol) with double-precision embeddings. */
+  def kmeansCentroids(corpus: DataFrame, idCol: String, embCol: String,
+      nCentroids: Int, iterations: Int = 2): DataFrame = {
+    var centroids = corpus
+      .select(col(idCol), transform(col(embCol), x => x.cast("double")).as(embCol))
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(nCentroids)
+      .localCheckpoint(true)
+    for (_ <- 1 to iterations)
+      centroids = assignClusters(corpus, centroids, idCol, embCol)
+        .groupBy(col("cluster"))
+        .agg(VectorMean.column(col(embCol)).as(embCol))
+        .select(col("cluster").as(idCol), col(embCol))
+        .localCheckpoint(true)
+    centroids
+  }
+
+  /** Assign every corpus vector to its nearest centroid (IVF build step) as
+    * a pure NARROW projection: the centroid set (tiny by construction) is
+    * collected once and inlined as an array literal, so assignment is a
+    * per-row argmax over that array — no join, no shuffle, no window. At
+    * 100 TB this runs at scan speed. Requires a numeric id column (the
+    * `cluster` values are the centroid ids; ties go to the smaller id). */
   def assignClusters(corpus: DataFrame, centroids: DataFrame,
       idCol: String, embCol: String): DataFrame = {
-    val cent = centroids.select(col(idCol).as("c_id"), col(embCol).as("c_emb"))
-      .withColumn("c_norm", l2Norm(col("c_emb")))
-    val base = corpus.withColumn("__norm", l2Norm(col(embCol)))
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("__sim").desc, col("c_id"))
-    base.crossJoin(broadcast(cent))
-      .withColumn("__sim",
-        cosine(col(embCol), col("c_emb"), col("__norm"), col("c_norm")))
-      .withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") === 1)
-      .withColumnRenamed("c_id", "cluster")
-      .drop("c_emb", "c_norm", "__sim", "__rk", "__norm")
+    val centRows = centroids
+      .select(col(idCol).cast("long").as("cid"),
+        transform(col(embCol), x => x.cast("double")).as("emb"))
+      .withColumn("nrm", l2Norm(col("emb")))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+    require(centRows.nonEmpty, "assignClusters: empty centroid set")
+    val centLit = typedlit(centRows)
+    val scored = transform(centLit, c =>
+      struct(
+        (dot(col(embCol), c.getField("_2")) /
+          (col("__norm") * c.getField("_3"))).as("sim"),
+        (-c.getField("_1")).as("negid")))
+    corpus.withColumn("__norm", l2Norm(col(embCol)))
+      .withColumn("cluster", -array_max(scored).getField("negid"))
+      .drop("__norm")
   }
 
   /** Approximate top-k: probe the `nProbe` clusters nearest to each query,
     * exact-rank only their members. Deterministic given the centroid set. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       embCol: String, k: Int, nCentroids: Int, nProbe: Int): DataFrame = {
-    val centroids = corpus.orderBy(col(idCol)).limit(nCentroids)
+    val centroids = kmeansCentroids(corpus, idCol, embCol, nCentroids)
     val indexed = assignClusters(corpus, centroids, idCol, embCol)
       .select(col(idCol).as("n_id"), col(embCol).as("n_emb"), col("cluster"))
       .withColumn("n_norm", l2Norm(col("n_emb")))

@@ -51,6 +51,12 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     val ivf = PipelineQueries.q45SimsearchIvf(spark, sfDir)
       .select("q_id", "n_id").as[(Long, Long)].collect().toSet
     val recall = ivf.intersect(brute).size.toDouble / brute.size
+    // The corpus embeddings are ISOTROPIC noise (measured: same-label mean
+    // cosine 0.000, top-10 neighbor cosines 0.25-0.39 vs ~0 background), so
+    // information-theoretically NO inverted file can beat recall ≈ probed
+    // fraction here — at 4/16 probes the honest bar is ~0.5. The ≥0.9
+    // algorithmic bar lives in the planted-cluster test below, where the
+    // data actually has the structure IVF exploits.
     assert(recall >= 0.5, f"IVF recall@10 too low: $recall%.2f")
     // every IVF hit is a real vector pair with correctly computed cosine —
     // spot-check one query's ranking is internally consistent
@@ -58,6 +64,39 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
       .filter(col("q_id") === 0).orderBy("rank")
       .select("cosine").as[Double].collect()
     assert(oneQ.sameElements(oneQ.sorted(Ordering[Double].reverse)))
+  }
+
+  test("IVF holds ≥0.9 recall at 4/16 probes on clustered embeddings") {
+    // planted structure: 10 well-separated Gaussian clusters; a correct
+    // k-means init (hash-sample seeds + Lloyd) must place same-cluster
+    // points together so 4 probes capture nearly all true neighbors —
+    // this is the bar the r2 first-N-by-id centroid init could not hold
+    val rnd = new scala.util.Random(42)
+    val dim = 64
+    val centers = Array.fill(10)(Array.fill(dim)(rnd.nextGaussian()))
+    val vecs = (0L until 500L).map { i =>
+      val c = centers((i % 10).toInt)
+      (i, c.map(x => (x + 0.25 * rnd.nextGaussian()).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding").repartition(8)
+    val queries = df.filter(col("vec_id") < 8)
+    val brute = Similarity.bruteForceTopK(df, queries, "vec_id", "embedding", k = 10)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(df, queries, "vec_id", "embedding",
+      k = 10, nCentroids = 16, nProbe = 4)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall = ivf.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.9, f"IVF recall@10 on clustered data too low: $recall%.2f")
+  }
+
+  test("cluster assignment is a narrow projection (no shuffle, no join)") {
+    val df = (0L until 100L).map(i =>
+      (i, Array.fill(8)((i % 7).toFloat + 1f))).toDF("vec_id", "embedding")
+    val centroids = Similarity.kmeansCentroids(df, "vec_id", "embedding", 4)
+    val plan = Similarity.assignClusters(df, centroids, "vec_id", "embedding")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"assignment should be narrow:\n$plan")
   }
 
   test("simhash64 resolves via SparkSessionExtensions injection alone") {
