@@ -68,6 +68,10 @@ object SparkEntry {
     "q54_embed_neardup_clustered" -> (PipelineQueries.q54EmbedNeardupClustered _),
     "q55_simhash_neardup"  -> (PipelineQueries.q55SimhashNeardup _),
     "q56_dedup_corpus"     -> (PipelineQueries.q56DedupCorpus _),
+    "q57_manifest"         -> (CdcQueries.q57Manifest _),
+    "q58_json_landing"     -> (CdcQueries.q58JsonLanding _),
+    "q59_preview_csv"      -> (CdcQueries.q59PreviewCsv _),
+    "q60_reconcile"        -> (CdcQueries.q60Reconcile _),
   )
 
   /** Headline queries the bench harness times (a subset of [[queries]]:
@@ -130,5 +134,9 @@ object SparkEntry {
     "q51_multimodal"       -> PipelineQueries.q51MultimodalSql,
     "q53_embed_neardup"    -> PipelineQueries.q53EmbedNeardupSql,
     "q56_dedup_corpus"     -> PipelineQueries.q56DedupCorpusSql,
+    "q57_manifest"         -> CdcQueries.q57ManifestSql,
+    "q58_json_landing"     -> CdcQueries.q58JsonLandingSql,
+    "q59_preview_csv"      -> CdcQueries.q59PreviewCsvSql,
+    "q60_reconcile"        -> CdcQueries.q60ReconcileSql,
   )
 }

@@ -502,6 +502,149 @@ object CdcQueries {
 
   val q37SqlCteSql: String = cteSql
 
+  // ---------------------------------------------------------------- q57
+  /** S6 — manifest scan end-to-end: derive a per-export-file manifest from
+    * the stream (one compacted data file per event type), write
+    * `manifest-files.json` + `manifest-summary.json` in the export layout
+    * (`vendor/aws_dynamodb_export_to_s3.py:319-375`), read both back
+    * through the manifest scanners, and cross-check summary vs files. */
+  def q57Manifest(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.DynamoExportSource
+    import s.implicits._
+    val files = events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("itemCount"))
+      .select(
+        concat(lit("data/"), col("event_type"), lit(".json.gz")).as("dataFileS3Key"),
+        col("itemCount"),
+        md5(concat(col("event_type"), lit(":"),
+          col("itemCount").cast("string")).cast("binary")).as("md5Checksum"))
+    val root = Files.createTempDirectory("graft_q57_manifest").toString
+    files.coalesce(1).write.mode("overwrite").json(s"$root/files")
+    val total = files.agg(sum(col("itemCount"))).head().getLong(0)
+    Seq(("2024-01-01T00:00:00Z", total, "DYNAMODB_JSON"))
+      .toDF("exportTime", "itemCount", "outputFormat")
+      .coalesce(1).write.mode("overwrite").json(s"$root/summary")
+
+    val summary = DynamoExportSource.readManifestSummary(s, s"$root/summary")
+    val fileList = DynamoExportSource.readManifestFiles(s, s"$root/files")
+    require(summary.itemCount == fileList.map(_.itemCount).sum,
+      s"manifest summary count ${summary.itemCount} != file-list total")
+    fileList.toDF()
+      .select(col("dataFileS3Key"), col("itemCount"), col("md5Checksum"))
+      .orderBy("dataFileS3Key")
+  }
+
+  val q57ManifestSql: String =
+    """SELECT 'data/' || event_type || '.json.gz' AS dataFileS3Key,
+      |  COUNT(*) AS itemCount,
+      |  md5(event_type || ':' || COUNT(*)) AS md5Checksum
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY dataFileS3Key""".stripMargin
+
+  // ---------------------------------------------------------------- q58
+  /** K3/P6/A1 — the streaming JSON landing sink end-to-end: stream the
+    * events through `toPartitionedJson` (derive 5 event-time partition
+    * columns, group rows by partition, append JSON-lines per partition —
+    * `dynamodb_stream_consumer.py:61-90`), then read the landing tree back
+    * and aggregate per partition. Event time is remapped to a bounded
+    * synthetic clock (≤32 minutes) — the corpus's real timestamps are
+    * nearly unique per row, which would land one row per directory; the
+    * derive/write/read-back mechanics are identical (q22 oracles the
+    * real-timestamp derivation). */
+  def q58JsonLanding(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.CdcStreamIngest
+    val ev = events(s, dir).select(
+      col("event_id"), col("user_id"), col("event_type"),
+      to_timestamp(concat(lit("2024-01-01 "),
+        lpad(pmod(col("user_id"), lit(4)).cast("string"), 2, "0"), lit(":"),
+        lpad(pmod(col("user_id"), lit(8)).cast("string"), 2, "0"),
+        lit(":00"))).as("landing_ts"))
+    val srcDir = Files.createTempDirectory("graft_q58_src").toString
+    ev.repartition(4).write.mode("overwrite").parquet(srcDir)
+    val outDir = Files.createTempDirectory("graft_q58_out").toString
+    CdcStreamIngest.toPartitionedJson(
+      CdcStreamIngest.fileStream(s, srcDir, ev.schema, maxFilesPerTrigger = 2),
+      "landing_ts", outDir,
+      Files.createTempDirectory("graft_q58_ckpt").toString)
+
+    // read the landing tree back; partition values come from directory
+    // names (inference may widen "04"→4, so re-normalize to the scheme's
+    // zero-padded strings before grouping)
+    val widths = Map("create_year" -> 4).withDefaultValue(2)
+    val back = LakeOps.partitionCols.foldLeft(s.read.json(outDir)) { (d, c) =>
+      d.withColumn(c, lpad(col(c).cast("string"), widths(c), "0"))
+    }
+    back.groupBy(LakeOps.partitionCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"), sum(col("event_id")).as("sum_id"))
+      .orderBy(LakeOps.partitionCols.map(col): _*)
+  }
+
+  val q58JsonLandingSql: String =
+    """SELECT '2024' AS create_year, '01' AS create_month, '01' AS create_day,
+      |  lpad(CAST(user_id % 4 AS VARCHAR), 2, '0') AS create_hour,
+      |  lpad(CAST(user_id % 8 AS VARCHAR), 2, '0') AS create_minute,
+      |  COUNT(*) AS n_rows,
+      |  CAST(SUM(event_id) AS BIGINT) AS sum_id
+      |FROM events
+      |GROUP BY 1, 2, 3, 4, 5
+      |ORDER BY 1, 2, 3, 4, 5""".stripMargin
+
+  // ---------------------------------------------------------------- q59
+  /** W4/K6 — preview + CSV result sink round-trip (`athena.py:74-78`): the
+    * preview LIMIT path must produce rows, and a deterministic result must
+    * survive the CSV write/read unchanged (doubles round-trip losslessly
+    * through Java's shortest-repr formatting). */
+  def q59PreviewCsv(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    QueryEngine.registerCorpus(s, dir)
+    val preview = QueryEngine.preview(s, "events", n = 10)
+    require(preview.count() == 10, "preview must return exactly LIMIT rows")
+    val out = Files.createTempDirectory("graft_q59_csv").toString + "/result"
+    QueryEngine.unloadCsv(s,
+      """SELECT event_id, user_id, event_type, value
+        |FROM events ORDER BY event_id LIMIT 100""".stripMargin, out)
+    s.read
+      .schema("event_id LONG, user_id LONG, event_type STRING, value DOUBLE")
+      .option("header", "true").csv(out)
+      .orderBy("event_id")
+  }
+
+  val q59PreviewCsvSql: String =
+    """SELECT event_id, user_id, event_type, value
+      |FROM events ORDER BY event_id LIMIT 100""".stripMargin
+
+  // ---------------------------------------------------------------- q60
+  /** J3 — file-list reconciliation as a diff frame (`temp.py:25-46`): the
+    * expected per-hour CDC file list against a processed list missing every
+    * fifth hour and containing one foreign file. */
+  def q60Reconcile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val expected = events(s, dir)
+      .select(concat(lit("file-"),
+        date_format(timestamp_micros(col("ts_us")), "yyyy-MM-dd-HH"),
+        lit(".json")).as("uri"))
+      .distinct().as[String].collect().toSeq
+    val processed = expected.filterNot(u =>
+      u.substring(16, 18).toInt % 5 == 0) :+ "s3://external/extra-file.json"
+    val diff = CompareTables.reconcileFileLists(expected, processed)
+    (diff.missing.map(("missing", _)) ++ diff.unexpected.map(("unexpected", _)))
+      .toDF("status", "uri")
+      .orderBy("status", "uri")
+  }
+
+  val q60ReconcileSql: String =
+    """WITH expected AS (
+      |  SELECT DISTINCT 'file-' || strftime(ts, '%Y-%m-%d-%H') || '.json' AS uri
+      |  FROM events)
+      |SELECT * FROM (
+      |  SELECT 'missing' AS status, uri FROM expected
+      |  WHERE CAST(substring(uri, 17, 2) AS INT) % 5 = 0
+      |  UNION ALL
+      |  SELECT 'unexpected' AS status, 's3://external/extra-file.json' AS uri)
+      |ORDER BY status, uri""".stripMargin
+
   // ---------------------------------------------------------------- q32
   /** J2/A5 — the source-vs-lake equality oracle as a diff-count query:
     * compare the stream against a copy with 1% of values perturbed. */
