@@ -123,8 +123,7 @@ object SparkEntry {
     "q38_sessionize"       -> CdcQueries.q38SessionizeSql,
     "q40_exact_dedup"      -> PipelineQueries.q40ExactDedupSql,
     "q41_ngram_jaccard"    -> PipelineQueries.q41NgramJaccardSql,
-    // q42/q45/q50/q52: engine-specific hashes / approximate paths /
-    // float-agg ordering — rows-only
+    // q42/q45/q50: engine-specific hashes / approximate paths — rows-only
     "q43_char_jaccard"     -> PipelineQueries.q43CharJaccardSql,
     "q44_simsearch_brute"  -> PipelineQueries.q44SimsearchBruteSql,
     "q46_token_stats"      -> PipelineQueries.q46TokenStatsSql,
@@ -132,6 +131,7 @@ object SparkEntry {
     "q48_quality"          -> PipelineQueries.q48QualitySql,
     "q49_fingerprint"      -> PipelineQueries.q49FingerprintSql,
     "q51_multimodal"       -> PipelineQueries.q51MultimodalSql,
+    "q52_centroids"        -> PipelineQueries.q52CentroidsSql,
     "q53_embed_neardup"    -> PipelineQueries.q53EmbedNeardupSql,
     "q56_dedup_corpus"     -> PipelineQueries.q56DedupCorpusSql,
     "q57_manifest"         -> CdcQueries.q57ManifestSql,

@@ -129,15 +129,29 @@ object PipelineQueries {
 
   // ---------------------------------------------------------------- q52
   /** Per-label embedding centroids via the typed VectorMean Aggregator,
-    * exploded to (label, dim, value). Rows-only for the driver (float
-    * aggregation order is engine-specific); numerically verified against a
-    * per-dimension average in the suite. */
+    * exploded to (label, dim, value). Oracle-able despite engine-specific
+    * double-summation order: with ~50 members per group the order variance
+    * is ≲1e-14 relative, far inside the driver hash's float tolerance.
+    * (DECIMAL accumulation was evaluated and rejected: DuckDB's
+    * double→DECIMAL cast multiplies by 10^scale in double precision, so
+    * its low digits are garbage and can never match an exact conversion.) */
   def q52Centroids(s: SparkSession, dir: String): DataFrame =
     embs(s, dir)
       .groupBy(col("label"))
       .agg(graft.sim.VectorMean.column(col("embedding")).as("centroid"))
       .select(col("label"), posexplode(col("centroid")).as(Seq("dim", "value")))
       .orderBy("label", "dim")
+
+  val q52CentroidsSql: String =
+    """WITH ex AS (
+      |  SELECT label,
+      |    unnest(range(len(embedding))) AS dim,
+      |    unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
+      |  FROM embeddings)
+      |SELECT label, dim, SUM(x) / COUNT(*) AS value
+      |FROM ex
+      |GROUP BY label, dim
+      |ORDER BY label, dim""".stripMargin
 
   // ---------------------------------------------------------------- q56
   /** End-to-end dedup: the corpus minus near-duplicates — the linear

@@ -1,7 +1,6 @@
 package graft.sources
 
 import java.time.LocalDateTime
-import java.time.temporal.ChronoUnit
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
@@ -15,10 +14,11 @@ import graft.model.TimeCodec
   * This is the engine's file-level predicate pushdown
   * (`incremental_load_orchestration.py:129-161`; naming contract
   * `DMS.rst:31-57`): because directory layout and file names encode commit
-  * time, planning a batch never touches data files — it lists only the
-  * hour directories inside `(after, after + maxInterval]`, applies three
-  * filename predicates, and takes the first N. At 100 TB the planner's cost
-  * is O(hours in the interval × files per hour), independent of table size.
+  * time, planning a batch never touches data files — it walks only the
+  * existing directories overlapping `(after, after + maxInterval]`, applies
+  * three filename predicates, and takes the first N. At 100 TB the
+  * planner's cost is O(existing directories in the window + files taken),
+  * independent of table size AND of the configured interval length.
   */
 object CdcFileSource {
 
@@ -51,31 +51,15 @@ object CdcFileSource {
     val fs = root.getFileSystem(conf)
     if (!fs.exists(root)) return Todo(Nil, None)
 
-    // Enumerate candidate hour directories in the window — the listing's
-    // range predicate. (The +1 hour guards the boundary where `after`
-    // truncates below the first eligible file's hour.)
-    val startHour = after.truncatedTo(ChronoUnit.HOURS)
-    val hours = Iterator.iterate(startHour)(_.plusHours(1))
-      .takeWhile(h => !h.isAfter(until))
-      .toSeq
-    val hourFmt = java.time.format.DateTimeFormatter.ofPattern("yyyy/MM/dd/HH")
-
-    val candidates = hours.flatMap { h =>
-      val dir = new Path(root, h.format(hourFmt))
-      if (fs.exists(dir))
-        fs.listStatus(dir).toSeq.filter(_.isFile).map(_.getPath.toString)
-      else Nil
-    }
-
-    val eligible = candidates
-      .filter(_.endsWith(".parquet"))
-      .filterNot(p => p.substring(p.lastIndexOf('/') + 1).startsWith("LOAD"))
-      .flatMap { p =>
-        val dt = scala.util.Try(TimeCodec.filenameToDatetime(p)).toOption
-        dt.filter(d => d.isAfter(after) && !d.isAfter(until)).map(d => (d, p))
-      }
-      .sortBy(_._2) // key order == chronological order (codec invariant)
+    // Range-pruned sorted walk of the existing tree, bounded by BOTH window
+    // ends — never an fs.exists probe per hour of the configured interval
+    // (ADVICE r2: a reference-scale ~999-year max interval would have made
+    // one empty call do millions of probes). Cost is O(directories that
+    // exist inside the window) and the lazy take(maxFiles) stops the walk
+    // as soon as the batch is full.
+    val eligible = walkEligible(fs, root, after, until)
       .take(maxFiles)
+      .toSeq
 
     if (eligible.nonEmpty)
       Todo(eligible.map(_._2), eligible.lastOption.map(_._1))
@@ -96,6 +80,39 @@ object CdcFileSource {
         Todo(Nil, Some(after.plusSeconds(k * maxIntervalSeconds)))
       case _ => Todo(Nil, None)
     }
+  }
+
+  /** Eligible CDC files in `(after, until]` in key order, as a LAZY
+    * iterator over a range-pruned lexicographic walk (year→month→day→hour):
+    * a directory is descended only if its zero-padded path prefix can still
+    * contain a key inside the window, and leaf listings stream so a
+    * downstream `take(n)` stops the walk early. */
+  private def walkEligible(fs: org.apache.hadoop.fs.FileSystem, root: Path,
+      after: LocalDateTime, until: LocalDateTime): Iterator[(LocalDateTime, String)] = {
+    val afterKey = TimeCodec.datetimeToS3Key(after)
+    val untilKey = TimeCodec.datetimeToS3Key(until)
+    def walk(dir: Path, depth: Int, prefix: String): Iterator[(LocalDateTime, String)] =
+      if (depth == 4)
+        fs.listStatus(dir).iterator.filter(_.isFile)
+          .map(_.getPath.toString)
+          .filter(_.endsWith(".parquet"))
+          .filterNot(p => p.substring(p.lastIndexOf('/') + 1).startsWith("LOAD"))
+          .flatMap(p => scala.util.Try(TimeCodec.filenameToDatetime(p)).toOption
+            .filter(d => d.isAfter(after) && !d.isAfter(until))
+            .map(d => (d, p)))
+          .toSeq.sortBy(_._2).iterator // key order == chronological order
+      else {
+        val lo = afterKey.split('/').take(depth + 1).mkString("/")
+        val hi = untilKey.split('/').take(depth + 1).mkString("/")
+        fs.listStatus(dir).toSeq.filter(_.isDirectory)
+          .sortBy(_.getPath.getName).iterator
+          .map(c => (c.getPath,
+            s"$prefix${if (prefix.isEmpty) "" else "/"}${c.getPath.getName}"))
+          .filter { case (_, p) =>
+            p >= lo.take(p.length) && p <= hi.take(p.length) }
+          .flatMap { case (d, p) => walk(d, depth + 1, p) }
+      }
+    walk(root, 0, "")
   }
 
   /** First eligible CDC file strictly after `after`, unbounded — a

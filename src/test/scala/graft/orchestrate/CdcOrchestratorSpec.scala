@@ -48,6 +48,37 @@ class CdcOrchestratorSpec extends AnyFunSuite with SparkSpec {
     assert(todo.endUntil === Some(LocalDateTime.of(2024, 1, 1, 13, 0)))
   }
 
+  test("a reference-scale max interval plans in directory time, not interval time") {
+    // ADVICE r2: the old planner probed fs.exists once per hour of the
+    // configured interval — ~8.7M probes for the reference's ~999-year
+    // default. The pruned walk must answer from the existing tree alone.
+    val root = tmpDir("cdc-huge-interval")
+    def touch(rel: String): Unit = {
+      val p = Paths.get(root, rel)
+      Files.createDirectories(p.getParent)
+      Files.write(p, Array[Byte]())
+    }
+    touch("2024/01/01/12/20240101-120000000.parquet")
+    touch("2024/01/01/13/20240101-130000000.parquet")
+    val after = LocalDateTime.of(2024, 1, 1, 11, 0)
+    val t0 = System.nanoTime()
+    val todo = CdcFileSource.listTodo(
+      spark.sparkContext.hadoopConfiguration, root, after,
+      maxFiles = 10, maxIntervalSeconds = 999L * 365 * 24 * 3600)
+    val elapsedMs = (System.nanoTime() - t0) / 1000000
+    assert(todo.files.size === 2)
+    assert(todo.endUntil === Some(LocalDateTime.of(2024, 1, 1, 13, 0)))
+    assert(elapsedMs < 2000, s"planner took ${elapsedMs}ms on a 2-file tree")
+    // and an empty window with the same huge interval is just as cheap
+    val t1 = System.nanoTime()
+    val empty = CdcFileSource.listTodo(
+      spark.sparkContext.hadoopConfiguration, root,
+      LocalDateTime.of(2024, 1, 1, 14, 0),
+      maxFiles = 10, maxIntervalSeconds = 999L * 365 * 24 * 3600)
+    assert(empty.files.isEmpty && empty.endUntil.isEmpty)
+    assert((System.nanoTime() - t1) / 1000000 < 2000)
+  }
+
   /** Builds LOAD + 1-minute CDC buckets; returns the snapshot cut (µs). */
   private def buildTxnTree(log: Workload.Log, root: String): Long = {
     val txns = log.txns.toDF()
