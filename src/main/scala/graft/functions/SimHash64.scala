@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
@@ -19,8 +19,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * hashing reuses Spark's own XxHash64Function so the bits match
   * `xxhash64()` semantics.
   */
-case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class SimHash64(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
 
@@ -34,8 +33,28 @@ case class SimHash64(child: Expression)
           s"simhash64 expects array<string>, got $other")
     }
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override protected def nullSafeEval(input: Any): Any =
+    SimHash64.compute(input.asInstanceOf[ArrayData])
+
+  /** Whole-stage codegen: emit a call to the static kernel instead of the
+    * interpreted-eval fallback, so a simhash projection stays inside the
+    * same generated loop as the tokenizer feeding it (r2's one
+    * CodegenFallback seam in the text pipeline). */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.SimHash64.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+
+  override def prettyName: String = "simhash64"
+}
+
+object SimHash64 {
+  /** The per-row kernel, shared verbatim by interpreted eval and generated
+    * code (JIT-friendly static call). Token hashing reuses Spark's own
+    * XxHash64Function so the bits match `xxhash64()` semantics. */
+  def compute(arr: ArrayData): Long = {
     val balance = new Array[Int](64)
     var i = 0
     while (i < arr.numElements()) {
@@ -57,11 +76,6 @@ case class SimHash64(child: Expression)
     }
     out
   }
-
-  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
-    copy(child = newChild)
-
-  override def prettyName: String = "simhash64"
 }
 
 /** Imperative registration for an already-running session (idempotent). */

@@ -473,8 +473,12 @@ object CdcQueries {
       |ORDER BY user_id, session_id""".stripMargin
 
   // ---------------------------------------------------------------- q37
-  /** §2.7 depth — CTE + window + join through the SQL surface, with one
-    * SQL text valid verbatim in both engines. */
+  /** §2.7 depth — CTE + window + join through the SQL surface. The oracle
+    * text ranks with a bare global window; the Spark text computes the same
+    * top-5 via `ORDER BY … LIMIT 5` first (TakeOrderedAndProject — each
+    * partition keeps its local top-5, only those merge) and then numbers
+    * the ≤5 survivors, so no single-partition exchange of the full
+    * per-user aggregate exists in the plan at any scale. */
   private val cteSql =
     """WITH user_totals AS (
       |  SELECT user_id,
@@ -494,10 +498,41 @@ object CdcQueries {
       |GROUP BY r.rnk, r.user_id, r.total_value, r.n_events, e.event_type
       |ORDER BY r.rnk, e.event_type""".stripMargin
 
+  /** Scale-safe Spark form of [[cteSql]] — identical result set. The rank
+    * of a top-5 survivor is its position in the (total_value DESC, user_id)
+    * order, computed as a correlated count over the 5-row relation (a tiny
+    * Catalyst-rewritten join), so the plan contains no WindowExec at all. */
+  private val cteSparkSql =
+    """WITH user_totals AS (
+      |  SELECT user_id,
+      |    CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+      |    COUNT(*) AS n_events
+      |  FROM events
+      |  GROUP BY user_id
+      |), top5 AS (
+      |  SELECT user_id, total_value, n_events
+      |  FROM user_totals
+      |  ORDER BY total_value DESC, user_id
+      |  LIMIT 5
+      |), ranked AS (
+      |  SELECT a.user_id, a.total_value, a.n_events,
+      |    (SELECT COUNT(*) FROM top5 b
+      |     WHERE b.total_value > a.total_value
+      |        OR (b.total_value = a.total_value AND b.user_id <= a.user_id)
+      |    ) AS rnk
+      |  FROM top5 a
+      |)
+      |SELECT r.rnk, r.user_id, r.total_value, r.n_events, e.event_type
+      |FROM ranked r
+      |JOIN events e ON e.user_id = r.user_id
+      |WHERE r.rnk <= 5
+      |GROUP BY r.rnk, r.user_id, r.total_value, r.n_events, e.event_type
+      |ORDER BY r.rnk, e.event_type""".stripMargin
+
   def q37SqlCte(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     QueryEngine.registerCorpus(s, dir)
-    QueryEngine.sql(s, cteSql)
+    QueryEngine.sql(s, cteSparkSql)
   }
 
   val q37SqlCteSql: String = cteSql

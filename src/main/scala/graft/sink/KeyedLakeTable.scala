@@ -196,8 +196,15 @@ final class KeyedLakeTable(spark: SparkSession, val spec: LakeTableSpec) {
   def read(): DataFrame = normalizeParts(spark.read.parquet(path))
 
   /** Hive-sync analog (`initial_load.py:168-174`): make the table queryable
-    * through `spark.sql`. */
+    * through `spark.sql` for this session. */
   def registerAs(name: String): Unit = read().createOrReplaceTempView(name)
+
+  /** Persistent hive-sync (`initial_load.py:168-174` + the Glue catalog it
+    * writes through, `glue_catalog.py:86-97`): register this lake table as
+    * an external catalog table so it survives the session — partition
+    * pruning then resolves against catalog partitions, metadata-only. */
+  def registerInCatalog(db: String, name: String): Unit =
+    graft.catalog.LakeCatalog.registerParquet(spark, db, name, path, partCols)
 
   def exists: Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)

@@ -109,6 +109,21 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(out.head !== 0L)
   }
 
+  test("simhash64 projection stays inside whole-stage codegen (no fallback seam)") {
+    val df = spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("simhash64(split(text, ' ')) AS h")
+    val plan = df.queryExecution.executedPlan.toString
+    // the Project carrying simhash64 must sit under a WholeStageCodegen
+    // span — a CodegenFallback expression would have forced it out
+    assert(plan.contains("*(1) Project"), s"no codegen'd Project in:\n$plan")
+    // and the generated code really compiles + runs (not a silent fallback)
+    val gen = org.apache.spark.sql.execution.debug.codegenString(
+      df.queryExecution.executedPlan)
+    assert(gen.contains("graft.functions.SimHash64.compute"),
+      "generated code does not call the static kernel")
+    assert(df.as[Long].head() !== 0L)
+  }
+
   test("simhash64: deterministic, identical texts collide, near-dups are close") {
     GraftFunctions.register(spark)
     def hashes(texts: Seq[String]) =

@@ -1,0 +1,48 @@
+package graft.queries
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.window.WindowExec
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Scale lints over every registered query's physical plan. These encode
+  * the plan-shape rules the engine is designed around (SURVEY §4): a
+  * single-partition window over an unbounded input is the classic
+  * serialize-the-corpus defect (r2's q35), so no query may plan one except
+  * over a LIMIT-bounded subtree. */
+class PlanLintSpec extends AnyFunSuite with SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** WindowExec nodes with an empty partition spec anywhere in the plan,
+    * unless every row reaching them has already passed a LIMIT (a bounded
+    * input makes the single partition harmless at any corpus size). */
+  private def globalWindows(plan: SparkPlan): Seq[WindowExec] = {
+    def boundedByLimit(p: SparkPlan): Boolean =
+      p.toString.linesIterator.exists(l =>
+        l.contains("GlobalLimit") || l.contains("TakeOrderedAndProject"))
+    def walk(p: SparkPlan): Seq[WindowExec] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case w: WindowExec if w.partitionSpec.isEmpty =>
+        (if (boundedByLimit(w.child)) Nil else Seq(w)) ++
+          w.children.flatMap(walk)
+      case other => other.children.flatMap(walk)
+    }
+    walk(plan)
+  }
+
+  // Queries with real write side effects are planned here too — planning
+  // only forces analysis/physical planning, and at sf0.001 any action a
+  // query runs eagerly while building is cheap.
+  test("no query plans an unbounded single-partition window") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, q) =>
+        val plan = q(spark, sfDir).queryExecution.executedPlan
+        globalWindows(plan).map(w => s"$name: ${w.simpleStringWithNodeId()}")
+    }
+    assert(offenders.isEmpty,
+      s"global windows found:\n${offenders.mkString("\n")}")
+  }
+}
