@@ -72,6 +72,7 @@ object SparkEntry {
     "q58_json_landing"     -> (CdcQueries.q58JsonLanding _),
     "q59_preview_csv"      -> (CdcQueries.q59PreviewCsv _),
     "q60_reconcile"        -> (CdcQueries.q60Reconcile _),
+    "q61_image_decode"     -> (PipelineQueries.q61ImageDecode _),
   )
 
   /** Headline queries the bench harness times (a subset of [[queries]]:
@@ -138,5 +139,6 @@ object SparkEntry {
     "q58_json_landing"     -> CdcQueries.q58JsonLandingSql,
     "q59_preview_csv"      -> CdcQueries.q59PreviewCsvSql,
     "q60_reconcile"        -> CdcQueries.q60ReconcileSql,
+    "q61_image_decode"     -> PipelineQueries.q61ImageDecodeSql,
   )
 }

@@ -7,14 +7,14 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, plus the Spark-side plumbing of a decode /
   * feature-extraction stage.
   *
-  * The actual codec work (image decode, resample, frame extraction) is
-  * STUBBED — the media libraries are not in this environment — with a
-  * deterministic fake that consumes real bytes and produces a real feature
-  * row. What is real and tested here is everything Spark-level: the binary
-  * schema, batched per-partition processing (one iterator pass, no
-  * per-row object churn), frame-offset arithmetic, and partition-friendly
-  * output shape. Swapping the stub for a JNI/FFmpeg call changes one
-  * function body, not the pipeline.
+  * IMAGE decode is REAL — see [[ImageOps]], which runs the JDK's bundled
+  * `javax.imageio` codecs through this same batched pipeline shape. The
+  * stub below remains only for codecs the JVM does not ship (video/audio):
+  * a deterministic fake that consumes real bytes and produces a real
+  * feature row, keeping the Spark-level contract — binary schema, one
+  * iterator pass per partition, frame-offset arithmetic, narrow output —
+  * tested. Swapping it for a JNI/FFmpeg call changes one function body,
+  * not the pipeline.
   */
 object MultimodalOps {
 

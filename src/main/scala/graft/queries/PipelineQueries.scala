@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.dedup.Dedup
 import graft.functions.GraftFunctions
-import graft.multimodal.MultimodalOps
+import graft.multimodal.{ImageOps, MultimodalOps}
 import graft.sim.Similarity
 import graft.text.TextOps
 
@@ -412,5 +412,39 @@ object PipelineQueries {
       |       THEN (octet_length(encode(text)) - 64) // 48 + 1
       |       ELSE 0 END AS n_frames
       |FROM documents
+      |ORDER BY media_id""".stripMargin
+
+  // ---------------------------------------------------------------- q61
+  /** REAL image decode through the JDK PNG codec: one deterministic
+    * grayscale pattern image per document (genuine PNG bytes, encoded with
+    * `ImageIO.write`), decoded back with `ImageIO.read` in a batched
+    * mapPartitions, features reduced to integer-exact values the DuckDB
+    * oracle derives from the same closed-form pixel formula. A PNG
+    * encode→decode round-trip stands between the formula and the result,
+    * so a hash match certifies the codec path end-to-end. */
+  def q61ImageDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = docs(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        (id, ImageOps.syntheticPng(id, (8 + id % 9).toInt, (8 + id % 7).toInt))
+      }).toDF("media_id", "media")
+    ImageOps.decodeImages(media)
+      .select(col("media_id"), col("width"), col("height"), col("sum_luma"))
+      .orderBy("media_id")
+  }
+
+  val q61ImageDecodeSql: String =
+    """WITH dims AS (
+      |  SELECT doc_id, CAST(8 + doc_id % 9 AS BIGINT) AS w,
+      |    CAST(8 + doc_id % 7 AS BIGINT) AS h
+      |  FROM documents),
+      |px AS (
+      |  SELECT d.doc_id, d.w, d.h, x.range AS x, y.range AS y
+      |  FROM dims d CROSS JOIN range(17) x CROSS JOIN range(15) y
+      |  WHERE x.range < d.w AND y.range < d.h)
+      |SELECT doc_id AS media_id, CAST(w AS INT) AS width,
+      |  CAST(h AS INT) AS height,
+      |  CAST(SUM((doc_id*31 + x*7 + y*13) % 256) AS BIGINT) AS sum_luma
+      |FROM px GROUP BY 1, 2, 3
       |ORDER BY media_id""".stripMargin
 }
