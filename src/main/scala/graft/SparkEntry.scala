@@ -73,6 +73,8 @@ object SparkEntry {
     "q59_preview_csv"      -> (CdcQueries.q59PreviewCsv _),
     "q60_reconcile"        -> (CdcQueries.q60Reconcile _),
     "q61_image_decode"     -> (PipelineQueries.q61ImageDecode _),
+    "q62_scale10_pricing"  -> (RelationalQueries.q62Scale10Pricing _),
+    "q63_catalog_roundtrip" -> (CdcQueries.q63CatalogRoundtrip _),
   )
 
   /** Headline queries the bench harness times (a subset of [[queries]]:
@@ -84,7 +86,7 @@ object SparkEntry {
     "q13_rollup",
     "q20_cdc_merge", "q21_latest_wins", "q26_props_extract",
     "q42_minhash_lsh", "q44_simsearch_brute", "q46_token_stats",
-    "q48_quality", "q50_simhash", "q51_multimodal")
+    "q48_quality", "q50_simhash", "q51_multimodal", "q62_scale10_pricing")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -140,5 +142,7 @@ object SparkEntry {
     "q59_preview_csv"      -> CdcQueries.q59PreviewCsvSql,
     "q60_reconcile"        -> CdcQueries.q60ReconcileSql,
     "q61_image_decode"     -> PipelineQueries.q61ImageDecodeSql,
+    "q62_scale10_pricing"  -> RelationalQueries.q62Scale10PricingSql,
+    "q63_catalog_roundtrip" -> CdcQueries.q63CatalogRoundtripSql,
   )
 }

@@ -205,10 +205,13 @@ object Dedup {
     try {
       val repIds = mapping.filter(col("doc") === col("rep"))
         .select(col("doc").as(idCol))
+      // one row per doc, consumed by banding + both pair-hydration joins —
+      // persist so normalize/tokenize/simhash runs once per doc
       val hashed = df.join(repIds, Seq(idCol), "left_semi")
         .select(col(idCol).as("doc"),
           TextOps.words(TextOps.normalized(col(textCol))).as("__w"))
         .select(col("doc"), expr("simhash64(__w)").as("h"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val banded = hashed.select(col("doc"),
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("band"),
@@ -227,6 +230,7 @@ object Dedup {
       // lazily — the quadratic member-level pair set is never buffered here
       val mapCk = mapping.localCheckpoint(true)
       val pairCk = repPairs.localCheckpoint(true)
+      hashed.unpersist(false) // fully consumed by the eager pairCk
       val within = mapCk.select(col("rep"), col("doc").as("doc_a"))
         .join(mapCk.select(col("rep"), col("doc").as("doc_b")), "rep")
         .filter(col("doc_a") < col("doc_b"))
@@ -274,22 +278,23 @@ object Dedup {
       // per distinct content), then expand to member-level pairs lazily —
       // the expansion is quadratic in exact-group size BY CONTRACT (it IS
       // the answer) and must stream out of joins, never sit in a buffer.
-      val mapCk = core.mapping.localCheckpoint(true)
-      val pairCk = core.repPairs.localCheckpoint(true)
-      val shingledCk = core.sizes.select(col("doc").as("rep"))
-        .localCheckpoint(true)
       // exact duplicates of a SHINGLED content are Jaccard-1.0 pairs (docs
-      // with no shingles never pair — matches the exact-Jaccard semantics)
-      val m = mapCk.join(shingledCk, "rep")
-      val within = m.select(col("rep"), col("doc").as("doc_a"))
-        .join(m.select(col("rep"), col("doc").as("doc_b")), "rep")
+      // with no shingles never pair — matches the exact-Jaccard semantics).
+      // Every doc referenced by repPairs has shingles, so ONE checkpointed
+      // frame (members of shingled groups) serves both expansions.
+      val mCk = core.mapping
+        .join(core.sizes.select(col("doc").as("rep")), "rep")
+        .localCheckpoint(true)
+      val pairCk = core.repPairs.localCheckpoint(true)
+      val within = mCk.select(col("rep"), col("doc").as("doc_a"))
+        .join(mCk.select(col("rep"), col("doc").as("doc_b")), "rep")
         .filter(col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b"), lit(1.0).as("jaccard"))
       // members inherit their canonical's matches with the identical
       // jaccard value (identical normalized text ⇒ identical shingle set)
       val cross = pairCk
-        .join(mapCk.select(col("rep").as("doc_a"), col("doc").as("a")), "doc_a")
-        .join(mapCk.select(col("rep").as("doc_b"), col("doc").as("b")), "doc_b")
+        .join(mCk.select(col("rep").as("doc_a"), col("doc").as("a")), "doc_a")
+        .join(mCk.select(col("rep").as("doc_b"), col("doc").as("b")), "doc_b")
         .select(least(col("a"), col("b")).as("doc_a"),
           greatest(col("a"), col("b")).as("doc_b"), col("jaccard"))
       within.unionByName(cross)
@@ -323,32 +328,55 @@ object Dedup {
     } finally core.release()
   }
 
-  /** Shared banded-LSH core over canonical representatives. `mapping` and
-    * `sh` are persisted; callers must materialize what they need eagerly
-    * and then call [[LshCore.release]]. */
-  private final case class LshCore(mapping: DataFrame, sh: DataFrame,
-      sizes: DataFrame, repPairs: DataFrame) {
-    def release(): Unit = { sh.unpersist(false); mapping.unpersist(false) }
+  /** Shared banded-LSH core over canonical representatives. `mapping`,
+    * `sh` and `sigs` are persisted; callers must materialize what they need
+    * eagerly and then call [[LshCore.release]]. */
+  private final case class LshCore(norm: DataFrame, mapping: DataFrame,
+      sh: DataFrame, sigs: DataFrame, sizes: DataFrame, repPairs: DataFrame) {
+    def release(): Unit = {
+      sigs.unpersist(false); sh.unpersist(false)
+      mapping.unpersist(false); norm.unpersist(false)
+    }
   }
 
   private def lshCore(df: DataFrame, idCol: String, textCol: String, n: Int,
       bands: Int, rowsPerBand: Int, threshold: Double,
       maxBucket: Int): LshCore = {
+    // ONE normalize pass over the corpus feeds both the fingerprint
+    // (exact-duplicate collapse) and the shingling — the regex-normalize
+    // chain is the per-row scan cost and must not run twice at 100 TB.
+    val norm = df
+      .select(col(idCol).as("doc"), TextOps.normalized(col(textCol)).as("__t"))
+      .filter(length(col("__t")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // exact-duplicate collapse first (see canonicalMapping): every stage
     // below sees one doc per distinct content
-    val mapping = canonicalMapping(df, idCol, textCol)
+    val fp = norm.select(col("doc"), md5(col("__t").cast("binary")).as("__fp"))
+    val canon = fp.groupBy(col("__fp")).agg(min(col("doc")).as("rep"))
+    val mapping = fp.join(canon, "__fp").select(col("doc"), col("rep"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val reps = df.join(
-      mapping.filter(col("doc") === col("rep")).select(col("doc").as(idCol)),
-      Seq(idCol), "left_semi")
+    val repsNorm = norm.join(
+      mapping.filter(col("doc") === col("rep")).select(col("doc")),
+      Seq("doc"), "left_semi")
 
     // The shingle set feeds three branches (signatures, candidate verify ×2).
     // Persist it spill-safely for the duration of THIS operator — no cache
     // entry outlives the call, and nothing assumes the shingles fit in
     // memory.
-    val sh = shingleRows(reps, idCol, textCol, n)
+    val sh = repsNorm
+      .select(col("doc"), TextOps.words(col("__t")).as("__w"))
+      .select(col("doc"),
+        explode(array_distinct(TextOps.wordShingles(col("__w"), n))).as("shingle"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // The signature aggregation (k hashes × every shingle) is the
+    // operator's dominant compute and feeds FOUR consumers: the bucket-cap
+    // guard (an eager separate job — no exchange reuse possible), both
+    // sides of the bucket self-join, and the estimate prefilter. Persist
+    // the result — ONE k-wide row per doc, linear and spill-safe — or the
+    // aggregation re-runs per consumer (measured 2.2× on the whole
+    // operator at sf0.1).
     val sigs = minHashSignatures(sh, bands * rowsPerBand)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // band signatures: pure projection over the wide signature row (no
     // shuffle), then unpivot to (doc, band, sig)
@@ -393,6 +421,6 @@ object Dedup {
         (col("na") + col("nb") - col("n_inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-    LshCore(mapping, sh, sizes, repPairs)
+    LshCore(norm, mapping, sh, sigs, sizes, repPairs)
   }
 }

@@ -680,6 +680,39 @@ object CdcQueries {
       |  SELECT 'unexpected' AS status, 's3://external/extra-file.json' AS uri)
       |ORDER BY status, uri""".stripMargin
 
+  // ---------------------------------------------------------------- q63
+  /** Catalog round-trip (`glue_catalog.py:1-107` + hive-sync
+    * `initial_load.py:168-174`): land the stream partitioned by event type,
+    * register the directory as an external catalog table, and answer a
+    * partition-filtered aggregate THROUGH the catalog (`spark.table`), so
+    * the scan prunes on catalog partitions. On a metastore-backed session
+    * ([[graft.catalog.LakeCatalog.sessionBuilder]]) the registration
+    * outlives the process — persistence itself is proven in
+    * LakeCatalogSpec. */
+  def q63CatalogRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import graft.catalog.LakeCatalog
+    val loc = Files.createTempDirectory("graft_q63_catalog").toString
+    events(s, dir)
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+      .write.partitionBy("event_type").mode("overwrite").parquet(loc)
+    LakeCatalog.registerParquet(s, "graft_lake", "events_by_type", loc,
+      partitionCols = Seq("event_type"))
+    LakeCatalog.readTable(s, "graft_lake", "events_by_type")
+      .where(col("event_type").isin("click", "purchase"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(12, 2))).cast("double").as("total_value"))
+      .orderBy("event_type")
+  }
+
+  val q63CatalogRoundtripSql: String =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      |FROM events
+      |WHERE event_type IN ('click', 'purchase')
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   // ---------------------------------------------------------------- q32
   /** J2/A5 — the source-vs-lake equality oracle as a diff-count query:
     * compare the stream against a copy with 1% of values perturbed. */

@@ -65,6 +65,41 @@ object RelationalQueries {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  // ---------------------------------------------------------------- q62
+  /** q1's pricing aggregation over a ×10 replicated lineitem — the bench's
+    * same-scale evidence that per-query fixed overhead (task scheduling,
+    * codegen) washes out as data grows: at the driver's sf0.1 this
+    * processes an sf1-equivalent ~6M rows through a real broadcast
+    * nested-loop expansion (10-row side broadcast; no shuffle added), and
+    * the identical SQL makes DuckDB do the same ×10 work. Replica id joins
+    * the group keys so neither engine can collapse the expansion. */
+  def q62Scale10Pricing(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val reps = s.range(10).select(col("id").as("rep"))
+    val dq = col("l_quantity").cast(dec12_2)
+    val dp = col("l_extendedprice").cast(dec12_2)
+    val dd = col("l_discount").cast(dec6_4)
+    val one = lit(1).cast(dec6_4)
+    li.filter(col("l_shipdate") <= lit("1998-09-02"))
+      .crossJoin(broadcast(reps))
+      .groupBy(col("l_returnflag"), col("l_linestatus"), col("rep"))
+      .agg(
+        sum(dq).cast("double").as("sum_qty"),
+        sum(dp * (one - dd)).cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus", "rep")
+  }
+
+  val q62Scale10PricingSql: String =
+    """SELECT l_returnflag, l_linestatus, r.range AS rep,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DOUBLE) AS sum_disc_price,
+      |  COUNT(*) AS count_order
+      |FROM lineitem CROSS JOIN range(10) r
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus, r.range
+      |ORDER BY l_returnflag, l_linestatus, rep""".stripMargin
+
   /** Selective filter + aggregate (TPC-H Q6 shape): the filter must reach
     * the parquet scan as PushedFilters so a 100 TB scan prunes row groups. */
   def q6Revenue(s: SparkSession, dir: String): DataFrame = {

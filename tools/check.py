@@ -35,14 +35,33 @@ def value_hash(df: pd.DataFrame) -> str:
     h = hashlib.md5()
     for col in df.columns:
         s = df[col]
+        # An int column holding NULLs arrives as float64/object on one side
+        # but int64 on the other (pandas nullability), which would hash with
+        # different type prefixes and report a false FAIL — normalize any
+        # all-integral numeric column (NULLs allowed) to nullable Int64
+        # first. Guarded so datetime/string/interval columns are untouched.
+        if not pd.api.types.is_integer_dtype(s) and (
+                pd.api.types.is_float_dtype(s) or s.dtype == object):
+            try:
+                # never coerce strings/bytes: "04" vs "4" must stay distinct
+                # (zero-padded partition values are compared as text)
+                textual = s.dropna().map(
+                    lambda v: isinstance(v, (str, bytes))).any()
+                coerced = pd.to_numeric(s, errors="coerce")
+                if not textual and coerced.notna().equals(s.notna()) and \
+                        coerced.dropna().astype(float).map(float.is_integer).all():
+                    s = coerced.astype("Int64")
+            except (TypeError, ValueError):
+                pass
         # NUL separator after every value: without it, adjacent values can
         # concatenate identically for different data ([1,111] vs [11,11])
         # and the gate would print a false PASS.
         if pd.api.types.is_integer_dtype(s):
-            s = s.astype("int64")
+            s = s.astype("Int64")
             h.update(b"int")
             for v in s.tolist():
-                h.update(str(v).encode() + b"\x00")
+                # NULL hashes explicitly, distinct from any real value
+                h.update((b"\xffNULL" if v is pd.NA else str(v).encode()) + b"\x00")
         elif pd.api.types.is_float_dtype(s):
             h.update(b"float")
             for v in s.tolist():
