@@ -69,19 +69,21 @@ object RelationalQueries {
   /** q1's pricing aggregation over a ×10 replicated lineitem — the bench's
     * same-scale evidence that per-query fixed overhead (task scheduling,
     * codegen) washes out as data grows: at the driver's sf0.1 this
-    * processes an sf1-equivalent ~6M rows through a real broadcast
-    * nested-loop expansion (10-row side broadcast; no shuffle added), and
-    * the identical SQL makes DuckDB do the same ×10 work. Replica id joins
-    * the group keys so neither engine can collapse the expansion. */
+    * processes an sf1-equivalent ~6M rows, and the identical SQL makes
+    * DuckDB do the same ×10 work. Replica id joins the group keys so
+    * neither engine can collapse the expansion. The replication is a
+    * GENERATOR (`explode(sequence)`), not a broadcast nested-loop join:
+    * GenerateExec stays inside the scan's whole-stage-codegen pipeline,
+    * while BNLJ breaks it and re-materializes every joined row (measured
+    * ~2× slower here). */
   def q62Scale10Pricing(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
-    val reps = s.range(10).select(col("id").as("rep"))
     val dq = col("l_quantity").cast(dec12_2)
     val dp = col("l_extendedprice").cast(dec12_2)
     val dd = col("l_discount").cast(dec6_4)
     val one = lit(1).cast(dec6_4)
     li.filter(col("l_shipdate") <= lit("1998-09-02"))
-      .crossJoin(broadcast(reps))
+      .withColumn("rep", explode(sequence(lit(0L), lit(9L))))
       .groupBy(col("l_returnflag"), col("l_linestatus"), col("rep"))
       .agg(
         sum(dq).cast("double").as("sum_qty"),
