@@ -92,28 +92,28 @@ final class KeyedLakeTable(spark: SparkSession, val spec: LakeTableSpec) {
     * latest-wins precombine, ties resolved for the incoming row
     * (`incremental.py:216-243`). */
   def upsert(df: DataFrame): Unit = {
-    // An empty batch is a legitimate no-op (CDC extractors emit empty
-    // files). It must not reach the write paths: an "overwrite" of nothing
-    // would leave a part-less directory whose later reads fail schema
-    // inference — a permanently poisoned table path.
-    if (df.isEmpty) return
-
-    // The pruned merge is only correct if a key's partitionSource never
-    // changes (`README.rst:124`). Enforce the half that is checkable at
-    // batch cost — two versions of one key with different partition values
-    // in the SAME batch — including for the bootstrap batch, so a
-    // violating key is rejected where it first enters the table. (A
-    // cross-batch violation cannot be detected without a by-key table
-    // scan; it remains a documented contract.)
-    val violations = df
+    // ONE guard pass over the batch (was two driver jobs in r2):
+    //  - an empty batch is a legitimate no-op (CDC extractors emit empty
+    //    files) and must not reach the write paths — an "overwrite" of
+    //    nothing would leave a part-less directory whose later reads fail
+    //    schema inference, a permanently poisoned table path;
+    //  - the pruned merge is only correct if a key's partitionSource never
+    //    changes (`README.rst:124`). Enforce the half that is checkable at
+    //    batch cost — two versions of one key with different partition
+    //    values in the SAME batch — including for the bootstrap batch, so
+    //    a violating key is rejected where it first enters the table. (A
+    //    cross-batch violation cannot be detected without a by-key table
+    //    scan; it remains a documented contract.)
+    val guard = df
       .groupBy(recordKeys.map(col): _*)
       .agg(countDistinct(col(partitionSource)).as("__n"))
-      .filter(col("__n") > 1)
-      .limit(1).collect()
-    require(violations.isEmpty,
-      s"KeyedLakeTable($path): record key ${violations.headOption} has " +
-        s"multiple $partitionSource values in one batch — the partition " +
-        "source must be immutable per key")
+      .agg(count(lit(1)).as("__keys"), coalesce(max(col("__n")), lit(0L)).as("__maxn"))
+      .head()
+    if (guard.getLong(0) == 0L) return // empty batch
+    require(guard.getLong(1) <= 1L,
+      s"KeyedLakeTable($path): some record key has multiple " +
+        s"$partitionSource values in one batch — the partition source " +
+        "must be immutable per key")
 
     if (!exists) { overwrite(df); return }
 

@@ -45,4 +45,27 @@ class PlanLintSpec extends AnyFunSuite with SparkSpec {
     assert(offenders.isEmpty,
       s"global windows found:\n${offenders.mkString("\n")}")
   }
+
+  test("no query plans an unhinted cartesian product") {
+    // CartesianProductExec shuffles |left|×|right| — every intentional
+    // cross join in the engine is broadcast (BroadcastNestedLoopJoin over
+    // a bounded side) or a generator; a CartesianProduct anywhere is a
+    // missing broadcast hint or a dropped join key.
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).filter {
+      case (_, q) =>
+        q(spark, sfDir).queryExecution.executedPlan.toString
+          .contains("CartesianProduct")
+    }.map(_._1)
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
+
+  test("selective filters reach the parquet scan as data filters (q6)") {
+    val plan = SparkEntry.queries("q6_revenue")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // The plan string truncates long PushedFilters lists (no closing
+    // bracket), so only anchor on the list start and the column name.
+    assert(plan.contains("PushedFilters: ["), s"no pushed filters:\n$plan")
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*l_shipdate.*"),
+      s"l_shipdate not pushed to the scan:\n$plan")
+  }
 }
