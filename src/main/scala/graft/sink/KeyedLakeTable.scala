@@ -92,6 +92,17 @@ final class KeyedLakeTable(spark: SparkSession, val spec: LakeTableSpec) {
     * latest-wins precombine, ties resolved for the incoming row
     * (`incremental.py:216-243`). */
   def upsert(df: DataFrame): Unit = {
+    // The batch feeds three actions (guard, touched-partition collect, the
+    // merge write). Persist it so the batch SOURCE — possibly a remote
+    // decompress-heavy read — is scanned once, not once per action; batches
+    // are bounded, so the cache is batch-sized by the same argument as the
+    // checkpoint below.
+    val batch = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try upsertPersisted(batch)
+    finally batch.unpersist(false)
+  }
+
+  private def upsertPersisted(df: DataFrame): Unit = {
     // ONE guard pass over the batch (was two driver jobs in r2):
     //  - an empty batch is a legitimate no-op (CDC extractors emit empty
     //    files) and must not reach the write paths — an "overwrite" of
