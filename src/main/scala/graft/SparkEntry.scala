@@ -75,6 +75,7 @@ object SparkEntry {
     "q61_image_decode"     -> (PipelineQueries.q61ImageDecode _),
     "q62_scale10_pricing"  -> (RelationalQueries.q62Scale10Pricing _),
     "q63_catalog_roundtrip" -> (CdcQueries.q63CatalogRoundtrip _),
+    "q64_scale10_join"     -> (RelationalQueries.q64Scale10Join _),
   )
 
   /** Headline queries the bench harness times (a subset of [[queries]]:
@@ -86,7 +87,8 @@ object SparkEntry {
     "q13_rollup",
     "q20_cdc_merge", "q21_latest_wins", "q26_props_extract",
     "q42_minhash_lsh", "q44_simsearch_brute", "q46_token_stats",
-    "q48_quality", "q50_simhash", "q51_multimodal", "q62_scale10_pricing")
+    "q48_quality", "q50_simhash", "q51_multimodal", "q62_scale10_pricing",
+    "q64_scale10_join")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -144,5 +146,6 @@ object SparkEntry {
     "q61_image_decode"     -> PipelineQueries.q61ImageDecodeSql,
     "q62_scale10_pricing"  -> RelationalQueries.q62Scale10PricingSql,
     "q63_catalog_roundtrip" -> CdcQueries.q63CatalogRoundtripSql,
+    "q64_scale10_join"     -> RelationalQueries.q64Scale10JoinSql,
   )
 }

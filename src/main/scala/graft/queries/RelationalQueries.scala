@@ -102,6 +102,39 @@ object RelationalQueries {
       |GROUP BY l_returnflag, l_linestatus, r.range
       |ORDER BY l_returnflag, l_linestatus, rep""".stripMargin
 
+  // ---------------------------------------------------------------- q64
+  /** ×10-replicated lineitem joined to orders — the JOIN-side counterpart
+    * of q62's aggregation scale evidence. The dimension side is projected
+    * to two columns and explicitly broadcast (a few MB at any bench sf), so
+    * the 10× fact stream joins map-side inside the scan's codegen pipeline
+    * with NO shuffle of the replicated rows; the only exchange carries 50
+    * groups. This is the plan shape a 100 TB fact⋈dim join must keep: the
+    * fact side never moves. The replica id is in the group keys so neither
+    * engine can collapse the expansion. */
+  def q64Scale10Join(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .withColumn("rep", explode(sequence(lit(0L), lit(9L))))
+    val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+    li.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"), col("rep"))
+      .agg(
+        sum(col("l_extendedprice").cast(dec12_2) *
+            (lit(1).cast(dec6_4) - col("l_discount").cast(dec6_4)))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("o_orderpriority", "rep")
+  }
+
+  val q64Scale10JoinSql: String =
+    """SELECT o_orderpriority, r.range AS rep,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |CROSS JOIN range(10) r
+      |GROUP BY o_orderpriority, r.range
+      |ORDER BY o_orderpriority, rep""".stripMargin
+
   /** Selective filter + aggregate (TPC-H Q6 shape): the filter must reach
     * the parquet scan as PushedFilters so a 100 TB scan prunes row groups. */
   def q6Revenue(s: SparkSession, dir: String): DataFrame = {

@@ -59,6 +59,14 @@ class PlanLintSpec extends AnyFunSuite with SparkSpec {
     assert(offenders.isEmpty, s"cartesian products in: $offenders")
   }
 
+  test("the x10 fact join broadcasts the dim side — the fact rows never shuffle (q64)") {
+    val plan = SparkEntry.queries("q64_scale10_join")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"dim side not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"fact side shuffled through a sort-merge join:\n$plan")
+  }
+
   test("selective filters reach the parquet scan as data filters (q6)") {
     val plan = SparkEntry.queries("q6_revenue")(spark, sfDir)
       .queryExecution.executedPlan.toString
