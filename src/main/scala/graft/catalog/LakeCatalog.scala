@@ -74,6 +74,24 @@ object LakeCatalog {
   def deleteTableIfExists(spark: SparkSession, db: String, table: String): Unit =
     spark.sql(s"DROP TABLE IF EXISTS `$db`.`$table`")
 
+  /** Identifiers are emitted inside backticks and the location inside a
+    * single-quoted SQL string literal; rather than invent an escaping
+    * scheme, reject the characters that could terminate either early
+    * (ADVICE r3 — an unescaped quote in `location` breaks the DDL). */
+  private def validated(kind: String, value: String, illegal: Seq[Char]): String = {
+    require(value.nonEmpty, s"LakeCatalog: empty $kind")
+    illegal.filter(value.contains(_)) match {
+      case Seq() => value
+      case bad => throw new IllegalArgumentException(
+        s"LakeCatalog: $kind '$value' contains unsupported character(s) " +
+          bad.map(c => s"'$c'").mkString(", "))
+    }
+  }
+  private def ident(kind: String, value: String): String =
+    validated(kind, value, Seq('`', '\'', '\n', '\r', ';'))
+  private def loc(value: String): String =
+    validated("location", value, Seq('\'', '\\', '\n', '\r'))
+
   /** Register a lake directory as an external table — the catalog half of
     * the reference's hive-sync on write (`initial_load.py:168-174`: Hudi's
     * `hive_sync` creates/updates the Glue table for the lake path).
@@ -82,11 +100,21 @@ object LakeCatalog {
     * partition columns are declared STRING (the lake's partition scheme is
     * zero-padded strings — see `KeyedLakeTable.normalizeParts`), and
     * `recoverPartitions` imports the existing directory tree into catalog
-    * partitions so partition pruning is metadata-only from then on. */
+    * partitions so partition pruning is metadata-only from then on.
+    *
+    * Re-registration builds the replacement under a staged name first —
+    * schema inference and partition recovery (the slow, failure-prone
+    * steps) complete before the old table is touched, so concurrent
+    * readers only race a drop+rename of metadata, not a full rebuild
+    * (plain `CREATE OR REPLACE` needs a v2 catalog; the session catalog
+    * is v1). */
   def registerParquet(spark: SparkSession, db: String, table: String,
       location: String, partitionCols: Seq[String] = Nil): Unit = {
+    ident("database", db); ident("table", table); loc(location)
+    partitionCols.foreach(ident("partition column", _))
     createDatabase(spark, db)
-    deleteTableIfExists(spark, db, table)
+    val staged = s"${table}__staged"
+    deleteTableIfExists(spark, db, staged)
     val full = spark.read.parquet(location).schema
     val dataCols = StructType(
       full.filterNot(f => partitionCols.contains(f.name)))
@@ -95,12 +123,14 @@ object LakeCatalog {
       else partitionCols.map(c => s"`$c` STRING")
         .mkString("PARTITIONED BY (", ", ", ")")
     spark.sql(
-      s"""CREATE TABLE `$db`.`$table` (${dataCols.toDDL})
+      s"""CREATE TABLE `$db`.`$staged` (${dataCols.toDDL})
          |USING PARQUET
          |$partDdl
          |LOCATION '$location'""".stripMargin)
     if (partitionCols.nonEmpty)
-      spark.catalog.recoverPartitions(s"`$db`.`$table`")
+      spark.catalog.recoverPartitions(s"`$db`.`$staged`")
+    deleteTableIfExists(spark, db, table)
+    spark.sql(s"ALTER TABLE `$db`.`$staged` RENAME TO `$db`.`$table`")
   }
 
   /** Convenience read-back through the catalog (plan-time pruning against

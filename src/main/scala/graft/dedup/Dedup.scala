@@ -23,6 +23,28 @@ object Dedup {
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
+  /** Per-session recall-loss metric: total over-cap buckets dropped by the
+    * banded paths since the session started. Registered as a named Spark
+    * accumulator (visible in the UI / metrics sinks on a real cluster) and
+    * readable here, so callers can detect reduced near-dup recall
+    * programmatically instead of scraping logs (ADVICE r3). Weak keys: a
+    * retired session releases its counter. */
+  private val droppedAcc =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+        org.apache.spark.util.LongAccumulator]())
+  def droppedBuckets(spark: org.apache.spark.sql.SparkSession): Long =
+    Option(droppedAcc.get(spark)).map(_.value.longValue).getOrElse(0L)
+  private def dropCounter(spark: org.apache.spark.sql.SparkSession) =
+    droppedAcc.synchronized {
+      var acc = droppedAcc.get(spark)
+      if (acc == null) {
+        acc = spark.sparkContext.longAccumulator("graft.dedup.droppedBuckets")
+        droppedAcc.put(spark, acc)
+      }
+      acc
+    }
+
   /** Exact duplicate groups: canonical id + member count per fingerprint.
     * One hash-shuffle; partial aggregation makes the map side emit one row
     * per (partition, fingerprint). */
@@ -59,22 +81,29 @@ object Dedup {
 
   /** Candidate pairs from same-(band, sig) buckets as a capped SELF-JOIN —
     * never `collect_set`: a bucket must not live in one aggregation buffer
-    * (the r2 OOM vector). Buckets larger than `maxBucket` are dropped with
-    * a loud log line — after exact-duplicate collapse such a bucket means
-    * `maxBucket` DISTINCT contents collide on one band signature, which is
-    * a recall-vs-survival trade the operator must not make silently. */
+    * (the r2 OOM vector). Buckets larger than `maxBucket` are dropped —
+    * after exact-duplicate collapse such a bucket means `maxBucket`
+    * DISTINCT contents collide on one band signature, which is a
+    * recall-vs-survival trade the operator must not make silently: every
+    * drop increments [[droppedBuckets]], and `strict = true` fails the job
+    * instead (ADVICE r3). */
   private[graft] def bucketPairs(bandSigs: DataFrame, maxBucket: Int,
-      tag: String): DataFrame = {
+      tag: String, strict: Boolean = false): DataFrame = {
     val bucketCounts = bandSigs.groupBy(col("band"), col("sig"))
       .agg(count(lit(1)).as("__n"))
     val over = bucketCounts.filter(col("__n") > maxBucket)
       .agg(count(lit(1)).as("buckets"),
         coalesce(max(col("__n")), lit(0L)).as("largest"))
       .head()
-    if (over.getLong(0) > 0)
-      log.warn(s"$tag: dropping ${over.getLong(0)} bucket(s) larger than " +
+    if (over.getLong(0) > 0) {
+      val msg = s"$tag: ${over.getLong(0)} bucket(s) larger than " +
         s"$maxBucket docs (largest=${over.getLong(1)}); near-dup recall for " +
-        "their members is reduced — raise maxBucket or pre-filter boilerplate")
+        "their members is reduced — raise maxBucket or pre-filter boilerplate"
+      if (strict) throw new IllegalStateException(
+        s"$msg (strictBuckets=true fails instead of dropping)")
+      dropCounter(bandSigs.sparkSession).add(over.getLong(0))
+      log.warn(s"$msg (dropping; see Dedup.droppedBuckets)")
+    }
     val ok = bucketCounts
       .filter(col("__n") > 1 && col("__n") <= maxBucket)
       .select(col("band"), col("sig"))
@@ -194,7 +223,8 @@ object Dedup {
     * are reconstructed afterwards: identical docs are Hamming-0 near-dups
     * of each other and inherit their canonical's matches. */
   def simHashNearDup(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int, maxBucket: Int = 10000): DataFrame = {
+      maxHamming: Int, maxBucket: Int = 10000,
+      strictBuckets: Boolean = false): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"maxHamming=$maxHamming: 4 bands of 16 bits guarantee candidate " +
         "generation only for Hamming distance <= 3 (pigeonhole); a larger " +
@@ -218,7 +248,7 @@ object Dedup {
             shiftright(col("h"), b * 16).bitwiseAND(lit(0xFFFFL)).as("sig"))): _*))
           .as("bs"))
         .select(col("doc"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-      val repPairs = bucketPairs(banded, maxBucket, "simHashNearDup")
+      val repPairs = bucketPairs(banded, maxBucket, "simHashNearDup", strictBuckets)
         .join(hashed.select(col("doc").as("doc_a"), col("h").as("h_a")), "doc_a")
         .join(hashed.select(col("doc").as("doc_b"), col("h").as("h_b")), "doc_b")
         .select(col("doc_a"), col("doc_b"),
@@ -269,9 +299,9 @@ object Dedup {
     */
   def minHashLsh(df: DataFrame, idCol: String, textCol: String, n: Int,
       bands: Int, rowsPerBand: Int, threshold: Double,
-      maxBucket: Int = 10000): DataFrame = {
+      maxBucket: Int = 10000, strictBuckets: Boolean = false): DataFrame = {
     val core = lshCore(df, idCol, textCol, n, bands, rowsPerBand, threshold,
-      maxBucket)
+      maxBucket, strictBuckets)
     try {
       // checkpoint the LINEAR frames eagerly (mapping: one row per doc;
       // repPairs: near-dup pairs among distinct contents; shingled: one row
@@ -309,9 +339,9 @@ object Dedup {
     * Use this, not the pair API, to dedup a duplicate-heavy corpus. */
   def nearDupDedup(df: DataFrame, idCol: String, textCol: String, n: Int,
       bands: Int, rowsPerBand: Int, threshold: Double,
-      maxBucket: Int = 10000): DataFrame = {
+      maxBucket: Int = 10000, strictBuckets: Boolean = false): DataFrame = {
     val core = lshCore(df, idCol, textCol, n, bands, rowsPerBand, threshold,
-      maxBucket)
+      maxBucket, strictBuckets)
     try {
       val shingledReps = core.sizes.select(col("doc").as("rep"))
       val dupMembers = core.mapping.join(shingledReps, "rep")
@@ -341,7 +371,7 @@ object Dedup {
 
   private def lshCore(df: DataFrame, idCol: String, textCol: String, n: Int,
       bands: Int, rowsPerBand: Int, threshold: Double,
-      maxBucket: Int): LshCore = {
+      maxBucket: Int, strictBuckets: Boolean = false): LshCore = {
     // ONE normalize pass over the corpus feeds both the fingerprint
     // (exact-duplicate collapse) and the shingling — the regex-normalize
     // chain is the per-row scan cost and must not run twice at 100 TB.
@@ -391,7 +421,7 @@ object Dedup {
       .select(col("doc"), col("bs.band").as("band"), col("bs.sig").as("sig"))
 
     // same-band buckets → capped, bufferless candidate pairs
-    val candidates = bucketPairs(bandSigs, maxBucket, "minHashLsh")
+    val candidates = bucketPairs(bandSigs, maxBucket, "minHashLsh", strictBuckets)
 
     // stage-1 verify: signature-estimate prefilter (projection-only)
     val k = bands * rowsPerBand

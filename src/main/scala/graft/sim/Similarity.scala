@@ -113,30 +113,65 @@ object Similarity {
     centroids
   }
 
-  /** Assign every corpus vector to its nearest centroid (IVF build step) as
-    * a pure NARROW projection: the centroid set (tiny by construction) is
-    * collected once and inlined as an array literal, so assignment is a
-    * per-row argmax over that array — no join, no shuffle, no window. At
-    * 100 TB this runs at scan speed. Requires a numeric id column (the
-    * `cluster` values are the centroid ids; ties go to the smaller id). */
+  /** Assign every corpus vector to its nearest centroid (IVF build step).
+    *
+    * Up to `inlineLimit` centroids (the k-means regime), the centroid set
+    * is collected once and inlined as an array literal, so assignment is a
+    * pure NARROW per-row argmax over that array — no join, no shuffle, no
+    * window; at 100 TB this runs at scan speed. Above the limit the inlined
+    * literal would bloat every task's serialized plan/codegen (ADVICE r3),
+    * so assignment falls back to a broadcast nested-loop join + per-id
+    * argmax window — one bounded shuffle on the (unique) corpus id.
+    *
+    * Requires a numeric id column: ids are cast to long for the `cluster`
+    * values (a null or non-castable id fails loudly here, not as an NPE
+    * mid-collect); ties go to the smaller centroid id on both paths. */
   def assignClusters(corpus: DataFrame, centroids: DataFrame,
-      idCol: String, embCol: String): DataFrame = {
-    val centRows = centroids
+      idCol: String, embCol: String, inlineLimit: Int = 1024): DataFrame = {
+    val centPrepped = centroids
       .select(col(idCol).cast("long").as("cid"),
         transform(col(embCol), x => x.cast("double")).as("emb"))
       .withColumn("nrm", l2Norm(col("emb")))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+    val centRows = centPrepped.limit(inlineLimit + 1).collect()
     require(centRows.nonEmpty, "assignClusters: empty centroid set")
-    val centLit = typedlit(centRows)
-    val scored = transform(centLit, c =>
-      struct(
-        (dot(col(embCol), c.getField("_2")) /
-          (col("__norm") * c.getField("_3"))).as("sim"),
-        (-c.getField("_1")).as("negid")))
-    corpus.withColumn("__norm", l2Norm(col(embCol)))
-      .withColumn("cluster", -array_max(scored).getField("negid"))
-      .drop("__norm")
+    centRows.zipWithIndex.foreach { case (r, i) =>
+      require(!r.isNullAt(0),
+        s"assignClusters: centroid #$i has a null/non-numeric '$idCol' — " +
+          "centroid ids must cast cleanly to long")
+      require(!r.isNullAt(1) && !r.isNullAt(2),
+        s"assignClusters: centroid #$i has a null '$embCol'")
+    }
+    if (centRows.length <= inlineLimit) {
+      val centLit = typedlit(centRows
+        .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2))))
+      val scored = transform(centLit, c =>
+        struct(
+          (dot(col(embCol), c.getField("_2")) /
+            (col("__norm") * c.getField("_3"))).as("sim"),
+          (-c.getField("_1")).as("negid")))
+      corpus.withColumn("__norm", l2Norm(col(embCol)))
+        .withColumn("cluster", -array_max(scored).getField("negid"))
+        .drop("__norm")
+    } else {
+      // broadcast path: the guard above only saw the first inlineLimit+1
+      // rows, so re-assert the id contract distributedly
+      val cent = centPrepped.withColumn("cid",
+        coalesce(col("cid"), raise_error(lit(
+          s"assignClusters: null/non-numeric centroid '$idCol' — centroid " +
+            "ids must cast cleanly to long"))))
+        .select(col("cid").as("__cid"), col("emb").as("__cemb"),
+          col("nrm").as("__cnrm"))
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("__sim").desc, col("__cid"))
+      corpus.withColumn("__norm", l2Norm(col(embCol)))
+        .crossJoin(broadcast(cent))
+        .withColumn("__sim",
+          dot(col(embCol), col("__cemb")) / (col("__norm") * col("__cnrm")))
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") === 1)
+        .withColumn("cluster", col("__cid"))
+        .drop("__norm", "__cid", "__cemb", "__cnrm", "__sim", "__rk")
+    }
   }
 
   /** Approximate top-k: probe the `nProbe` clusters nearest to each query,

@@ -121,10 +121,23 @@ final class KeyedLakeTable(spark: SparkSession, val spec: LakeTableSpec) {
       .agg(count(lit(1)).as("__keys"), coalesce(max(col("__n")), lit(0L)).as("__maxn"))
       .head()
     if (guard.getLong(0) == 0L) return // empty batch
-    require(guard.getLong(1) <= 1L,
-      s"KeyedLakeTable($path): some record key has multiple " +
-        s"$partitionSource values in one batch — the partition source " +
-        "must be immutable per key")
+    if (guard.getLong(1) > 1L) {
+      // failure path only: one extra pass to name a violating key in the
+      // error (ADVICE r3 — the folded guard had stopped reporting it),
+      // costing nothing when the batch is valid
+      val offender = df
+        .groupBy(recordKeys.map(col): _*)
+        .agg(countDistinct(col(partitionSource)).as("__n"))
+        .filter(col("__n") > 1)
+        .limit(1).collect().headOption
+        .map(r => recordKeys.zipWithIndex
+          .map { case (k, i) => s"$k=${r.get(i)}" }.mkString(", "))
+        .getOrElse("<batch changed between guard and report>")
+      throw new IllegalArgumentException(
+        s"KeyedLakeTable($path): record key ($offender) has multiple " +
+          s"$partitionSource values in one batch — the partition source " +
+          "must be immutable per key")
+    }
 
     if (!exists) { overwrite(df); return }
 

@@ -69,6 +69,29 @@ class LakeCatalogSpec extends AnyFunSuite with SparkSpec {
     LakeCatalog.deleteDatabaseIfExists(spark, db)
   }
 
+  test("registerParquet validates identifiers/location and re-registers via staged swap") {
+    val db = "graft_cat_safe"
+    LakeCatalog.deleteDatabaseIfExists(spark, db)
+    val loc = tmpDir("cat-safe")
+    Seq((1L, "a")).toDF("id", "v").write.mode("overwrite").parquet(loc)
+    // a quote would terminate the LOCATION literal early — reject, not mangle
+    intercept[IllegalArgumentException] {
+      LakeCatalog.registerParquet(spark, db, "t", loc + "'; DROP TABLE x --")
+    }
+    intercept[IllegalArgumentException] {
+      LakeCatalog.registerParquet(spark, db, "bad`name", loc)
+    }
+    LakeCatalog.registerParquet(spark, db, "t", loc)
+    // re-registration: new location wins, no staged leftover in the catalog
+    val loc2 = tmpDir("cat-safe2")
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+      .write.mode("overwrite").parquet(loc2)
+    LakeCatalog.registerParquet(spark, db, "t", loc2)
+    assert(LakeCatalog.readTable(spark, db, "t").count() === 3)
+    assert(spark.catalog.listTables(db).count() === 1)
+    LakeCatalog.deleteDatabaseIfExists(spark, db)
+  }
+
   test("KeyedLakeTable.registerInCatalog publishes the lake table persistently") {
     val db = "graft_cat_lake"
     LakeCatalog.deleteDatabaseIfExists(spark, db)

@@ -68,6 +68,27 @@ class DedupScaleSpec extends AnyFunSuite with SparkSpec {
     assert(uncapped.count() === 100L * 99 / 2 + 1)
   }
 
+  test("dropped buckets are countable programmatically; strict mode fails instead") {
+    val bandSigs = ((1 to 100).map(i => (0, 7L, i.toLong)) ++
+      Seq((1, 8L, 201L), (1, 8L, 202L)))
+      .toDF("band", "sig", "doc")
+    val before = Dedup.droppedBuckets(spark)
+    Dedup.bucketPairs(bandSigs, maxBucket = 10, "test")
+    assert(Dedup.droppedBuckets(spark) === before + 1)
+    val e = intercept[IllegalStateException] {
+      Dedup.bucketPairs(bandSigs, maxBucket = 10, "test", strict = true)
+    }
+    assert(e.getMessage.contains("larger than 10"))
+    // strict threads through the public near-dup APIs: the planted corpus
+    // near-dups DO collide in bands, so a cap of 1 must fail loudly
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    intercept[IllegalStateException] {
+      Dedup.minHashLsh(d, "doc_id", "text", n = 2,
+        bands = 16, rowsPerBand = 8, threshold = 0.9,
+        maxBucket = 1, strictBuckets = true)
+    }
+  }
+
   test("empty and punctuation-only docs never pair (degenerate-bucket guard)") {
     val df = Seq((1L, ""), (2L, ""), (3L, "!!! ???"), (4L, "--- ---"),
       (5L, "real content with several words here"))

@@ -99,6 +99,28 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
       s"assignment should be narrow:\n$plan")
   }
 
+  test("broadcast-path cluster assignment equals the inlined-literal path") {
+    val df = (0L until 100L).map(i =>
+      (i, Array.fill(8)((i % 7).toFloat + 1f + (i % 3) * 0.1f)))
+      .toDF("vec_id", "embedding")
+    val centroids = Similarity.kmeansCentroids(df, "vec_id", "embedding", 6)
+    def assign(limit: Int) =
+      Similarity.assignClusters(df, centroids, "vec_id", "embedding", limit)
+        .select("vec_id", "cluster").as[(Long, Long)].collect().toMap
+    // inlineLimit=2 < 6 centroids forces the broadcast fallback; same answer
+    assert(assign(limit = 1024) === assign(limit = 2))
+  }
+
+  test("assignClusters rejects null centroid ids with a clear error") {
+    val df = Seq((1L, Array(1f, 2f))).toDF("vec_id", "embedding")
+    val cents = Seq((Option.empty[Long], Array(1f, 0f)),
+      (Some(7L), Array(0f, 1f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.assignClusters(df, cents, "vec_id", "embedding")
+    }
+    assert(e.getMessage.contains("cast cleanly to long"))
+  }
+
   test("simhash64 resolves via SparkSessionExtensions injection alone") {
     // TestSpark builds its session withExtensions(GraftExtensions) and this
     // test deliberately does NOT call GraftFunctions.register.

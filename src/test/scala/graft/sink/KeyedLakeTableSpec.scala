@@ -156,7 +156,9 @@ class KeyedLakeTableSpec extends AnyFunSuite with SparkSpec {
         "2024-02-01T00:00:05.000000+0000", "fuel", 1, 0, "moved"),
       Workload.Txn("k1", "a1", "2024-03-01T00:00:01.000000+0000",
         "2024-03-01T00:00:06.000000+0000", "fuel", 1, 0, "moved-again")).toDF()
-    assertThrows[IllegalArgumentException](table.upsert(bad))
+    val e = intercept[IllegalArgumentException](table.upsert(bad))
+    // the error names the offending key (ADVICE r3: debuggable rejections)
+    assert(e.getMessage.contains("id=k1"), e.getMessage)
   }
 
   test("an empty first batch is a no-op, not a poisoned table path") {

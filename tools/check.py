@@ -32,23 +32,39 @@ def value_hash(df: pd.DataFrame) -> str:
     # hugeint->float64 failed q12 in r1). Mirror that: coerce ints to int64,
     # format floats with %.9g, hash everything else by repr.
     import hashlib
+    import numbers
     h = hashlib.md5()
     for col in df.columns:
         s = df[col]
+        # Booleans hash as their own type class on BOTH sides: a bool-dtype
+        # column on one side vs Python bools in an object column on the
+        # other must agree (they coerced asymmetrically before — ADVICE r3).
+        vals = s.dropna()
+        if pd.api.types.is_bool_dtype(s) or (
+                s.dtype == object and len(vals)
+                and vals.map(lambda v: isinstance(v, bool)).all()):
+            h.update(b"bool")
+            for v in s.astype("boolean").tolist():
+                h.update((b"\xffNULL" if v is pd.NA else str(v).encode())
+                         + b"\x00")
+            continue
         # An int column holding NULLs arrives as float64/object on one side
         # but int64 on the other (pandas nullability), which would hash with
         # different type prefixes and report a false FAIL — normalize any
         # all-integral numeric column (NULLs allowed) to nullable Int64
-        # first. Guarded so datetime/string/interval columns are untouched.
+        # first. Only genuine ints/floats coerce: strings/bytes must stay
+        # text ("04" vs "4" distinct), bools are handled above, and Decimal
+        # must NOT round-trip through float64 (precision loss beyond 2^53
+        # could mint a false PASS — ADVICE r3); Decimal is not a
+        # numbers.Real so the isinstance guard excludes it.
         if not pd.api.types.is_integer_dtype(s) and (
                 pd.api.types.is_float_dtype(s) or s.dtype == object):
             try:
-                # never coerce strings/bytes: "04" vs "4" must stay distinct
-                # (zero-padded partition values are compared as text)
-                textual = s.dropna().map(
-                    lambda v: isinstance(v, (str, bytes))).any()
+                coercible = vals.map(
+                    lambda v: isinstance(v, numbers.Real)
+                    and not isinstance(v, bool)).all()
                 coerced = pd.to_numeric(s, errors="coerce")
-                if not textual and coerced.notna().equals(s.notna()) and \
+                if coercible and coerced.notna().equals(s.notna()) and \
                         coerced.dropna().astype(float).map(float.is_integer).all():
                     s = coerced.astype("Int64")
             except (TypeError, ValueError):
