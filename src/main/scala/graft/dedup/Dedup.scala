@@ -210,6 +210,66 @@ object Dedup {
     df.join(dropSet, Seq(idCol), "left_anti")
   }
 
+  /** Duplicate-cluster identification: connected components over a near-dup
+    * pair set, labeling every document with the smallest doc id in its
+    * component — the step that turns pairwise similarity into dedup groups
+    * when clusters chain (A~B, B~C but not A~C), where the greedy pairwise
+    * policy of [[dedupCorpus]] can over- or under-drop.
+    *
+    * Scale shape: iterative min-label propagation with POINTER JUMPING —
+    * each round a node takes the min label over itself and its neighbors
+    * (one shuffle join + partial-agg min), then compresses paths by jumping
+    * to its label's label (a self-join on the linear labels frame). The
+    * jump makes convergence O(log diameter) instead of O(diameter), so even
+    * adversarial chain-shaped corpora finish in a handful of rounds; real
+    * boilerplate clusters (near-cliques) converge in 2. Per-round state is
+    * one (node, label) row per distinct doc in the pair set — linear,
+    * checkpointed eagerly so the loop's lineage stays flat.
+    *
+    * Input must be (doc_a, doc_b [, ...]) pairs; returns (doc, cluster)
+    * for every doc that appears in at least one pair (singletons are their
+    * own trivial cluster and are omitted, matching the pair-set domain). */
+  def connectedComponents(pairs: DataFrame, maxIterations: Int = 25): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var labels = edges.select(col("u").as("node")).distinct()
+        .select(col("node"), col("node").as("label"))
+        .localCheckpoint(true)
+      var it = 0
+      var done = false
+      while (!done && it < maxIterations) {
+        val nbr = edges
+          .join(labels.select(col("node").as("v"), col("label")), "v")
+          .groupBy(col("u").as("node")).agg(min(col("label")).as("nlabel"))
+        val hooked = labels.join(nbr, Seq("node"), "left")
+          .select(col("node"),
+            least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        // pointer jump: label := label(label); labels only ever point at
+        // other nodes in the frame, so the self-join always resolves
+        val jumped = hooked
+          .join(hooked.select(col("node").as("label"), col("label").as("ll")),
+            Seq("label"), "left")
+          .select(col("node"), coalesce(col("ll"), col("label")).as("label"))
+          .localCheckpoint(true)
+        done = jumped
+          .join(labels.withColumnRenamed("label", "old"), "node")
+          .filter(col("label") =!= col("old"))
+          .isEmpty
+        labels = jumped
+        it += 1
+      }
+      if (!done) throw new IllegalStateException(
+        s"connectedComponents: no fixpoint after $maxIterations rounds — " +
+          "with pointer jumping this needs a component of diameter " +
+          "> 2^iterations; raise maxIterations")
+      labels.select(col("node").as("doc"), col("label").as("cluster"))
+    } finally edges.unpersist(false)
+  }
+
   /** SimHash near-dup: hash every doc with the simhash64 expression, bucket
     * by each of the four 16-bit bands (the standard pigeonhole: hamming ≤ 3
     * guarantees at least one of 4 bands equal), candidate pairs from
