@@ -105,16 +105,28 @@ object LakeCatalog {
     * Re-registration builds the replacement under a staged name first —
     * schema inference and partition recovery (the slow, failure-prone
     * steps) complete before the old table is touched, so concurrent
-    * readers only race a drop+rename of metadata, not a full rebuild
-    * (plain `CREATE OR REPLACE` needs a v2 catalog; the session catalog
-    * is v1). */
+    * readers only race metadata renames, not a full rebuild (plain
+    * `CREATE OR REPLACE` needs a v2 catalog; the session catalog is v1).
+    * The swap itself is retire-then-promote (ADVICE r4 — the old
+    * drop+rename left NO table behind if the rename failed after the
+    * drop): the current table is renamed aside, the staged one promoted,
+    * and only then is the retired one dropped; a failed promotion rolls
+    * the retired table back, so at every step either the old or the new
+    * table is queryable under `table`. The `__staged`/`__retired`
+    * suffixes are reserved — user tables named that way are rejected
+    * rather than silently clobbered. */
   def registerParquet(spark: SparkSession, db: String, table: String,
       location: String, partitionCols: Seq[String] = Nil): Unit = {
     ident("database", db); ident("table", table); loc(location)
     partitionCols.foreach(ident("partition column", _))
+    require(!table.endsWith("__staged") && !table.endsWith("__retired"),
+      s"LakeCatalog: table name '$table' uses a reserved swap suffix " +
+        "(__staged/__retired)")
     createDatabase(spark, db)
     val staged = s"${table}__staged"
+    val retired = s"${table}__retired"
     deleteTableIfExists(spark, db, staged)
+    deleteTableIfExists(spark, db, retired)
     val full = spark.read.parquet(location).schema
     val dataCols = StructType(
       full.filterNot(f => partitionCols.contains(f.name)))
@@ -129,8 +141,28 @@ object LakeCatalog {
          |LOCATION '$location'""".stripMargin)
     if (partitionCols.nonEmpty)
       spark.catalog.recoverPartitions(s"`$db`.`$staged`")
-    deleteTableIfExists(spark, db, table)
-    spark.sql(s"ALTER TABLE `$db`.`$staged` RENAME TO `$db`.`$table`")
+    val hadOld = spark.catalog.tableExists(s"`$db`.`$table`")
+    if (hadOld)
+      spark.sql(s"ALTER TABLE `$db`.`$table` RENAME TO `$db`.`$retired`")
+    try spark.sql(s"ALTER TABLE `$db`.`$staged` RENAME TO `$db`.`$table`")
+    catch {
+      case e: Throwable =>
+        val oldState =
+          if (!hadOld) "no previous table existed"
+          else try {
+            spark.sql(s"ALTER TABLE `$db`.`$retired` RENAME TO `$db`.`$table`")
+            "previous table restored"
+          } catch {
+            case rollback: Throwable =>
+              e.addSuppressed(rollback)
+              s"previous table stranded at `$db`.`$retired`"
+          }
+        throw new IllegalStateException(
+          s"LakeCatalog: promoting `$db`.`$staged` to `$db`.`$table` " +
+            s"failed ($oldState; replacement metadata left at " +
+            s"`$db`.`$staged` for recovery)", e)
+    }
+    deleteTableIfExists(spark, db, retired)
   }
 
   /** Convenience read-back through the catalog (plan-time pruning against

@@ -228,7 +228,22 @@ object Dedup {
     *
     * Input must be (doc_a, doc_b [, ...]) pairs; returns (doc, cluster)
     * for every doc that appears in at least one pair (singletons are their
-    * own trivial cluster and are omitted, matching the pair-set domain). */
+    * own trivial cluster and are omitted, matching the pair-set domain).
+    * Superseded per-round checkpoints are unpersisted as soon as the next
+    * round lands (ADVICE r4 — they otherwise pile up one corpus-sized
+    * cache per round until GC); the RETURNED frame is itself backed by the
+    * final checkpoint, whose blocks are freed by the context cleaner once
+    * the caller drops the frame. */
+  /** Free the cached blocks behind an eagerly-localCheckpointed frame.
+    * `Dataset.unpersist` only consults the cache manager, which never saw
+    * a checkpoint; the blocks belong to the underlying `LogicalRDD`'s RDD,
+    * so unpersist that directly. A frame that is not a checkpoint (no
+    * LogicalRDD at the root) is left untouched. */
+  private def unpersistLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+    }.foreach(_.unpersist(blocking = false))
+
   def connectedComponents(pairs: DataFrame, maxIterations: Int = 25): DataFrame = {
     val edges = pairs
       .select(col("doc_a").as("u"), col("doc_b").as("v"))
@@ -259,6 +274,9 @@ object Dedup {
           .join(labels.withColumnRenamed("label", "old"), "node")
           .filter(col("label") =!= col("old"))
           .isEmpty
+        // `jumped` is materialized past `labels` now (eager checkpoint +
+        // the eager isEmpty above) — free the superseded round's blocks
+        unpersistLocalCheckpoint(labels)
         labels = jumped
         it += 1
       }

@@ -115,17 +115,22 @@ object Similarity {
 
   /** Assign every corpus vector to its nearest centroid (IVF build step).
     *
-    * Up to `inlineLimit` centroids (the k-means regime), the centroid set
-    * is collected once and inlined as an array literal, so assignment is a
-    * pure NARROW per-row argmax over that array — no join, no shuffle, no
-    * window; at 100 TB this runs at scan speed. Above the limit the inlined
-    * literal would bloat every task's serialized plan/codegen (ADVICE r3),
-    * so assignment falls back to a broadcast nested-loop join + per-id
-    * argmax window — one bounded shuffle on the (unique) corpus id.
+    * Both regimes are the SAME per-row narrow argmax over the full centroid
+    * array — no join key, no shuffle, no window — so every corpus row
+    * (duplicate or null ids included) gets exactly one assignment and the
+    * output cardinality is continuous across the regime boundary (ADVICE
+    * r4: the old fallback's per-id window silently collapsed duplicate-id
+    * rows). What changes above `inlineLimit` is only HOW the array reaches
+    * the executors: up to the limit it is collected once and inlined as a
+    * literal; past it an inlined literal would bloat every task's
+    * serialized plan/codegen (ADVICE r3), so the array travels as a
+    * one-row broadcast frame (collect_list of the centroid set) cross-
+    * joined in — one broadcast exchange, still no shuffle of the corpus.
     *
-    * Requires a numeric id column: ids are cast to long for the `cluster`
-    * values (a null or non-castable id fails loudly here, not as an NPE
-    * mid-collect); ties go to the smaller centroid id on both paths. */
+    * Requires numeric centroid ids: ids are cast to long for the `cluster`
+    * values, and a null/non-castable id or null embedding fails loudly on
+    * both paths (the collect-side require below inline, a distributed
+    * raise_error beyond it); ties go to the smaller centroid id. */
   def assignClusters(corpus: DataFrame, centroids: DataFrame,
       idCol: String, embCol: String, inlineLimit: Int = 1024): DataFrame = {
     val centPrepped = centroids
@@ -141,36 +146,41 @@ object Similarity {
       require(!r.isNullAt(1) && !r.isNullAt(2),
         s"assignClusters: centroid #$i has a null '$embCol'")
     }
-    if (centRows.length <= inlineLimit) {
-      val centLit = typedlit(centRows
-        .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2))))
-      val scored = transform(centLit, c =>
+    // argmax over array<struct<_1:cid,_2:emb,_3:nrm>>: array_max orders by
+    // (sim, -cid), so ties resolve to the smaller centroid id
+    def nearest(cents: Column): Column = {
+      val scored = transform(cents, c =>
         struct(
           (dot(col(embCol), c.getField("_2")) /
             (col("__norm") * c.getField("_3"))).as("sim"),
           (-c.getField("_1")).as("negid")))
+      -array_max(scored).getField("negid")
+    }
+    if (centRows.length <= inlineLimit) {
+      val centLit = typedlit(centRows
+        .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2))))
       corpus.withColumn("__norm", l2Norm(col(embCol)))
-        .withColumn("cluster", -array_max(scored).getField("negid"))
+        .withColumn("cluster", nearest(centLit))
         .drop("__norm")
     } else {
-      // broadcast path: the guard above only saw the first inlineLimit+1
-      // rows, so re-assert the id contract distributedly
-      val cent = centPrepped.withColumn("cid",
-        coalesce(col("cid"), raise_error(lit(
-          s"assignClusters: null/non-numeric centroid '$idCol' — centroid " +
-            "ids must cast cleanly to long"))))
-        .select(col("cid").as("__cid"), col("emb").as("__cemb"),
-          col("nrm").as("__cnrm"))
-      val w = Window.partitionBy(col(idCol))
-        .orderBy(col("__sim").desc, col("__cid"))
+      // the collect-side guard above only saw the first inlineLimit+1 rows,
+      // so re-assert the whole contract (id AND embedding/norm nullity)
+      // distributedly before folding the set into one broadcast row
+      def asserted(c: Column, what: String): Column =
+        coalesce(c, raise_error(lit(
+          s"assignClusters: centroid with a null/non-numeric $what — " +
+            "centroid ids must cast cleanly to long and embeddings be " +
+            "non-null")))
+      val centArr = centPrepped
+        .select(struct(
+          asserted(col("cid"), s"'$idCol'").as("_1"),
+          asserted(col("emb"), s"'$embCol'").as("_2"),
+          asserted(col("nrm"), s"norm('$embCol')").as("_3")).as("c"))
+        .agg(collect_list(col("c")).as("__cents"))
       corpus.withColumn("__norm", l2Norm(col(embCol)))
-        .crossJoin(broadcast(cent))
-        .withColumn("__sim",
-          dot(col(embCol), col("__cemb")) / (col("__norm") * col("__cnrm")))
-        .withColumn("__rk", row_number().over(w))
-        .filter(col("__rk") === 1)
-        .withColumn("cluster", col("__cid"))
-        .drop("__norm", "__cid", "__cemb", "__cnrm", "__sim", "__rk")
+        .crossJoin(broadcast(centArr))
+        .withColumn("cluster", nearest(col("__cents")))
+        .drop("__norm", "__cents")
     }
   }
 

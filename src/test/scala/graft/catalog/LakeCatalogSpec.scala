@@ -89,6 +89,14 @@ class LakeCatalogSpec extends AnyFunSuite with SparkSpec {
     LakeCatalog.registerParquet(spark, db, "t", loc2)
     assert(LakeCatalog.readTable(spark, db, "t").count() === 3)
     assert(spark.catalog.listTables(db).count() === 1)
+    // swap suffixes are reserved — a user table named that way would have
+    // been silently dropped by the next re-registration (ADVICE r4)
+    intercept[IllegalArgumentException] {
+      LakeCatalog.registerParquet(spark, db, "t__staged", loc)
+    }
+    intercept[IllegalArgumentException] {
+      LakeCatalog.registerParquet(spark, db, "t__retired", loc)
+    }
     LakeCatalog.deleteDatabaseIfExists(spark, db)
   }
 

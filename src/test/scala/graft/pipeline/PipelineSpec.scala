@@ -111,6 +111,22 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(assign(limit = 1024) === assign(limit = 2))
   }
 
+  test("duplicate/null corpus ids survive assignment on both paths (ADVICE r4)") {
+    // 3 distinct embeddings but only 2 ids (7 twice) plus a null id: every
+    // input ROW must come back with an assignment regardless of id
+    // uniqueness — the old broadcast fallback's per-id window kept one
+    val df = Seq((Some(7L), Array(1f, 0f)), (Some(7L), Array(0f, 1f)),
+      (Option.empty[Long], Array(1f, 1f))).toDF("vec_id", "embedding")
+    val cents = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    def assign(limit: Int) =
+      Similarity.assignClusters(df, cents, "vec_id", "embedding", limit)
+        .select("cluster").as[Long].collect().sorted.toSeq
+    val inline = assign(limit = 1024)
+    assert(inline.length === 3, s"a corpus row was dropped: $inline")
+    assert(inline === assign(limit = 1), "paths disagree on duplicate ids")
+  }
+
   test("assignClusters rejects null centroid ids with a clear error") {
     val df = Seq((1L, Array(1f, 2f))).toDF("vec_id", "embedding")
     val cents = Seq((Option.empty[Long], Array(1f, 0f)),

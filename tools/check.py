@@ -33,16 +33,21 @@ def value_hash(df: pd.DataFrame) -> str:
     # format floats with %.9g, hash everything else by repr.
     import hashlib
     import numbers
+
+    import numpy as np
     h = hashlib.md5()
     for col in df.columns:
         s = df[col]
         # Booleans hash as their own type class on BOTH sides: a bool-dtype
-        # column on one side vs Python bools in an object column on the
-        # other must agree (they coerced asymmetrically before — ADVICE r3).
+        # column on one side vs Python/numpy bools in an object column on
+        # the other must agree (they coerced asymmetrically before — ADVICE
+        # r3; np.bool_ is not a bool subclass NOR a numbers.Real, so it
+        # must be matched explicitly here or it falls through to repr
+        # hashing — ADVICE r4).
         vals = s.dropna()
         if pd.api.types.is_bool_dtype(s) or (
                 s.dtype == object and len(vals)
-                and vals.map(lambda v: isinstance(v, bool)).all()):
+                and vals.map(lambda v: isinstance(v, (bool, np.bool_))).all()):
             h.update(b"bool")
             for v in s.astype("boolean").tolist():
                 h.update((b"\xffNULL" if v is pd.NA else str(v).encode())
@@ -62,7 +67,7 @@ def value_hash(df: pd.DataFrame) -> str:
             try:
                 coercible = vals.map(
                     lambda v: isinstance(v, numbers.Real)
-                    and not isinstance(v, bool)).all()
+                    and not isinstance(v, (bool, np.bool_))).all()
                 coerced = pd.to_numeric(s, errors="coerce")
                 if coercible and coerced.notna().equals(s.notna()) and \
                         coerced.dropna().astype(float).map(float.is_integer).all():
