@@ -188,14 +188,24 @@ object Dedup {
     * is map-side partial, so the shuffle carries one `numHashes`-wide row
     * per doc per partition — O(docs), not O(shingles × numHashes). (The
     * naive explode-by-hash-index shape shuffles 32× the shingle count and
-    * was measured 3× slower end-to-end.) */
+    * was measured 3× slower end-to-end.)
+    *
+    * Hashing is TWO-LEVEL: the variable-length shingle string is hashed
+    * once (`__h0`), and the k family members re-hash only that 8-byte
+    * long. One string pass instead of k makes the operator's dominant
+    * compute ~k× cheaper per shingle byte at identical collision quality
+    * (seeded xxhash64 over a 64-bit value is still a strong universal
+    * family — the standard minhash construction); the projection is
+    * materialized BEFORE the aggregate so it cannot be re-evaluated per
+    * aggregate expression. */
   def minHashSignatures(shingles: DataFrame, numHashes: Int): DataFrame =
     shingles
+      .select(col("doc"), xxhash64(col("shingle")).as("__h0"))
       .groupBy(col("doc"))
       .agg(
-        min(xxhash64(lit(0), col("shingle"))).as("m0"),
+        min(xxhash64(lit(0), col("__h0"))).as("m0"),
         (1 until numHashes).map(i =>
-          min(xxhash64(lit(i), col("shingle"))).as(s"m$i")): _*)
+          min(xxhash64(lit(i), col("__h0"))).as(s"m$i")): _*)
 
   /** The user-facing dedup END state: the corpus with near-duplicates
     * removed. Policy: for every similar pair, the larger id is dropped
