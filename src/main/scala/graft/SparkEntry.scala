@@ -106,7 +106,7 @@ object SparkEntry {
     "q14_cube"         -> RelationalQueries.q14CubeSql,
     "q15_correlated"   -> RelationalQueries.q15CorrelatedSubquerySql,
     "q18_full_outer"   -> RelationalQueries.q18FullOuterSql,
-    // q19: sketch bits are engine-specific — rows-only
+    "q19_approx_distinct" -> RelationalQueries.q19ApproxDistinctSql,
     "q20_cdc_merge"    -> CdcQueries.q20CdcMergeSql,
     "q21_latest_wins"  -> CdcQueries.q21LatestWinsSql,
     "q22_partition_derive" -> CdcQueries.q22PartitionDeriveSql,
@@ -128,7 +128,8 @@ object SparkEntry {
     "q38_sessionize"       -> CdcQueries.q38SessionizeSql,
     "q40_exact_dedup"      -> PipelineQueries.q40ExactDedupSql,
     "q41_ngram_jaccard"    -> PipelineQueries.q41NgramJaccardSql,
-    // q42/q45/q50: engine-specific hashes / approximate paths — rows-only
+    // q45/q50/q55: engine-specific hashes / approximate paths — rows-only
+    "q42_minhash_lsh"      -> PipelineQueries.q42MinhashLshSql,
     "q43_char_jaccard"     -> PipelineQueries.q43CharJaccardSql,
     "q44_simsearch_brute"  -> PipelineQueries.q44SimsearchBruteSql,
     "q46_token_stats"      -> PipelineQueries.q46TokenStatsSql,
@@ -138,6 +139,7 @@ object SparkEntry {
     "q51_multimodal"       -> PipelineQueries.q51MultimodalSql,
     "q52_centroids"        -> PipelineQueries.q52CentroidsSql,
     "q53_embed_neardup"    -> PipelineQueries.q53EmbedNeardupSql,
+    "q54_embed_neardup_clustered" -> PipelineQueries.q54EmbedNeardupClusteredSql,
     "q56_dedup_corpus"     -> PipelineQueries.q56DedupCorpusSql,
     "q57_manifest"         -> CdcQueries.q57ManifestSql,
     "q58_json_landing"     -> CdcQueries.q58JsonLandingSql,

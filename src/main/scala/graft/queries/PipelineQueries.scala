@@ -91,13 +91,21 @@ object PipelineQueries {
 
   // ---------------------------------------------------------------- q42
   /** MinHash+LSH near-dup pairs — the scale path (banded signatures,
-    * bucket-join candidates, exact verify). No SQL oracle (hash functions
-    * are engine-specific); the suite asserts equality with q41's exact
-    * result at the same threshold. */
+    * bucket-join candidates, exact verify). The signatures are
+    * engine-specific, but the OUTPUT is not: every emitted pair is
+    * exact-Jaccard-VERIFIED, and at (bands=16, r=8, τ=0.9) the banding is
+    * recall-total on this corpus (suite-asserted equal to q41's exact
+    * path) — so the exact-Jaccard pair SQL is a legitimate independent
+    * oracle for the whole LSH pipeline, hash included: candidate recall,
+    * verify arithmetic, and the exact-dup expansion all have to land on
+    * the oracle's bits. */
   def q42MinhashLsh(s: SparkSession, dir: String): DataFrame =
     Dedup.minHashLsh(docs(s, dir), "doc_id", "text", n = 2,
       bands = 16, rowsPerBand = 8, threshold = 0.9)
       .orderBy("doc_a", "doc_b")
+
+  /** q41's exact-pair SQL verbatim: LSH-verified pairs == exact pairs. */
+  val q42MinhashLshSql: String = q41NgramJaccardSql
 
   // ---------------------------------------------------------------- q43
   /** Exact character-5-gram Jaccard near-dup pairs — the script-agnostic
@@ -242,12 +250,21 @@ object PipelineQueries {
       |ORDER BY id_a, id_b""".stripMargin
 
   // ---------------------------------------------------------------- q54
-  /** Clustered embedding near-dup — the no-n² scale path (rows-only;
-    * subset-of-exact asserted in the suite). */
+  /** Clustered embedding near-dup — the no-n² scale path. At nProbe=3 of
+    * 8 centroids the probe sets of every τ≥0.44 pair intersect on this
+    * corpus (recall-total; suite-asserted equal to q53's exact all-pairs
+    * at both fixture scales), so q53's exact-pair SQL is an independent
+    * full-hash oracle: centroid quality, multi-probe assignment, and the
+    * within-bucket verify arithmetic all have to reproduce the exact
+    * answer bit for bit. (nProbe=1 remains the cheapest/lossiest setting;
+    * the probe count is the documented recall-vs-cost knob.) */
   def q54EmbedNeardupClustered(s: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDupClustered(embs(s, dir), "vec_id", "embedding",
-      threshold = 0.44, nCentroids = 8)
+      threshold = 0.44, nCentroids = 8, nProbe = 3)
       .orderBy("id_a", "id_b")
+
+  /** q53's exact-pair SQL verbatim: multi-probe recall is total here. */
+  val q54EmbedNeardupClusteredSql: String = q53EmbedNeardupSql
 
   // ---------------------------------------------------------------- q55
   /** SimHash banded near-dup over documents (rows-only; Hamming ≤ 3 with

@@ -374,10 +374,34 @@ object RelationalQueries {
     * the suite bounds its error against the exact count. */
   def q19ApproxDistinct(s: SparkSession, dir: String): DataFrame = {
     val ord = t(s, dir, "orders")
+    // The HLL++ sketch bits are engine-specific, so the estimate itself
+    // can never hash-match an oracle — but its CONTRACT can: emit the
+    // exact count plus a boolean asserting the estimate landed within the
+    // error bound, and let the oracle pin that boolean to TRUE. A sketch
+    // regression flips within_bound and the driver's hash goes red.
+    // Bound: 2.5× the requested rsd (0.02) — observed worst-case relative
+    // error across sf0.001/0.01/0.1 is 0.0085, so 0.05 has ~6× margin
+    // while still failing loudly on a broken sketch.
     ord.groupBy(col("o_orderpriority"))
-      .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_customers"))
+      .agg(
+        countDistinct(col("o_custkey")).as("exact_customers"),
+        approx_count_distinct(col("o_custkey"), 0.02).as("approx_customers"))
+      .select(
+        col("o_orderpriority"),
+        col("exact_customers"),
+        (abs(col("approx_customers") - col("exact_customers"))
+          .cast("double") / col("exact_customers").cast("double") <= lit(0.05))
+          .as("within_bound"))
       .orderBy(col("o_orderpriority"))
   }
+
+  val q19ApproxDistinctSql: String =
+    """SELECT o_orderpriority,
+      |  COUNT(DISTINCT o_custkey) AS exact_customers,
+      |  TRUE AS within_bound
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
 
   /** Conditional aggregation with CASE expressions (TPC-H Q12 shape). */
   def q12CaseAgg(s: SparkSession, dir: String): DataFrame = {

@@ -69,12 +69,22 @@ object Similarity {
   /** Embedding-cosine near-dup at scale: centroid-bucket the corpus once,
     * generate candidate pairs only WITHIN a bucket, exact-verify those.
     * Cost O(n·C) for assignment + Σ(bucket²) for pairs — no global n²
-    * stage. Approximate: a pair split across buckets is missed (raise
-    * nProbe-style multi-assignment if that matters). */
+    * stage (expected pair cost ~ (nProbe²/C)·n²; pick C ≈ √n at scale so
+    * the whole operator is ~n^1.5).
+    *
+    * `nProbe` is the recall knob: each vector joins its `nProbe` nearest
+    * buckets ([[assignClustersMulti]]), so a pair survives if the two
+    * top-probe sets intersect anywhere. nProbe=1 is the cheapest/lossiest
+    * (a pair split across bucket boundaries is missed); on the corpus's
+    * planted-cluster embeddings nProbe=3 of 8 centroids is recall-TOTAL at
+    * τ=0.44 (suite-asserted equal to [[cosinePairsExact]], and driver-
+    * oracled against the exact-pair SQL as q54). A pair sharing several
+    * probed buckets is deduplicated; cosine is recomputed bit-identically
+    * on every copy so `distinct` is exact. */
   def cosineNearDupClustered(corpus: DataFrame, idCol: String, embCol: String,
-      threshold: Double, nCentroids: Int): DataFrame = {
+      threshold: Double, nCentroids: Int, nProbe: Int = 1): DataFrame = {
     val centroids = kmeansCentroids(corpus, idCol, embCol, nCentroids)
-    val assigned = assignClusters(corpus, centroids, idCol, embCol)
+    val assigned = assignClustersMulti(corpus, centroids, idCol, embCol, nProbe)
       .select(col(idCol).as("id"), col(embCol).as("e"), col("cluster"))
       .withColumn("nrm", l2Norm(col("e")))
     val a = assigned.select(col("cluster"), col("id").as("id_a"),
@@ -86,6 +96,7 @@ object Similarity {
       .withColumn("cosine", cosine(col("e_a"), col("e_b"), col("n_a"), col("n_b")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
+      .distinct()
   }
 
   /** Data-aware deterministic centroids: seed with a spread hash-sample of
@@ -132,7 +143,57 @@ object Similarity {
     * both paths (the collect-side require below inline, a distributed
     * raise_error beyond it); ties go to the smaller centroid id. */
   def assignClusters(corpus: DataFrame, centroids: DataFrame,
-      idCol: String, embCol: String, inlineLimit: Int = 1024): DataFrame = {
+      idCol: String, embCol: String, inlineLimit: Int = 1024): DataFrame =
+    // argmax over array<struct<_1:cid,_2:emb,_3:nrm>>: array_max orders by
+    // (sim, -cid), so ties resolve to the smaller centroid id
+    withCentroidArray(corpus, centroids, idCol, embCol, inlineLimit) { cents =>
+      -array_max(scoredCentroids(cents, embCol)).getField("negid")
+    }.withColumnRenamed("__res", "cluster")
+
+  /** Multi-probe assignment: one output row per (corpus row, probed
+    * cluster), `nProbe` nearest centroids each. The recall knob for
+    * [[cosineNearDupClustered]] — same two shipping regimes and the same
+    * narrow per-row evaluation as [[assignClusters]] (a per-row
+    * sort-by-similarity replaces the argmax; O(C log C) per row). Ties
+    * resolve toward smaller centroid ids, so the probe set is
+    * deterministic. */
+  def assignClustersMulti(corpus: DataFrame, centroids: DataFrame,
+      idCol: String, embCol: String, nProbe: Int,
+      inlineLimit: Int = 1024): DataFrame = {
+    require(nProbe >= 1, s"assignClustersMulti: nProbe must be >= 1, got $nProbe")
+    withCentroidArray(corpus, centroids, idCol, embCol, inlineLimit) { cents =>
+      // ascending (sim, negid) sort ⇒ the last nProbe entries are the top
+      // probes, ties to the smaller centroid id
+      transform(slice(array_sort(scoredCentroids(cents, embCol)), -nProbe, nProbe),
+        s => -s.getField("negid"))
+    }.withColumn("cluster", explode(col("__res"))).drop("__res")
+  }
+
+  /** (sim, -cid) score structs for every centroid in `cents`, against the
+    * current row's `embCol` (expects `__norm` bound by the caller). */
+  private def scoredCentroids(cents: Column, embCol: String): Column =
+    transform(cents, c =>
+      struct(
+        (dot(col(embCol), c.getField("_2")) /
+          (col("__norm") * c.getField("_3"))).as("sim"),
+        (-c.getField("_1")).as("negid")))
+
+  /** Broadcast-path ceiling on total centroid payload (count × dim double
+    * elements). One collect_list row materializes the whole set on the
+    * driver and per-executor, so past ~2^27 elements (~1 GiB of vector
+    * data) fail loudly with guidance instead of an opaque executor OOM. */
+  private[graft] val broadcastCentroidElemCap: Long = 1L << 27
+
+  /** Shared centroid-array plumbing for [[assignClusters]] /
+    * [[assignClustersMulti]]: validates the centroid contract, binds
+    * `__norm` on the corpus, ships the prepped centroid array either as an
+    * inline literal (≤ inlineLimit rows) or as a one-row broadcast, and
+    * evaluates `result` (a per-row expression over the array) as `__res`.
+    * No join key, no shuffle of the corpus on either path. */
+  private[graft] def withCentroidArray(corpus: DataFrame, centroids: DataFrame,
+      idCol: String, embCol: String, inlineLimit: Int,
+      broadcastElemCap: Long = broadcastCentroidElemCap)
+      (result: Column => Column): DataFrame = {
     val centPrepped = centroids
       .select(col(idCol).cast("long").as("cid"),
         transform(col(embCol), x => x.cast("double")).as("emb"))
@@ -146,26 +207,25 @@ object Similarity {
       require(!r.isNullAt(1) && !r.isNullAt(2),
         s"assignClusters: centroid #$i has a null '$embCol'")
     }
-    // argmax over array<struct<_1:cid,_2:emb,_3:nrm>>: array_max orders by
-    // (sim, -cid), so ties resolve to the smaller centroid id
-    def nearest(cents: Column): Column = {
-      val scored = transform(cents, c =>
-        struct(
-          (dot(col(embCol), c.getField("_2")) /
-            (col("__norm") * c.getField("_3"))).as("sim"),
-          (-c.getField("_1")).as("negid")))
-      -array_max(scored).getField("negid")
-    }
     if (centRows.length <= inlineLimit) {
       val centLit = typedlit(centRows
         .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2))))
       corpus.withColumn("__norm", l2Norm(col(embCol)))
-        .withColumn("cluster", nearest(centLit))
+        .withColumn("__res", result(centLit))
         .drop("__norm")
     } else {
       // the collect-side guard above only saw the first inlineLimit+1 rows,
-      // so re-assert the whole contract (id AND embedding/norm nullity)
-      // distributedly before folding the set into one broadcast row
+      // so count + re-assert the whole contract distributedly before
+      // folding the set into one broadcast row — and refuse payloads that
+      // would silently blow the broadcast/row-size ceiling (VERDICT r5)
+      val dim = centRows.head.getSeq[Double](1).length
+      val total = centPrepped.count()
+      require(total * dim.toLong <= broadcastElemCap,
+        s"assignClusters: centroid payload $total rows × $dim dims = " +
+          s"${total * dim.toLong} double elements exceeds the one-row " +
+          s"broadcast ceiling ($broadcastElemCap). Reduce the " +
+          "centroid count/dimension, or shard the assignment (e.g. " +
+          "coarse-quantize first and assign within shards).")
       def asserted(c: Column, what: String): Column =
         coalesce(c, raise_error(lit(
           s"assignClusters: centroid with a null/non-numeric $what — " +
@@ -179,7 +239,7 @@ object Similarity {
         .agg(collect_list(col("c")).as("__cents"))
       corpus.withColumn("__norm", l2Norm(col(embCol)))
         .crossJoin(broadcast(centArr))
-        .withColumn("cluster", nearest(col("__cents")))
+        .withColumn("__res", result(col("__cents")))
         .drop("__norm", "__cents")
     }
   }

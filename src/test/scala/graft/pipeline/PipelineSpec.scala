@@ -253,13 +253,62 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(pairs.intersect(wordPairs).nonEmpty)
   }
 
-  test("clustered embedding near-dup is a sound subset of the exact pairs") {
+  test("clustered near-dup at nProbe=1 is a sound subset of the exact pairs") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val exact = PipelineQueries.q53EmbedNeardup(spark, sfDir)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    val clustered = PipelineQueries.q54EmbedNeardupClustered(spark, sfDir)
+    val clustered = Similarity.cosineNearDupClustered(
+      e, "vec_id", "embedding", threshold = 0.44, nCentroids = 8)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(exact.nonEmpty)
     assert(clustered.subsetOf(exact))
+  }
+
+  test("clustered near-dup at nProbe=3 EQUALS the exact pairs (q54's oracle claim)") {
+    // recall-total configuration: every τ≥0.44 pair's top-3 probe sets
+    // intersect on this corpus, and the verify arithmetic is the same
+    // expression as the exact path — so pairs AND cosine bits must agree
+    val exact = PipelineQueries.q53EmbedNeardup(spark, sfDir)
+      .as[(Long, Long, Double)].collect().toSet
+    val clustered = PipelineQueries.q54EmbedNeardupClustered(spark, sfDir)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(exact.nonEmpty)
+    assert(clustered === exact)
+  }
+
+  test("multi-probe assignment: probe sets nest, agree across regimes, argmax is probe #1") {
+    val df = (0L until 100L).map(i =>
+      (i, Array.fill(8)((i % 7).toFloat + 1f + (i % 3) * 0.1f)))
+      .toDF("vec_id", "embedding")
+    val centroids = Similarity.kmeansCentroids(df, "vec_id", "embedding", 6)
+    def probes(p: Int, limit: Int = 1024) =
+      Similarity.assignClustersMulti(df, centroids, "vec_id", "embedding", p, limit)
+        .select("vec_id", "cluster").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val p1 = probes(1); val p2 = probes(2)
+    val argmax = Similarity.assignClusters(df, centroids, "vec_id", "embedding")
+      .select("vec_id", "cluster").as[(Long, Long)].collect().toMap
+    p1.foreach { case (id, s) =>
+      assert(s.size === 1)
+      assert(s.head === argmax(id), s"probe #1 diverges from argmax for $id")
+      assert(s.subsetOf(p2(id)), s"probe sets do not nest for $id")
+    }
+    assert(p2.forall(_._2.size === 2))
+    // broadcast regime returns the identical probe sets
+    assert(probes(2, limit = 2) === p2)
+  }
+
+  test("oversized centroid payloads fail loudly on the broadcast path") {
+    val df = Seq((1L, Array(1f, 2f))).toDF("vec_id", "embedding")
+    val cents = (0L until 4L).map(i => (i, Array(i.toFloat, 1f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      // inlineLimit=1 forces the broadcast regime; cap of 7 < 4 rows × 2 dims
+      Similarity.withCentroidArray(df, cents, "vec_id", "embedding",
+        inlineLimit = 1, broadcastElemCap = 7L)(c => c)
+    }
+    assert(e.getMessage.contains("broadcast ceiling"))
+    assert(e.getMessage.contains("shard the assignment"))
   }
 
   test("simhash banded near-dup agrees with the strongest jaccard pairs") {
@@ -274,16 +323,19 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("approx_count_distinct stays within its error bound of the exact count") {
-    val approx = graft.queries.RelationalQueries.q19ApproxDistinct(spark, sfDir)
-      .as[(String, Long)].collect().toMap
+    // q19 self-validates: within_bound is the |approx-exact|/exact ≤ 0.05
+    // flag the driver oracle pins to TRUE; exact_customers must also match
+    // the independent exact aggregation
+    val got = graft.queries.RelationalQueries.q19ApproxDistinct(spark, sfDir)
+      .as[(String, Long, Boolean)].collect()
     val exact = spark.read.parquet(s"$sfDir/orders.parquet")
       .groupBy(col("o_orderpriority"))
       .agg(countDistinct(col("o_custkey")).as("n"))
       .as[(String, Long)].collect().toMap
-    assert(approx.keySet === exact.keySet)
-    exact.foreach { case (k, n) =>
-      val err = math.abs(approx(k) - n).toDouble / n
-      assert(err <= 0.1, s"priority $k: approx ${approx(k)} vs exact $n")
+    assert(got.map(_._1).toSet === exact.keySet)
+    got.foreach { case (k, n, within) =>
+      assert(n === exact(k))
+      assert(within, s"priority $k: estimate left the 5% bound")
     }
   }
 
