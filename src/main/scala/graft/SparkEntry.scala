@@ -76,6 +76,7 @@ object SparkEntry {
     "q62_scale10_pricing"  -> (RelationalQueries.q62Scale10Pricing _),
     "q63_catalog_roundtrip" -> (CdcQueries.q63CatalogRoundtrip _),
     "q64_scale10_join"     -> (RelationalQueries.q64Scale10Join _),
+    "q65_audio_decode"     -> (PipelineQueries.q65AudioDecode _),
   )
 
   /** Headline queries the bench harness times (a subset of [[queries]]:
@@ -149,5 +150,6 @@ object SparkEntry {
     "q62_scale10_pricing"  -> RelationalQueries.q62Scale10PricingSql,
     "q63_catalog_roundtrip" -> CdcQueries.q63CatalogRoundtripSql,
     "q64_scale10_join"     -> RelationalQueries.q64Scale10JoinSql,
+    "q65_audio_decode"     -> PipelineQueries.q65AudioDecodeSql,
   )
 }

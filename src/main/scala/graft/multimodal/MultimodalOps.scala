@@ -7,14 +7,15 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, plus the Spark-side plumbing of a decode /
   * feature-extraction stage.
   *
-  * IMAGE decode is REAL — see [[ImageOps]], which runs the JDK's bundled
-  * `javax.imageio` codecs through this same batched pipeline shape. The
-  * stub below remains only for codecs the JVM does not ship (video/audio):
-  * a deterministic fake that consumes real bytes and produces a real
-  * feature row, keeping the Spark-level contract — binary schema, one
-  * iterator pass per partition, frame-offset arithmetic, narrow output —
-  * tested. Swapping it for a JNI/FFmpeg call changes one function body,
-  * not the pipeline.
+  * IMAGE decode is REAL — see [[ImageOps]] (JDK `javax.imageio`). AUDIO
+  * decode is REAL — see [[AudioOps]] (JDK `javax.sound.sampled`, WAV/PCM).
+  * Both run through this same batched pipeline shape. The stub below
+  * remains only for VIDEO, the one modality the JVM ships no codec for: a
+  * deterministic fake that consumes real bytes and produces a real feature
+  * row, keeping the Spark-level contract — binary schema, one iterator
+  * pass per partition, frame-offset arithmetic, narrow output — tested.
+  * Swapping it for a JNI/FFmpeg call changes one function body, not the
+  * pipeline.
   */
 object MultimodalOps {
 

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.dedup.Dedup
 import graft.functions.GraftFunctions
-import graft.multimodal.{ImageOps, MultimodalOps}
+import graft.multimodal.{AudioOps, ImageOps, MultimodalOps}
 import graft.sim.Similarity
 import graft.text.TextOps
 
@@ -463,5 +463,39 @@ object PipelineQueries {
       |  CAST(h AS INT) AS height,
       |  CAST(SUM((doc_id*31 + x*7 + y*13) % 256) AS BIGINT) AS sum_luma
       |FROM px GROUP BY 1, 2, 3
+      |ORDER BY media_id""".stripMargin
+
+  // ---------------------------------------------------------------- q65
+  /** REAL audio decode through the JDK WAV/PCM codec: one deterministic
+    * 16-bit PCM clip per document (genuine RIFF/WAVE bytes, encoded with
+    * `AudioSystem.write`), decoded back with `javax.sound.sampled` in a
+    * batched mapPartitions, features reduced to integer-exact values the
+    * DuckDB oracle derives from the same closed-form sample formula. A WAV
+    * encode→decode round-trip stands between the formula and the result,
+    * so a hash match certifies the codec path end-to-end — q61's pattern,
+    * audio edition. */
+  def q65AudioDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = docs(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        (id, AudioOps.syntheticWav(id, (400 + id % 257).toInt))
+      }).toDF("media_id", "media")
+    AudioOps.decodeAudio(media)
+      .select(col("media_id"), col("decoded"), col("sample_rate"),
+        col("channels"), col("n_samples"), col("sum_sample"), col("peak"))
+      .orderBy("media_id")
+  }
+
+  val q65AudioDecodeSql: String =
+    """WITH params AS (
+      |  SELECT doc_id, 400 + doc_id % 257 AS n FROM documents),
+      |s AS (
+      |  SELECT p.doc_id, p.n,
+      |    ((p.doc_id*31 + i.range*7) % 65536) - 32768 AS v
+      |  FROM params p CROSS JOIN range(657) i WHERE i.range < p.n)
+      |SELECT doc_id AS media_id, TRUE AS decoded, 8000 AS sample_rate,
+      |  1 AS channels, CAST(MAX(n) AS BIGINT) AS n_samples,
+      |  CAST(SUM(v) AS BIGINT) AS sum_sample, CAST(MAX(abs(v)) AS INT) AS peak
+      |FROM s GROUP BY doc_id
       |ORDER BY media_id""".stripMargin
 }
