@@ -77,6 +77,9 @@ object SparkEntry {
     "q63_catalog_roundtrip" -> (CdcQueries.q63CatalogRoundtrip _),
     "q64_scale10_join"     -> (RelationalQueries.q64Scale10Join _),
     "q65_audio_decode"     -> (PipelineQueries.q65AudioDecode _),
+    "q66_skew_dedup_hot"   -> (CdcQueries.q66SkewDedupHot _),
+    "q67_skew_dedup_uniform" -> (CdcQueries.q67SkewDedupUniform _),
+    "q68_components"       -> (PipelineQueries.q68Components _),
   )
 
   /** Headline queries the bench harness times (a subset of [[queries]]:
@@ -89,7 +92,7 @@ object SparkEntry {
     "q20_cdc_merge", "q21_latest_wins", "q26_props_extract",
     "q42_minhash_lsh", "q44_simsearch_brute", "q46_token_stats",
     "q48_quality", "q50_simhash", "q51_multimodal", "q62_scale10_pricing",
-    "q64_scale10_join")
+    "q64_scale10_join", "q66_skew_dedup_hot", "q67_skew_dedup_uniform")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -151,5 +154,8 @@ object SparkEntry {
     "q63_catalog_roundtrip" -> CdcQueries.q63CatalogRoundtripSql,
     "q64_scale10_join"     -> RelationalQueries.q64Scale10JoinSql,
     "q65_audio_decode"     -> PipelineQueries.q65AudioDecodeSql,
+    "q66_skew_dedup_hot"   -> CdcQueries.q66SkewDedupHotSql,
+    "q67_skew_dedup_uniform" -> CdcQueries.q67SkewDedupUniformSql,
+    "q68_components"       -> PipelineQueries.q68ComponentsSql,
   )
 }

@@ -743,4 +743,53 @@ object CdcQueries {
       |     FROM events
       |     EXCEPT ALL
       |     SELECT event_id, user_id, value FROM events)) AS only_right""".stripMargin
+
+  // ------------------------------------------------------------ q66/q67
+  /** W1 stress pair — the skew evidence for the 100 TB merge claim. Both
+    * run the SAME salted latest-wins dedup over the SAME lineitem row
+    * count; they differ only in key distribution: q66 funnels every
+    * even-orderkey row (~50% of the batch) into ONE hot key — the hot
+    * entity a naive per-key window would serialize through a single task —
+    * while q67 keeps the natural ~uniform keys. The pair's bench times
+    * are the recorded claim: the salted two-phase dedup keeps the hot
+    * batch within ~2× of the uniform one (phase 1 spreads the hot key
+    * over 16 salt buckets, phase 2 resolves 16 survivors). Both are fully
+    * ORACLE-checked: the salt is derived from the ordering columns, so the
+    * result is the same deterministic argmax a plain window produces. */
+  private def skewDedup(s: SparkSession, dir: String, hot: Boolean): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val keyed = li.withColumn("k",
+      if (hot)
+        when(pmod(col("l_orderkey"), lit(2)) === 0, lit(-1L))
+          .otherwise(col("l_orderkey"))
+      else col("l_orderkey"))
+    LakeOps.latestWinsDedupSalted(keyed, Seq("k"), "l_extendedprice",
+      tieBreakCols = Seq("l_orderkey", "l_linenumber"))
+      .select(col("k"), col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"))
+      .orderBy("k")
+  }
+
+  def q66SkewDedupHot(s: SparkSession, dir: String): DataFrame =
+    skewDedup(s, dir, hot = true)
+
+  def q67SkewDedupUniform(s: SparkSession, dir: String): DataFrame =
+    skewDedup(s, dir, hot = false)
+
+  private def skewDedupSql(keyExpr: String): String =
+    s"""WITH keyed AS (
+      |  SELECT $keyExpr AS k, l_orderkey, l_linenumber, l_extendedprice
+      |  FROM lineitem),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY k
+      |    ORDER BY l_extendedprice DESC, l_orderkey DESC, l_linenumber DESC) AS rn
+      |  FROM keyed)
+      |SELECT k, l_orderkey, l_linenumber, l_extendedprice
+      |FROM r WHERE rn = 1
+      |ORDER BY k""".stripMargin
+
+  val q66SkewDedupHotSql: String = skewDedupSql(
+    "CASE WHEN l_orderkey % 2 = 0 THEN CAST(-1 AS BIGINT) ELSE l_orderkey END")
+
+  val q67SkewDedupUniformSql: String = skewDedupSql("l_orderkey")
 }

@@ -187,6 +187,38 @@ object PipelineQueries {
       |WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q68
+  /** Duplicate-cluster labeling: connected components (min-label with
+    * pointer jumping, O(log diameter) rounds) over the exact word-bigram
+    * Jaccard pair graph. The oracle recomputes the same labels from first
+    * principles — a recursive-CTE transitive closure over the identical
+    * pair SQL — so component membership AND the min-id label rule are both
+    * independently pinned. */
+  def q68Components(s: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+      Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", n = 2,
+        threshold = 0.9))
+      .orderBy("doc")
+
+  val q68ComponentsSql: String =
+    s"""WITH RECURSIVE $jaccardCtesSql,
+      |pairs AS (
+      |  SELECT doc_a, doc_b
+      |  FROM inter
+      |  JOIN sizes sa ON sa.doc_id = doc_a
+      |  JOIN sizes sb ON sb.doc_id = doc_b
+      |  WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.9),
+      |edges AS (
+      |  SELECT doc_a AS u, doc_b AS v FROM pairs
+      |  UNION SELECT doc_b AS u, doc_a AS v FROM pairs),
+      |reach AS (
+      |  SELECT u, v FROM edges
+      |  UNION
+      |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+      |SELECT u AS doc, LEAST(u, MIN(v)) AS cluster
+      |FROM reach GROUP BY u
+      |ORDER BY doc""".stripMargin
+
   // ---------------------------------------------------------------- q44
   /** Brute-force cosine top-10 for 8 query vectors — the exact ANN
     * baseline, bit-matched against DuckDB's list arithmetic. */

@@ -64,6 +64,29 @@ class LakeOpsSpec extends AnyFunSuite with SparkSpec {
     assert(salted.columns.toSeq === df.columns.toSeq)
   }
 
+  test("salted dedup equals plain dedup on a hot-key batch (50% one key)") {
+    // the q66 distribution in miniature: half the rows share one key, a
+    // total tie-break order makes both paths' argmax fully deterministic
+    val df = (0 until 20000).map { i =>
+      val key = if (i % 2 == 0) -1L else i.toLong % 97
+      (key, (i * 2654435761L) % 1000003, i.toLong)
+    }.toDF("id", "pre", "seq").repartition(16)
+    val plain = LakeOps.latestWinsDedup(df, Seq("id"), "pre",
+      tieBreak = Seq(col("seq").desc))
+    val salted = LakeOps.latestWinsDedupSalted(df, Seq("id"), "pre",
+      tieBreakCols = Seq("seq"))
+    assert(plain.exceptAll(salted).isEmpty && salted.exceptAll(plain).isEmpty)
+    // phase 1 really spreads the hot key: per-(key,salt) groups stay small
+    val maxGroup = df.withColumn("__salt",
+      org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.xxhash64(col("pre"), col("seq")),
+        org.apache.spark.sql.functions.lit(16)))
+      .groupBy("id", "__salt").count()
+      .agg(org.apache.spark.sql.functions.max("count")).head().getLong(0)
+    assert(maxGroup <= 10000 / 16 + 200,
+      s"salt failed to spread the hot key: max group $maxGroup")
+  }
+
   test("dropOp and normalizeForCompare strip helper/meta/partition columns") {
     val df = Seq(("a", "2024-01-01T00:00:01.000000+0000", "U"))
       .toDF("id", "create_at", "Op")
