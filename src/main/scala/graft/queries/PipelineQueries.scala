@@ -305,6 +305,75 @@ object PipelineQueries {
     Dedup.simHashNearDup(docs(s, dir), "doc_id", "text", maxHamming = 3)
       .orderBy("doc_a", "doc_b")
 
+  // ---------------------------------------------------------------- q71
+  /** IVF quality, driver-checked (the q19 pattern for approximate paths):
+    * the IVF hit set itself is engine-specific, but its RECALL contract is
+    * not — count the brute-force top-10 hits IVF recovers and pin two
+    * flags the oracle asserts TRUE: every query recovers at least one true
+    * neighbor, and total recall ≥ 30% of the exact set. The corpus
+    * embeddings are isotropic noise, so the honest information-theoretic
+    * bar at 4/16 probes is ≈ the probed fraction (25%); observed totals
+    * are 43/80 and 38/80 on the two fixture scales (the ≥0.9 algorithmic
+    * bar on clustered data lives in the suite). An IVF regression —
+    * degenerate centroids, broken probe ranking — flips a flag and the
+    * driver's hash goes red. */
+  def q71IvfRecallCheck(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val queries = e.filter(col("vec_id") < 8)
+    val brute = Similarity.bruteForceTopK(e, queries, "vec_id", "embedding", k = 10)
+      .select(col("q_id"), col("n_id"))
+    val ivf = Similarity.ivfTopK(e, queries, "vec_id", "embedding",
+      k = 10, nCentroids = 16, nProbe = 4)
+      .select(col("q_id"), col("n_id"))
+    val hits = brute.join(ivf, Seq("q_id", "n_id"), "left_semi")
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))
+    brute.select(col("q_id")).distinct()
+      .join(hits, Seq("q_id"), "left")
+      .agg(
+        count(lit(1)).as("n_queries"),
+        (min(coalesce(col("n_hits"), lit(0L))) >= 1L).as("each_query_ok"),
+        (sum(coalesce(col("n_hits"), lit(0L))) >=
+          ceil(count(lit(1)) * 10 * 0.3)).as("total_recall_ok"))
+  }
+
+  val q71IvfRecallCheckSql: String =
+    """SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_queries,
+      |  TRUE AS each_query_ok, TRUE AS total_recall_ok
+      |FROM embeddings WHERE vec_id < 8""".stripMargin
+
+  // ---------------------------------------------------------------- q72
+  /** SimHash quality, driver-checked: the 64 hash bits are Spark-specific
+    * (xxhash64), but SimHash's defining property is not — documents that
+    * are near-duplicates by exact Jaccard must land at small Hamming
+    * distance. For every exact word-bigram pair at τ≥0.9 (the oracle-able
+    * q41 pair list) emit a flag that the simhash Hamming distance ≤ 12,
+    * pinned TRUE by the oracle. Calibration: observed max is 9 (sf0.001)
+    * and 5 (sf0.01); a RANDOM pair averages ≈18.4 of 64 bits, so the
+    * bound separates signal from noise with margin on both sides. */
+  def q72SimhashProximity(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val sh = docs(s, dir)
+      .withColumn("words", TextOps.words(TextOps.normalized(col("text"))))
+      .select(col("doc_id"), expr("simhash64(words)").as("h"))
+    Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", n = 2,
+      threshold = 0.9)
+      .select(col("doc_a"), col("doc_b"))
+      .join(sh.select(col("doc_id").as("doc_a"), col("h").as("h_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("h").as("h_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (bit_count(col("h_a").bitwiseXOR(col("h_b"))) <= 12).as("near_bits_ok"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val q72SimhashProximitySql: String =
+    s"""WITH $jaccardCtesSql
+      |SELECT doc_a, doc_b, TRUE AS near_bits_ok
+      |FROM inter
+      |JOIN sizes sa ON sa.doc_id = doc_a
+      |JOIN sizes sb ON sb.doc_id = doc_b
+      |WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.9
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   // ---------------------------------------------------------------- q46
   /** Token statistics: char/whitespace/subword counts + mean word length. */
   def q46TokenStats(s: SparkSession, dir: String): DataFrame = {

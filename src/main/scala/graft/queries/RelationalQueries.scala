@@ -135,6 +135,71 @@ object RelationalQueries {
       |GROUP BY o_orderpriority, r.range
       |ORDER BY o_orderpriority, rep""".stripMargin
 
+  // ---------------------------------------------------------------- q69
+  /** ×10-replicated lineitem through the q5-shape broadcast-dim join chain
+    * (supplier→nation→region) — the sf1-scale evidence for the multi-dim
+    * star join: the replicated fact stream joins three broadcast dims
+    * inside the scan pipeline with no fact shuffle; the single exchange
+    * carries 250 groups. Together with q62 (agg) and q64 (single-dim
+    * join), this pins the per-row cost trend of every headline query
+    * class at 10× the bench scale. */
+  def q69Scale10Region(s: SparkSession, dir: String): DataFrame = {
+    val li  = t(s, dir, "lineitem")
+      .select(col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+      .withColumn("rep", explode(sequence(lit(0L), lit(9L))))
+    val sup = t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+    val nat = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    val reg = t(s, dir, "region").select(col("r_regionkey"), col("r_name"))
+    li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"), col("rep"))
+      .agg(
+        sum(col("l_extendedprice").cast(dec12_2) *
+            (lit(1).cast(dec6_4) - col("l_discount").cast(dec6_4)))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("n_name"), col("rep"))
+  }
+
+  val q69Scale10RegionSql: String =
+    """SELECT r_name, n_name, r10.range AS rep,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |CROSS JOIN range(10) r10
+      |GROUP BY r_name, n_name, r10.range
+      |ORDER BY r_name, n_name, rep""".stripMargin
+
+  // ---------------------------------------------------------------- q70
+  /** ×10-replicated rollup (q13's shape at sf1 scale), computed through
+    * [[graft.ops.AggOps.rollupReagg]]: native `rollup` would Expand the
+    * 10× stream once per grouping level (4 copies of every generated row
+    * through the partial agg — measured 9.7 s at bench scale); the rewrite
+    * scans the stream ONCE into the 60-group finest level and re-aggregates
+    * those 60 rows for the coarser levels. Exact by construction (decimal
+    * sums, long counts) — the same DuckDB ROLLUP oracle pins it. */
+  def q70Scale10Rollup(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity"))
+      .withColumn("rep", explode(sequence(lit(0L), lit(9L))))
+    graft.ops.AggOps.rollupReagg(li,
+      Seq("rep", "l_returnflag", "l_linestatus"),
+      col("l_quantity").cast(dec12_2), "n_rows", "sum_qty")
+      .orderBy(col("rep").asc_nulls_first,
+        col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+
+  val q70Scale10RollupSql: String =
+    """SELECT r10.range AS rep, l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem CROSS JOIN range(10) r10
+      |GROUP BY ROLLUP (r10.range, l_returnflag, l_linestatus)
+      |ORDER BY rep ASC NULLS FIRST, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
   /** Selective filter + aggregate (TPC-H Q6 shape): the filter must reach
     * the parquet scan as PushedFilters so a 100 TB scan prunes row groups. */
   def q6Revenue(s: SparkSession, dir: String): DataFrame = {

@@ -67,6 +67,15 @@ class PlanLintSpec extends AnyFunSuite with SparkSpec {
       s"fact side shuffled through a sort-merge join:\n$plan")
   }
 
+  test("the x10 star join broadcasts every dim in the chain (q69)") {
+    val plan = SparkEntry.queries("q69_scale10_region")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.split("BroadcastHashJoin").length - 1 >= 3,
+      s"expected 3 broadcast joins in the supplier→nation→region chain:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"fact side shuffled through a sort-merge join:\n$plan")
+  }
+
   test("selective filters reach the parquet scan as data filters (q6)") {
     val plan = SparkEntry.queries("q6_revenue")(spark, sfDir)
       .queryExecution.executedPlan.toString
