@@ -31,16 +31,37 @@ object AggOps {
   def rollupReagg(df: DataFrame, dims: Seq[String], sumExpr: Column,
       countName: String, sumName: String): DataFrame = {
     require(dims.nonEmpty, "rollupReagg: need at least one rollup dimension")
+    reaggSets(df, dims, (dims.length to 0 by -1).map(dims.take),
+      sumExpr, countName, sumName)
+  }
+
+  /** Cube over `dims` — all 2^d grouping sets — computed the same way:
+    * one finest pass, every subset re-aggregated from the finest groups.
+    * Native `cube` Expands the stream 2^d×, so the one-pass gap widens
+    * with dimensionality exactly where cubes get expensive. */
+  def cubeReagg(df: DataFrame, dims: Seq[String], sumExpr: Column,
+      countName: String, sumName: String): DataFrame = {
+    require(dims.nonEmpty, "cubeReagg: need at least one cube dimension")
+    reaggSets(df, dims,
+      (dims.length to 0 by -1).flatMap(k => dims.combinations(k)),
+      sumExpr, countName, sumName)
+  }
+
+  /** Shared engine: aggregate the finest level once, then derive each
+    * grouping set (a subset of `dims` to keep, the rest nulled) from the
+    * tiny finest frame. */
+  private def reaggSets(df: DataFrame, dims: Seq[String],
+      keepSets: Seq[Seq[String]], sumExpr: Column,
+      countName: String, sumName: String): DataFrame = {
     val finest = df.groupBy(dims.map(col): _*)
       .agg(count(lit(1)).as(countName), sum(sumExpr).as(sumName))
       .localCheckpoint(true)
-    def level(k: Int): DataFrame = {
-      // keep the first k dims, null out the rest (rollup semantics)
+    def level(keep: Seq[String]): DataFrame = {
       val agg =
-        if (k == dims.length) finest
-        else finest.groupBy(dims.take(k).map(col): _*)
+        if (keep.length == dims.length) finest
+        else finest.groupBy(keep.map(col): _*)
           .agg(sum(col(countName)).as(countName), sum(col(sumName)).as(sumName))
-      val withNulls = dims.drop(k).foldLeft(agg) { (d, c) =>
+      val withNulls = dims.filterNot(keep.contains).foldLeft(agg) { (d, c) =>
         d.withColumn(c, lit(null).cast(finest.schema(c).dataType))
       }
       withNulls.select(
@@ -48,6 +69,6 @@ object AggOps {
           col(countName).cast("long").as(countName) :+
           col(sumName).cast("double").as(sumName): _*)
     }
-    (dims.length to 0 by -1).map(level).reduce(_ unionByName _)
+    keepSets.map(level).reduce(_ unionByName _)
   }
 }

@@ -193,6 +193,29 @@ object RelationalQueries {
         col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
   }
 
+  // ---------------------------------------------------------------- q73
+  /** ×10-replicated cube through [[graft.ops.AggOps.cubeReagg]] — native
+    * `cube` would Expand the 10× stream 2^d× (8 copies of every generated
+    * row at d=3); the rewrite is the same single finest pass as q70 with
+    * all 2^d subsets re-aggregated from the 60 finest groups. */
+  def q73Scale10Cube(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity"))
+      .withColumn("rep", explode(sequence(lit(0L), lit(9L))))
+    graft.ops.AggOps.cubeReagg(li,
+      Seq("rep", "l_returnflag", "l_linestatus"),
+      col("l_quantity").cast(dec12_2), "n_rows", "sum_qty")
+      .orderBy(col("rep").asc_nulls_first,
+        col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+
+  val q73Scale10CubeSql: String =
+    """SELECT r10.range AS rep, l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem CROSS JOIN range(10) r10
+      |GROUP BY CUBE (r10.range, l_returnflag, l_linestatus)
+      |ORDER BY rep ASC NULLS FIRST, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
   val q70Scale10RollupSql: String =
     """SELECT r10.range AS rep, l_returnflag, l_linestatus, COUNT(*) AS n_rows,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty

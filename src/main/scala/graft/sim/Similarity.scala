@@ -163,8 +163,12 @@ object Similarity {
     require(nProbe >= 1, s"assignClustersMulti: nProbe must be >= 1, got $nProbe")
     withCentroidArray(corpus, centroids, idCol, embCol, inlineLimit) { cents =>
       // ascending (sim, negid) sort ⇒ the last nProbe entries are the top
-      // probes, ties to the smaller centroid id
-      transform(slice(array_sort(scoredCentroids(cents, embCol)), -nProbe, nProbe),
+      // probes, ties to the smaller centroid id. nProbe is clamped to the
+      // centroid count per row: k-means may return fewer live centroids
+      // than requested, and slice() errors when |start| exceeds the array
+      // size rather than truncating.
+      val p = least(lit(nProbe), size(cents))
+      transform(slice(array_sort(scoredCentroids(cents, embCol)), -p, p),
         s => -s.getField("negid"))
     }.withColumn("cluster", explode(col("__res"))).drop("__res")
   }

@@ -32,6 +32,21 @@ class AggOpsSpec extends AnyFunSuite with SparkSpec {
       native.schema.map(f => (f.name, f.dataType)))
   }
 
+  test("cubeReagg equals native cube, including null dimension values") {
+    val df = Seq(
+      (Some("a"), Some("x"), 1), (Some("a"), Some("y"), 2),
+      (Some("a"), None, 4), (None, Some("x"), 8),
+      (Some("b"), Some("x"), 16), (Some("b"), Some("x"), 32),
+      (None, None, 64))
+      .toDF("d1", "d2", "v")
+      .withColumn("v", col("v").cast("decimal(12,2)"))
+    val native = df.cube(col("d1"), col("d2"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("v")).cast("double").as("s"))
+    val reagg = AggOps.cubeReagg(df, Seq("d1", "d2"), col("v"), "n", "s")
+    assert(native.exceptAll(reagg).isEmpty && reagg.exceptAll(native).isEmpty)
+  }
+
   test("rollupReagg plans a single pass: no Expand over the fact stream") {
     val df = (0 until 1000).map(i => (s"k${i % 3}", s"g${i % 5}", i))
       .toDF("d1", "d2", "v")

@@ -298,6 +298,19 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(probes(2, limit = 2) === p2)
   }
 
+  test("nProbe beyond the live centroid count degrades to all-clusters, not an error") {
+    // k-means can return fewer live centroids than requested — a probe
+    // count past that must clamp (slice() would otherwise error)
+    val df = (0L until 20L).map(i => (i, Array((i % 4).toFloat + 1f, 1f)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq((0L, Array(1f, 1f)), (1L, Array(4f, 1f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.assignClustersMulti(df, cents, "vec_id", "embedding", nProbe = 5)
+      .groupBy("vec_id").count().select("count").as[Long].collect()
+    assert(got.length === 20)
+    assert(got.forall(_ === 2L), "every row should probe both live centroids")
+  }
+
   test("oversized centroid payloads fail loudly on the broadcast path") {
     val df = Seq((1L, Array(1f, 2f))).toDF("vec_id", "embedding")
     val cents = (0L until 4L).map(i => (i, Array(i.toFloat, 1f)))
