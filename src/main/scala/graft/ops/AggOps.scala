@@ -59,8 +59,16 @@ object AggOps {
     def level(keep: Seq[String]): DataFrame = {
       val agg =
         if (keep.length == dims.length) finest
-        else finest.groupBy(keep.map(col): _*)
-          .agg(sum(col(countName)).as(countName), sum(col(sumName)).as(sumName))
+        else if (keep.nonEmpty)
+          finest.groupBy(keep.map(col): _*)
+            .agg(sum(col(countName)).as(countName), sum(col(sumName)).as(sumName))
+        else
+          // grand total: group on a constant instead of a global agg so an
+          // EMPTY input yields zero rows, matching native rollup/cube (a
+          // global agg would mint one spurious all-NULL row)
+          finest.groupBy(lit(1).as("__g"))
+            .agg(sum(col(countName)).as(countName), sum(col(sumName)).as(sumName))
+            .drop("__g")
       val withNulls = dims.filterNot(keep.contains).foldLeft(agg) { (d, c) =>
         d.withColumn(c, lit(null).cast(finest.schema(c).dataType))
       }

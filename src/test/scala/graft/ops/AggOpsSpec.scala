@@ -47,6 +47,18 @@ class AggOpsSpec extends AnyFunSuite with SparkSpec {
     assert(native.exceptAll(reagg).isEmpty && reagg.exceptAll(native).isEmpty)
   }
 
+  test("empty input yields zero rows, matching native rollup/cube") {
+    val df = Seq(("a", "x", 1)).toDF("d1", "d2", "v")
+      .withColumn("v", col("v").cast("decimal(12,2)"))
+      .filter(col("v") < 0)
+    assert(df.rollup(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s")).count() === 0L)
+    assert(AggOps.rollupReagg(df, Seq("d1", "d2"), col("v"), "n", "s")
+      .count() === 0L)
+    assert(AggOps.cubeReagg(df, Seq("d1", "d2"), col("v"), "n", "s")
+      .count() === 0L)
+  }
+
   test("rollupReagg plans a single pass: no Expand over the fact stream") {
     val df = (0 until 1000).map(i => (s"k${i % 3}", s"g${i % 5}", i))
       .toDF("d1", "d2", "v")
