@@ -30,7 +30,7 @@ object ImageOps {
 
   /** Luminance of a packed sRGB pixel — ITU-R BT.601 integer form
     * (exact: (299 R + 587 G + 114 B) / 1000, all integer math). */
-  @inline private def luma(rgb: Int): Int = {
+  @inline private[multimodal] def luma(rgb: Int): Int = {
     val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
     (299 * r + 587 * g + 114 * b) / 1000
   }

@@ -7,15 +7,17 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, plus the Spark-side plumbing of a decode /
   * feature-extraction stage.
   *
-  * IMAGE decode is REAL — see [[ImageOps]] (JDK `javax.imageio`). AUDIO
-  * decode is REAL — see [[AudioOps]] (JDK `javax.sound.sampled`, WAV/PCM).
-  * Both run through this same batched pipeline shape. The stub below
-  * remains only for VIDEO, the one modality the JVM ships no codec for: a
-  * deterministic fake that consumes real bytes and produces a real feature
-  * row, keeping the Spark-level contract — binary schema, one iterator
-  * pass per partition, frame-offset arithmetic, narrow output — tested.
-  * Swapping it for a JNI/FFmpeg call changes one function body, not the
-  * pipeline.
+  * ALL THREE modalities have real codec paths: IMAGE via [[ImageOps]]
+  * (JDK `javax.imageio`), AUDIO via [[AudioOps]] (JDK
+  * `javax.sound.sampled`, WAV/PCM), VIDEO via [[VideoOps]] (RIFF/AVI
+  * container parse + MJPEG/BI_RGB frame codecs). All run through this
+  * same batched pipeline shape. The stub below remains only as the
+  * shape-contract for codecs the JVM does not ship (H.264/VP9/AV1 video,
+  * MP3/AAC audio): a deterministic fake that consumes real bytes and
+  * produces a real feature row, keeping the Spark-level contract — binary
+  * schema, one iterator pass per partition, frame-offset arithmetic,
+  * narrow output — tested. Swapping it for a JNI/FFmpeg call changes one
+  * function body, not the pipeline.
   */
 object MultimodalOps {
 

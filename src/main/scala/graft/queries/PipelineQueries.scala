@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.dedup.Dedup
 import graft.functions.GraftFunctions
-import graft.multimodal.{AudioOps, ImageOps, MultimodalOps}
+import graft.multimodal.{AudioOps, ImageOps, MultimodalOps, VideoOps}
 import graft.sim.Similarity
 import graft.text.TextOps
 
@@ -599,4 +599,51 @@ object PipelineQueries {
       |  CAST(SUM(v) AS BIGINT) AS sum_sample, CAST(MAX(abs(v)) AS INT) AS peak
       |FROM s GROUP BY doc_id
       |ORDER BY media_id""".stripMargin
+
+  // ---------------------------------------------------------------- q74
+  /** REAL video decode through a genuine RIFF/AVI container parse plus a
+    * real frame codec: one deterministic BI_RGB-coded AVI clip per document
+    * (standards-shaped `avih`/`strl`/`movi` layout, written by
+    * [[VideoOps.syntheticAvi]]), every 2nd frame sampled and decoded in a
+    * batched mapPartitions — the frame-sample stage of a video pipeline.
+    * The DIB pixel math is integer-exact, so the DuckDB oracle derives
+    * every column (header fields AND per-frame luminance sums) from the
+    * same closed-form pattern; a container encode→parse→decode round-trip
+    * stands between the formula and the result. The MJPEG codec path of
+    * the same parser is suite-verified (lossy JPEG has no closed form).
+    * Completes the modality set: image (q61), audio (q65), video (q74). */
+  def q74VideoDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = docs(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        (id, VideoOps.syntheticAvi(id, (8 + id % 9).toInt, (8 + id % 7).toInt,
+          (2 + id % 4).toInt, 33000 + id % 1000, mjpeg = false))
+      }).toDF("media_id", "media")
+    VideoOps.decodeVideoFrames(media, everyK = 2)
+      .select(col("media_id"), col("decoded"), col("frame_idx"),
+        col("n_frames"), col("us_per_frame"), col("width"), col("height"),
+        col("sum_luma"))
+      .orderBy("media_id", "frame_idx")
+  }
+
+  val q74VideoDecodeSql: String =
+    """WITH dims AS (
+      |  SELECT doc_id, CAST(8 + doc_id % 9 AS BIGINT) AS w,
+      |    CAST(8 + doc_id % 7 AS BIGINT) AS h,
+      |    CAST(2 + doc_id % 4 AS BIGINT) AS nf,
+      |    33000 + doc_id % 1000 AS uspf
+      |  FROM documents),
+      |px AS (
+      |  SELECT d.doc_id, d.w, d.h, d.nf, d.uspf, f.range AS f,
+      |    (d.doc_id*31 + x.range*7 + y.range*13 + f.range*101) % 256 AS v
+      |  FROM dims d CROSS JOIN range(6) f
+      |    CROSS JOIN range(17) x CROSS JOIN range(15) y
+      |  WHERE f.range < d.nf AND f.range % 2 = 0
+      |    AND x.range < d.w AND y.range < d.h)
+      |SELECT doc_id AS media_id, TRUE AS decoded, CAST(f AS INT) AS frame_idx,
+      |  CAST(nf AS INT) AS n_frames, uspf AS us_per_frame,
+      |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+      |  CAST(SUM(v) AS BIGINT) AS sum_luma
+      |FROM px GROUP BY 1, 2, 3, 4, 5, 6, 7
+      |ORDER BY media_id, frame_idx""".stripMargin
 }
