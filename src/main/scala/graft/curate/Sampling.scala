@@ -1,0 +1,91 @@
+package graft.curate
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus sampling for training-data curation: flat-rate
+  * hash sampling, per-stratum rate maps, and mixture rebalancing (sample
+  * each source/language down to target proportions).
+  *
+  * Sampling a 100 TB corpus with `rand()` is wrong twice: re-runs pick a
+  * different subset (so the pipeline is not idempotent and downstream
+  * caches/dedups churn), and no independent engine can reproduce the
+  * choice (so there is no oracle). Every sampler here instead derives a
+  * bucket in [0, 10000) from the **md5 of a caller-chosen key**, giving:
+  * idempotent re-runs, portable decisions (any engine with md5 picks the
+  * same rows — the DuckDB oracle pins the exact sampled set), and
+  * per-stratum rates as plain integer thresholds. md5 is a codegen'd
+  * built-in (no UDF); the plan is a pure map-side filter — zero shuffle,
+  * full pushdown of everything below it, scales linearly with the scan.
+  */
+object Sampling {
+
+  /** Fixed bucket denominator: rates quantize to 1/10000ths, thresholds
+    * are exact integers (no float comparison at the row level). */
+  val Buckets = 10000
+
+  /** Deterministic bucket in [0, `Buckets`) — the first 32 bits of
+    * `md5(key)`. Key is canonicalized through a string cast so every
+    * engine hashes the same bytes (`'42'`, not an int encoding). */
+  def bucket(key: Column): Column =
+    conv(substring(md5(key.cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long") % Buckets
+
+  /** Keep a deterministic ~`rate` fraction of rows, decided per-key. */
+  def sample(df: DataFrame, key: Column, rate: Double): DataFrame = {
+    require(rate >= 0 && rate <= 1, s"sample: rate must be in [0,1], got $rate")
+    df.filter(bucket(key) < math.round(rate * Buckets).toInt)
+  }
+
+  /** Per-stratum sampling rates (e.g. downweight `en`, keep all of `zh`).
+    * The rate map rides along as a literal MAP expression — no join, no
+    * shuffle, one codegen'd filter. Strata missing from `rates` fall back
+    * to `defaultRate`. */
+  def stratifiedSample(df: DataFrame, stratumCol: String, key: Column,
+      rates: Map[String, Double], defaultRate: Double): DataFrame = {
+    (rates.values.toSeq :+ defaultRate).foreach(r =>
+      require(r >= 0 && r <= 1, s"stratifiedSample: rate $r outside [0,1]"))
+    val thr = rates.map { case (k, v) => k -> math.round(v * Buckets).toInt }
+    val thrCol = coalesce(
+      element_at(typedLit(thr), col(stratumCol)),
+      lit(math.round(defaultRate * Buckets).toInt))
+    df.filter(bucket(key) < thrCol)
+  }
+
+  /** Rebalance the corpus to target mixture proportions by downsampling
+    * every stratum proportionally as far as possible without upsampling:
+    * with normalized weights `w_s`, the largest total `T` satisfying
+    * `T * w_s <= count_s` for every stratum is `T = min(count_s / w_s)`,
+    * giving per-stratum rates `w_s * T / count_s <= 1`. Strata absent
+    * from `targets` are dropped (rate 0) — rebalancing defines the
+    * mixture, so an unlisted source is excluded, loudly visible in the
+    * result counts.
+    *
+    * Plan shape at 100 TB: one partial-agg count per stratum (the only
+    * shuffle, cardinality = |strata|), a tiny threshold table derived
+    * from it and broadcast back — the corpus stream itself is filtered
+    * map-side and never shuffles. Deterministic md5 buckets make the
+    * rebalanced corpus reproducible run-over-run and engine-over-engine. */
+  def rebalanceToMixture(df: DataFrame, stratumCol: String, key: Column,
+      targets: Map[String, Double]): DataFrame = {
+    require(targets.nonEmpty, "rebalanceToMixture: empty target mixture")
+    targets.foreach { case (k, v) =>
+      require(v > 0, s"rebalanceToMixture: weight for '$k' must be > 0, got $v") }
+    val total = targets.values.sum
+    val w = typedLit(targets.map { case (k, v) => k -> v / total })
+
+    val counts = df.groupBy(col(stratumCol).as("__stratum"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__w", element_at(w, col("__stratum")))
+      .filter(col("__w").isNotNull) // unlisted strata: dropped below
+    val tMax = counts.agg(min(col("__cnt") / col("__w")).as("__t"))
+    val thresholds = counts.crossJoin(broadcast(tMax))
+      .select(col("__stratum"),
+        floor(least(lit(1.0), col("__w") * col("__t") / col("__cnt"))
+          * Buckets).cast("long").as("__thr"))
+
+    df.join(broadcast(thresholds), col(stratumCol) === col("__stratum"))
+      .filter(bucket(key) < col("__thr"))
+      .drop("__stratum", "__thr")
+  }
+}

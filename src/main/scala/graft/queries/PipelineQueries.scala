@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.curate.{Packing, Sampling}
 import graft.dedup.Dedup
 import graft.functions.GraftFunctions
 import graft.multimodal.{AudioOps, ImageOps, MultimodalOps, VideoOps}
@@ -646,4 +647,84 @@ object PipelineQueries {
       |  CAST(SUM(v) AS BIGINT) AS sum_luma
       |FROM px GROUP BY 1, 2, 3, 4, 5, 6, 7
       |ORDER BY media_id, frame_idx""".stripMargin
+
+  // ---------------------------------------------------------------- q76
+  /** Deterministic stratified sampling for corpus curation: downweight
+    * high-resource languages (en at 25%), keep all of the rarest (zh at
+    * 100%), 50% default — decided by md5 bucket of the doc id, so the
+    * EXACT sampled set is reproducible and the DuckDB oracle pins every
+    * kept row, not just the counts. Pure map-side filter: no join, no
+    * shuffle, rates ride along as a literal map. */
+  def q76StratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Sampling.stratifiedSample(d, "lang", col("doc_id"),
+      Map("en" -> 0.25, "zh" -> 1.0), defaultRate = 0.5)
+      .select(col("doc_id"), col("lang"), col("source"),
+        Sampling.bucket(col("doc_id")).as("bucket"))
+      .orderBy("doc_id")
+  }
+
+  val q76StratifiedSampleSql: String =
+    """SELECT doc_id, lang, source, bucket FROM (
+      |  SELECT doc_id, lang, source,
+      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS bucket
+      |  FROM documents)
+      |WHERE bucket < CASE lang WHEN 'en' THEN 2500 WHEN 'zh' THEN 10000 ELSE 5000 END
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q77
+  /** Mixture rebalancing: downsample every language to an equal 1/5 share
+    * of the rebalanced corpus — the dataset-mixture stage of a training
+    * pipeline. The per-stratum thresholds derive from one tiny count agg
+    * (the only shuffle, |strata| rows) broadcast back onto the corpus
+    * stream, and the md5-bucket decision makes the exact rebalanced set
+    * engine-portable: the oracle recomputes counts, the max total T with
+    * no upsampling (min count/w), and the identical kept rows. */
+  def q77MixtureRebalance(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Sampling.rebalanceToMixture(d, "lang", col("doc_id"),
+      Map("en" -> 1.0, "de" -> 1.0, "es" -> 1.0, "fr" -> 1.0, "zh" -> 1.0))
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+  }
+
+  val q77MixtureRebalanceSql: String =
+    """WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
+      |t AS (SELECT MIN(cnt / CAST(0.2 AS DOUBLE)) AS tt FROM c),
+      |thr AS (
+      |  SELECT lang, CAST(FLOOR(LEAST(CAST(1.0 AS DOUBLE),
+      |    CAST(0.2 AS DOUBLE) * tt / cnt) * 10000) AS BIGINT) AS th
+      |  FROM c CROSS JOIN t)
+      |SELECT d.doc_id, d.lang
+      |FROM documents d JOIN thr ON d.lang = thr.lang
+      |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < thr.th
+      |ORDER BY d.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q78
+  /** Sequence packing: the corpus as one doc_id-ordered token stream cut
+    * into 512-token context windows, each document assigned to the window
+    * holding its first token. The global token prefix sum is computed with
+    * range-partitioned per-partition offsets (the q35 pattern), NOT a
+    * single-partition window — the oracle's window cumsum pins the exact
+    * same arithmetic. Token counts are the BPE-ish regex proxy already
+    * hash-proven engine-equal by q46. */
+  def q78SequencePack(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Packing.packSequences(d, "doc_id", TextOps.tokenCountRe(col("text")), 512L)
+      .select(col("doc_id"), col("n_tokens"), col("tok_start"), col("pack_id"))
+      .orderBy("doc_id")
+  }
+
+  val q78SequencePackSql: String =
+    """WITH tc AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |cs AS (
+      |  SELECT doc_id, n_tokens,
+      |    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start
+      |  FROM tc)
+      |SELECT doc_id, n_tokens, tok_start, tok_start // 512 AS pack_id
+      |FROM cs ORDER BY doc_id""".stripMargin
 }

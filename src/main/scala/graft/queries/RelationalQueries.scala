@@ -223,6 +223,42 @@ object RelationalQueries {
       |GROUP BY ROLLUP (r10.range, l_returnflag, l_linestatus)
       |ORDER BY rep ASC NULLS FIRST, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- q75
+  /** q1's pricing aggregation over a ×100 replicated lineitem — the third
+    * point on the per-row-cost curve (q1 at ×1, q62 at ×10, here ×100):
+    * at the driver's sf0.1 this is an sf10-equivalent ~60M rows through
+    * the identical plan shape — one generator-expanded scan fused into a
+    * single whole-stage-codegen span with a partial agg, one 600-group
+    * exchange. If the fixed-overhead amortization argument holds, µs/row
+    * here must not regress vs q62; the bench records all three so the
+    * curve is driver-measured evidence, not extrapolation. Replica id is
+    * in the group keys so neither engine can collapse the expansion. */
+  def q75Scale100Pricing(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val dq = col("l_quantity").cast(dec12_2)
+    val dp = col("l_extendedprice").cast(dec12_2)
+    val dd = col("l_discount").cast(dec6_4)
+    val one = lit(1).cast(dec6_4)
+    li.filter(col("l_shipdate") <= lit("1998-09-02"))
+      .withColumn("rep", explode(sequence(lit(0L), lit(99L))))
+      .groupBy(col("l_returnflag"), col("l_linestatus"), col("rep"))
+      .agg(
+        sum(dq).cast("double").as("sum_qty"),
+        sum(dp * (one - dd)).cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus", "rep")
+  }
+
+  val q75Scale100PricingSql: String =
+    """SELECT l_returnflag, l_linestatus, r.range AS rep,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DOUBLE) AS sum_disc_price,
+      |  COUNT(*) AS count_order
+      |FROM lineitem CROSS JOIN range(100) r
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus, r.range
+      |ORDER BY l_returnflag, l_linestatus, rep""".stripMargin
+
   /** Selective filter + aggregate (TPC-H Q6 shape): the filter must reach
     * the parquet scan as PushedFilters so a 100 TB scan prunes row groups. */
   def q6Revenue(s: SparkSession, dir: String): DataFrame = {

@@ -1,0 +1,87 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.curate.Sampling
+
+/** Deterministic md5-bucket sampling: idempotence, rate fidelity, mixture
+  * rebalancing math, and the no-shuffle plan contract. */
+class SamplingSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def corpus(n: Int) =
+    (0 until n).map(i => (i.toLong, s"lang${i % 4}")).toDF("id", "lang")
+
+  test("sampling is idempotent: the same key set is picked on every run") {
+    val df = corpus(2000)
+    val a = Sampling.sample(df, col("id"), 0.3).select("id").as[Long].collect().sorted
+    val b = Sampling.sample(df, col("id"), 0.3).select("id").as[Long].collect().sorted
+    assert(a.sameElements(b))
+    assert(a.nonEmpty && a.length < 2000)
+  }
+
+  test("flat rate lands near the target and nests: sample(0.1) is a subset of sample(0.3)") {
+    val df = corpus(5000)
+    val s30 = Sampling.sample(df, col("id"), 0.3).select("id").as[Long].collect().toSet
+    val s10 = Sampling.sample(df, col("id"), 0.1).select("id").as[Long].collect().toSet
+    assert(math.abs(s30.size - 1500) < 150, s"got ${s30.size}, want ~1500")
+    assert(math.abs(s10.size - 500) < 90, s"got ${s10.size}, want ~500")
+    assert(s10.subsetOf(s30), "thresholded buckets must nest")
+  }
+
+  test("stratified rates apply per stratum; default covers unlisted strata") {
+    val df = corpus(4000) // 1000 per lang
+    val got = Sampling.stratifiedSample(df, "lang", col("id"),
+      Map("lang0" -> 0.0, "lang1" -> 1.0), defaultRate = 0.5)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(!got.contains("lang0"), "rate-0 stratum must vanish")
+    assert(got("lang1") === 1000L, "rate-1 stratum must be complete")
+    assert(math.abs(got("lang2") - 500L) < 80 && math.abs(got("lang3") - 500L) < 80)
+  }
+
+  test("rebalanceToMixture hits target proportions without upsampling") {
+    // 1600/800/400 rows; equal targets => T = 3*400 = 1200, ~400 per lang.
+    val df = ((0 until 1600).map(i => (i.toLong, "a")) ++
+      (2000 until 2800).map(i => (i.toLong, "b")) ++
+      (4000 until 4400).map(i => (i.toLong, "c"))).toDF("id", "lang")
+    val got = Sampling.rebalanceToMixture(df, "lang", col("id"),
+      Map("a" -> 1.0, "b" -> 1.0, "c" -> 1.0))
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(got("c") === 400L, "scarcest stratum is kept whole (rate 1)")
+    assert(math.abs(got("a") - 400L) < 80, s"got ${got("a")}")
+    assert(math.abs(got("b") - 400L) < 80, s"got ${got("b")}")
+  }
+
+  test("strata unlisted in the target mixture are dropped") {
+    val df = corpus(400)
+    val got = Sampling.rebalanceToMixture(df, "lang", col("id"),
+      Map("lang0" -> 1.0, "lang1" -> 1.0))
+      .select("lang").distinct().as[String].collect().toSet
+    assert(got === Set("lang0", "lang1"))
+  }
+
+  test("invalid rates and empty mixtures fail loudly") {
+    val df = corpus(10)
+    intercept[IllegalArgumentException](Sampling.sample(df, col("id"), 1.5))
+    intercept[IllegalArgumentException](
+      Sampling.rebalanceToMixture(df, "lang", col("id"), Map.empty))
+    intercept[IllegalArgumentException](
+      Sampling.rebalanceToMixture(df, "lang", col("id"), Map("lang0" -> -1.0)))
+  }
+
+  test("flat and stratified sampling plan zero exchanges; rebalance broadcasts") {
+    val df = corpus(100)
+    val flat = Sampling.sample(df, col("id"), 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!flat.contains("Exchange"), s"flat sample shuffled:\n$flat")
+    val strat = Sampling.stratifiedSample(df, "lang", col("id"),
+      Map("lang0" -> 0.2), 0.5).queryExecution.executedPlan.toString
+    assert(!strat.contains("Exchange"), s"stratified sample shuffled:\n$strat")
+    val reb = Sampling.rebalanceToMixture(df, "lang", col("id"),
+      Map("lang0" -> 1.0, "lang1" -> 1.0)).queryExecution.executedPlan.toString
+    assert(reb.contains("BroadcastHashJoin") && !reb.contains("SortMergeJoin"),
+      s"rebalance must broadcast the threshold table:\n$reb")
+  }
+}
