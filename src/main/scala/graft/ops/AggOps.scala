@@ -79,4 +79,38 @@ object AggOps {
     }
     keepSets.map(level).reduce(_ unionByName _)
   }
+
+  /** Exact decimal-sum through the integer fast path.
+    *
+    * Spark's decimal Sum leaves the long-backed representation as soon as
+    * the accumulator precision passes 18 (every `sum(decimal)` does: the
+    * result type adds 10 digits), and decimal×decimal per-row multiplies
+    * allocate BigDecimals — the dominant cost of pricing-style rollups.
+    * When the operands have fixed scale, the identical rational value can
+    * be computed on UNSCALED longs: sum the integer representations, then
+    * rescale ONCE per group through an exact decimal divide before the
+    * final double cast. Same value, one codegen'd long add per row.
+    *
+    * Contract: the per-group unscaled sum must fit a long — callers state
+    * the bound (here: |unscaled| ≤ 1.1e11/row allows ~8e7 rows/group of
+    * headroom even in the worst case); ANSI mode (Spark 4 default) makes
+    * an overflow a loud error, never a silent wrap. */
+  def fixedPointSum(unscaled: Column, scale: Int, name: String): Column = {
+    require(scale >= 0 && scale <= 18, s"fixedPointSum: bad scale $scale")
+    var p = java.math.BigDecimal.ONE
+    (0 until scale).foreach(_ => p = p.multiply(java.math.BigDecimal.TEN))
+    (sum(unscaled).cast("decimal(38,0)") / lit(p)).cast("double").as(name)
+  }
+
+  /** The unscaled-long view of a column at `scale` decimals. This IS the
+    * decimal cast (same conversion, same half-up digit — `round(x·10^s)`
+    * on the raw double is NOT: a literal like 1.005 rounds up through the
+    * decimal string but down through its binary product 100.49999…),
+    * followed by exact integer extraction. Only the downstream multiplies
+    * and the sum accumulator leave decimal representation. */
+  def unscaledLong(c: Column, scale: Int): Column = {
+    var p = 1L
+    (0 until scale).foreach(_ => p *= 10L)
+    (c.cast(s"decimal(18,$scale)") * lit(p)).cast("long")
+  }
 }

@@ -259,6 +259,31 @@ object RelationalQueries {
       |GROUP BY l_returnflag, l_linestatus, r.range
       |ORDER BY l_returnflag, l_linestatus, rep""".stripMargin
 
+  // ---------------------------------------------------------------- q79
+  /** q75's ×100 pricing computed through [[graft.ops.AggOps.fixedPointSum]]:
+    * the same exact rational values (the oracle is literally q75's SQL),
+    * but the per-row work is two long multiplies and long-accumulator sums
+    * instead of BigDecimal-backed decimal ops — the engine-side answer to
+    * a columnar engine's int128 decimal kernels. Bounds: |unscaled
+    * disc-price term| ≤ 1.1e11, so a single group can absorb ~8e7 rows
+    * before the long accumulator overflows — and ANSI mode (Spark 4
+    * default) turns overflow into a loud error, never a wrong answer. */
+  def q79Scale100FixedPoint(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.AggOps.{fixedPointSum, unscaledLong}
+    val li = t(s, dir, "lineitem")
+    val qtyU = unscaledLong(col("l_quantity"), 2) // cents-like 2dp units
+    val priceU = unscaledLong(col("l_extendedprice"), 2)
+    val oneMinusDiscU = lit(10000L) - unscaledLong(col("l_discount"), 4)
+    li.filter(col("l_shipdate") <= lit("1998-09-02"))
+      .withColumn("rep", explode(sequence(lit(0L), lit(99L))))
+      .groupBy(col("l_returnflag"), col("l_linestatus"), col("rep"))
+      .agg(
+        fixedPointSum(qtyU, 2, "sum_qty"),
+        fixedPointSum(priceU * oneMinusDiscU, 6, "sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus", "rep")
+  }
+
   /** Selective filter + aggregate (TPC-H Q6 shape): the filter must reach
     * the parquet scan as PushedFilters so a 100 TB scan prunes row groups. */
   def q6Revenue(s: SparkSession, dir: String): DataFrame = {

@@ -71,4 +71,33 @@ class AggOpsSpec extends AnyFunSuite with SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!reaggPlan.contains("Expand"), s"reagg must not Expand:\n$reaggPlan")
   }
+
+  test("fixedPointSum equals the decimal path bit for bit, boundary cases included") {
+    // Values whose double forms sit near the .xx5 rounding boundary, plus
+    // the product shape of the pricing query (price × (1 - discount)).
+    val vals = Seq(0.005, 0.015, 1.005, 2.675, 4.35, 0.07, 123.455,
+      99999.99, 0.01, 50.0, 3.33, 7.77)
+    val df = vals.zipWithIndex
+      .map { case (v, i) => (s"g${i % 3}", v, 0.01 * (i % 11)) }
+      .toDF("g", "price", "disc")
+    val dec = df.groupBy("g").agg(
+      sum(col("price").cast("decimal(12,2)") *
+        (lit(1).cast("decimal(6,4)") - col("disc").cast("decimal(6,4)")))
+        .cast("double").as("s"))
+    val fp = df.groupBy("g").agg(
+      AggOps.fixedPointSum(
+        AggOps.unscaledLong(col("price"), 2) *
+          (lit(10000L) - AggOps.unscaledLong(col("disc"), 4)), 6, "s"))
+    val a = dec.orderBy("g").collect().map(r => (r.getString(0), r.getDouble(1)))
+    val b = fp.orderBy("g").collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(a.sameElements(b), s"decimal=${a.mkString(",")} fp=${b.mkString(",")}")
+  }
+
+  test("the fixed-point x100 pricing equals the decimal x100 pricing on real data") {
+    val sfDir = "/root/testdata/sf0.001"
+    val dec = graft.queries.RelationalQueries.q75Scale100Pricing(spark, sfDir).collect()
+    val fp = graft.queries.RelationalQueries.q79Scale100FixedPoint(spark, sfDir).collect()
+    assert(dec.length === fp.length && dec.nonEmpty)
+    dec.zip(fp).foreach { case (d, f) => assert(d === f) }
+  }
 }
