@@ -24,12 +24,16 @@ object Sampling {
     * are exact integers (no float comparison at the row level). */
   val Buckets = 10000
 
-  /** Deterministic bucket in [0, `Buckets`) — the first 32 bits of
-    * `md5(key)`. Key is canonicalized through a string cast so every
-    * engine hashes the same bytes (`'42'`, not an int encoding). */
-  def bucket(key: Column): Column =
+  /** The first 32 bits of `md5(key)` as a long — the shared deterministic
+    * randomness source ([[bucket]] reduces it; [[Shuffle]] sorts by it).
+    * Key is canonicalized through a string cast so every engine hashes
+    * the same bytes (`'42'`, not an int encoding). */
+  def bucket32(key: Column): Column =
     conv(substring(md5(key.cast("string").cast("binary")), 1, 8), 16, 10)
-      .cast("long") % Buckets
+      .cast("long")
+
+  /** Deterministic bucket in [0, `Buckets`). */
+  def bucket(key: Column): Column = bucket32(key) % Buckets
 
   /** Keep a deterministic ~`rate` fraction of rows, decided per-key. */
   def sample(df: DataFrame, key: Column, rate: Double): DataFrame = {

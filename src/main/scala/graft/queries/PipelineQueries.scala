@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.curate.{Packing, Sampling}
+import graft.curate.{Packing, Sampling, Select, Shuffle}
 import graft.dedup.Dedup
 import graft.functions.GraftFunctions
 import graft.multimodal.{AudioOps, ImageOps, MultimodalOps, VideoOps}
@@ -727,4 +727,78 @@ object PipelineQueries {
       |  FROM tc)
       |SELECT doc_id, n_tokens, tok_start, tok_start // 512 AS pack_id
       |FROM cs ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q80
+  /** Per-language quality selection: keep the top 25% of each language by
+    * the q48 quality score (doc_id tie-break makes the cut total-ordered,
+    * so the rank-select is deterministic and the oracle pins the exact
+    * kept set). The exact path ranks with a lang-partitioned window —
+    * right at this stratum granularity; [[graft.curate.Select
+    * .topPByThreshold]] is the few-strata/100 TB variant, suite-pinned
+    * against this one. */
+  def q80QualityTopP(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val w = TextOps.words(TextOps.normalized(col("text")))
+    val scored = d.select(col("doc_id"), col("lang"),
+      size(w).as("n_words"),
+      TextOps.stopwordCount(w, TextOps.enStopwords).as("n_stopwords"),
+      length(regexp_replace(col("text"), "[^0-9]", "")).as("n_digit_chars"),
+      length(col("text")).as("n_chars"))
+      .withColumn("stop_ratio", col("n_stopwords").cast("double") /
+        nullif(col("n_words"), lit(0)).cast("double"))
+      .withColumn("digit_ratio", col("n_digit_chars").cast("double") /
+        nullif(col("n_chars"), lit(0)).cast("double"))
+      .withColumn("quality", TextOps.qualityScore(
+        col("n_words"), col("stop_ratio"), col("digit_ratio")))
+    Select.topPExact(scored, "lang",
+      Seq(col("quality").desc_nulls_last, col("doc_id").asc), 0.25)
+      .select(col("doc_id"), col("lang"), col("quality"))
+      .orderBy("doc_id")
+  }
+
+  val q80QualityTopPSql: String = {
+    val stops = TextOps.enStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH base AS (
+      |  SELECT doc_id, lang,
+      |    len($wordsSql) AS n_words,
+      |    len(list_filter($wordsSql, w -> list_contains($stops, w))) AS n_stopwords,
+      |    length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit_chars,
+      |    length(text) AS n_chars
+      |  FROM documents),
+      |scored AS (
+      |  SELECT doc_id, lang,
+      |    greatest(0.0, least(1.0,
+      |      0.2 + 0.6 * (CAST(n_stopwords AS DOUBLE) / CAST(nullif(n_words, 0) AS DOUBLE))
+      |        + 0.002 * CAST(n_words AS DOUBLE)
+      |        - 0.3 * (CAST(n_digit_chars AS DOUBLE) / CAST(nullif(n_chars, 0) AS DOUBLE)))) AS quality
+      |  FROM base),
+      |ranked AS (
+      |  SELECT doc_id, lang, quality,
+      |    ROW_NUMBER() OVER (PARTITION BY lang
+      |      ORDER BY quality DESC NULLS LAST, doc_id ASC) AS rn,
+      |    COUNT(*) OVER (PARTITION BY lang) AS cnt
+      |  FROM scored)
+      |SELECT doc_id, lang, quality FROM ranked
+      |WHERE rn <= CAST(CEIL(0.25 * cnt) AS BIGINT)
+      |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q81
+  /** Deterministic corpus shuffle: every document gets a stable
+    * pseudo-random training position (rank of md5-bucket, id) — computed
+    * with the range-partition + zipWithIndex pattern, no global window;
+    * the oracle's ROW_NUMBER over the same key pins every position. */
+  def q81CorpusShuffle(s: SparkSession, dir: String): DataFrame = {
+    Shuffle.deterministicOrder(docs(s, dir), "doc_id")
+      .select(col("doc_id"), col("shuffle_pos"))
+      .orderBy("doc_id")
+  }
+
+  val q81CorpusShuffleSql: String =
+    """SELECT doc_id,
+      |  ROW_NUMBER() OVER (ORDER BY
+      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT),
+      |    doc_id) - 1 AS shuffle_pos
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
 }
