@@ -27,10 +27,16 @@ object Sampling {
   /** The first 32 bits of `md5(key)` as a long — the shared deterministic
     * randomness source ([[bucket]] reduces it; [[Shuffle]] sorts by it).
     * Key is canonicalized through a string cast so every engine hashes
-    * the same bytes (`'42'`, not an int encoding). */
-  def bucket32(key: Column): Column =
-    conv(substring(md5(key.cast("string").cast("binary")), 1, 8), 16, 10)
-      .cast("long")
+    * the same bytes (`'42'`, not an int encoding). A NULL key would hash
+    * to NULL and fail every `<` threshold — rows silently vanishing from
+    * every sample — so it raises instead: sampling keys are identities,
+    * and a null identity is corrupt input to quarantine upstream. */
+  def bucket32(key: Column): Column = {
+    val k = coalesce(key.cast("string"),
+      raise_error(lit("Sampling: NULL sampling key — null identities must " +
+        "be quarantined before sampling, not silently dropped")))
+    conv(substring(md5(k.cast("binary")), 1, 8), 16, 10).cast("long")
+  }
 
   /** Deterministic bucket in [0, `Buckets`). */
   def bucket(key: Column): Column = bucket32(key) % Buckets

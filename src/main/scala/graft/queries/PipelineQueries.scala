@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.curate.{Packing, Sampling, Select, Shuffle}
+import graft.curate.{Decontaminate, Packing, Sampling, Select, Shuffle}
 import graft.dedup.Dedup
 import graft.functions.GraftFunctions
 import graft.multimodal.{AudioOps, ImageOps, MultimodalOps, VideoOps}
@@ -800,5 +800,31 @@ object PipelineQueries {
       |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT),
       |    doc_id) - 1 AS shuffle_pos
       |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q82
+  /** Benchmark decontamination: corpus documents sharing any word 4-gram
+    * with a benchmark set (here: every 97th document — evaluation sets
+    * are small, which is exactly why the benchmark shingle set broadcasts
+    * and the corpus stream never shuffles). Exact oracle: the same
+    * explode→distinct→join→count in DuckDB list SQL. */
+  def q82Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val bench = d.filter(col("doc_id") % 97 === 0)
+    Decontaminate.flagOverlaps(d, bench, "doc_id", "text", n = 4)
+      .orderBy("doc_id")
+  }
+
+  val q82DecontaminateSql: String =
+    s"""WITH w AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_transform(range(1, len(ws) - 2),
+      |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS shingle
+      |  FROM w WHERE len(ws) >= 4),
+      |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0)
+      |SELECT c.doc_id, COUNT(DISTINCT c.shingle) AS n_shared
+      |FROM sh c JOIN bench b ON c.shingle = b.shingle
+      |GROUP BY c.doc_id
       |ORDER BY doc_id""".stripMargin
 }

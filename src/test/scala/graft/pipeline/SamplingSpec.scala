@@ -62,6 +62,16 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
     assert(got === Set("lang0", "lang1"))
   }
 
+  test("a NULL sampling key raises instead of silently dropping the row") {
+    val df = Seq(Some(1L), None, Some(3L)).toDF("id")
+    val err = intercept[Exception] {
+      Sampling.sample(df, col("id"), 0.99).collect()
+    }
+    assert(err.getMessage.contains("NULL sampling key") ||
+      Option(err.getCause).exists(_.getMessage.contains("NULL sampling key")),
+      s"unexpected error: $err")
+  }
+
   test("invalid rates and empty mixtures fail loudly") {
     val df = corpus(10)
     intercept[IllegalArgumentException](Sampling.sample(df, col("id"), 1.5))
