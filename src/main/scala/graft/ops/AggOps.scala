@@ -35,6 +35,23 @@ object AggOps {
       sumExpr, countName, sumName)
   }
 
+  /** [[rollupReagg]] with the sum carried as [[unscaledLong]] fixed-point
+    * integers: the one-pass rewrite AND the long fast path compound — the
+    * finest pass is a long-accumulator scan, the re-aggregations are long
+    * adds over group counts, and the value is rescaled exactly once per
+    * output row. Output identical to
+    * `rollup(dims).agg(count, sum(decimal).cast(double))` under
+    * [[fixedPointSum]]'s per-group bound contract. */
+  def rollupReaggFixedPoint(df: DataFrame, dims: Seq[String], valueCol: Column,
+      scale: Int, countName: String, sumName: String): DataFrame = {
+    require(dims.nonEmpty, "rollupReaggFixedPoint: need at least one dimension")
+    var p = java.math.BigDecimal.ONE
+    (0 until scale).foreach(_ => p = p.multiply(java.math.BigDecimal.TEN))
+    reaggSets(df, dims, (dims.length to 0 by -1).map(dims.take),
+      unscaledLong(valueCol, scale), countName, sumName,
+      finalizeSum = c => (c.cast("decimal(38,0)") / lit(p)).cast("double"))
+  }
+
   /** Cube over `dims` — all 2^d grouping sets — computed the same way:
     * one finest pass, every subset re-aggregated from the finest groups.
     * Native `cube` Expands the stream 2^d×, so the one-pass gap widens
@@ -52,7 +69,8 @@ object AggOps {
     * tiny finest frame. */
   private def reaggSets(df: DataFrame, dims: Seq[String],
       keepSets: Seq[Seq[String]], sumExpr: Column,
-      countName: String, sumName: String): DataFrame = {
+      countName: String, sumName: String,
+      finalizeSum: Column => Column = _.cast("double")): DataFrame = {
     val finest = df.groupBy(dims.map(col): _*)
       .agg(count(lit(1)).as(countName), sum(sumExpr).as(sumName))
       .localCheckpoint(true)
@@ -75,7 +93,7 @@ object AggOps {
       withNulls.select(
         dims.map(col) :+
           col(countName).cast("long").as(countName) :+
-          col(sumName).cast("double").as(sumName): _*)
+          finalizeSum(col(sumName)).as(sumName): _*)
     }
     keepSets.map(level).reduce(_ unionByName _)
   }

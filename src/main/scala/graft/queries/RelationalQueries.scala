@@ -259,6 +259,32 @@ object RelationalQueries {
       |GROUP BY l_returnflag, l_linestatus, r.range
       |ORDER BY l_returnflag, l_linestatus, rep""".stripMargin
 
+  // ---------------------------------------------------------------- q83
+  /** ×100 rollup with BOTH aggregation rewrites compounded: one finest
+    * pass instead of native rollup's (d+1)× Expand ([[graft.ops.AggOps
+    * .rollupReagg]], proven at ×10 by q70) AND long fixed-point
+    * accumulators instead of BigDecimal sums (proven by q79). At 100 TB
+    * this is the difference between 4 decimal passes over the corpus and
+    * ONE integer pass plus re-aggregation of 600 finest groups. Same
+    * DuckDB ROLLUP-over-decimal oracle — exact by construction. */
+  def q83Scale100Rollup(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity"))
+      .withColumn("rep", explode(sequence(lit(0L), lit(99L))))
+    graft.ops.AggOps.rollupReaggFixedPoint(li,
+      Seq("rep", "l_returnflag", "l_linestatus"),
+      col("l_quantity"), 2, "n_rows", "sum_qty")
+      .orderBy(col("rep").asc_nulls_first,
+        col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+
+  val q83Scale100RollupSql: String =
+    """SELECT r100.range AS rep, l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem CROSS JOIN range(100) r100
+      |GROUP BY ROLLUP (r100.range, l_returnflag, l_linestatus)
+      |ORDER BY rep ASC NULLS FIRST, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
   // ---------------------------------------------------------------- q79
   /** q75's ×100 pricing computed through [[graft.ops.AggOps.fixedPointSum]]:
     * the same exact rational values (the oracle is literally q75's SQL),

@@ -93,6 +93,22 @@ class AggOpsSpec extends AnyFunSuite with SparkSpec {
     assert(a.sameElements(b), s"decimal=${a.mkString(",")} fp=${b.mkString(",")}")
   }
 
+  test("rollupReaggFixedPoint equals native decimal rollup, nulls and boundaries included") {
+    val df = Seq(
+      (Some("a"), Some("x"), 1.005), (Some("a"), Some("y"), 2.675),
+      (Some("a"), None, 4.35), (None, Some("x"), 0.07),
+      (Some("b"), Some("x"), 99.99), (Some("b"), Some("x"), 0.01),
+      (None, None, 123.455))
+      .toDF("d1", "d2", "v")
+    val native = df.rollup(col("d1"), col("d2"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("v").cast("decimal(12,2)")).cast("double").as("s"))
+    val fp = AggOps.rollupReaggFixedPoint(df, Seq("d1", "d2"), col("v"), 2, "n", "s")
+    assert(native.exceptAll(fp).isEmpty && fp.exceptAll(native).isEmpty,
+      s"native:\n${native.orderBy("d1", "d2").collect().mkString("\n")}\n" +
+        s"fp:\n${fp.orderBy("d1", "d2").collect().mkString("\n")}")
+  }
+
   test("the fixed-point x100 pricing equals the decimal x100 pricing on real data") {
     val sfDir = "/root/testdata/sf0.001"
     val dec = graft.queries.RelationalQueries.q75Scale100Pricing(spark, sfDir).collect()
