@@ -446,6 +446,46 @@ object Dedup {
     } finally core.release()
   }
 
+  /** Incremental ingestion dedup: the incoming batch minus (a) docs
+    * near-duplicating the EXISTING corpus and (b) docs near-duplicating a
+    * smaller-id incoming doc (the q56 pair rule). The existing corpus is
+    * never modified — the batch-over-batch contract of a continuously
+    * ingested 100 TB corpus: each arriving batch pays LSH over
+    * existing ∪ batch, never a re-dedup of the whole lake.
+    *
+    * Ids must be globally unique across both frames (a collision would
+    * corrupt provenance silently, so it raises — one bounded
+    * intersect-limit-1 job). */
+  def incrementalDedup(existing: DataFrame, incoming: DataFrame,
+      idCol: String, textCol: String, n: Int, bands: Int, rowsPerBand: Int,
+      threshold: Double, maxBucket: Int = 10000,
+      strictBuckets: Boolean = false): DataFrame = {
+    val ex = existing.select(col(idCol), col(textCol))
+    val inc = incoming.select(col(idCol), col(textCol))
+    val clash = ex.select(col(idCol)).intersect(inc.select(col(idCol)))
+      .limit(1).collect()
+    require(clash.isEmpty,
+      s"incrementalDedup: id '${clash.headOption.map(_.get(0)).orNull}' is " +
+        "in BOTH the existing corpus and the incoming batch — ids must be " +
+        "globally unique or provenance is meaningless")
+    val pairs = minHashLsh(ex.unionByName(inc), idCol, textCol, n, bands,
+      rowsPerBand, threshold, maxBucket, strictBuckets)
+    val newIds = inc.select(col(idCol))
+    val flagged = pairs
+      .join(newIds.select(col(idCol).as("doc_a"), lit(true).as("new_a")),
+        Seq("doc_a"), "left")
+      .join(newIds.select(col(idCol).as("doc_b"), lit(true).as("new_b")),
+        Seq("doc_b"), "left")
+      .na.fill(false, Seq("new_a", "new_b"))
+    // pair (a < b): incoming b always loses (to an existing doc or to the
+    // smaller incoming id); incoming a loses only to an existing b
+    val drops = flagged.filter(col("new_b")).select(col("doc_b").as(idCol))
+      .union(flagged.filter(col("new_a") && !col("new_b"))
+        .select(col("doc_a").as(idCol)))
+      .distinct()
+    incoming.join(drops, Seq(idCol), "left_anti")
+  }
+
   /** Shared banded-LSH core over canonical representatives. `mapping`,
     * `sh` and `sigs` are persisted; callers must materialize what they need
     * eagerly and then call [[LshCore.release]]. */

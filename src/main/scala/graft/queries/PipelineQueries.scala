@@ -827,4 +827,36 @@ object PipelineQueries {
       |FROM sh c JOIN bench b ON c.shingle = b.shingle
       |GROUP BY c.doc_id
       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q84
+  /** Incremental ingestion dedup: every 3rd document arrives as a new
+    * batch against the rest as the existing corpus; survivors are incoming
+    * docs near-duplicating neither the corpus nor a smaller-id batch doc.
+    * Runs the proven recall-total LSH config (τ=0.9, b=16/r=8 — q42), so
+    * the exact-Jaccard pair SQL over the union oracles the batch-provenance
+    * drop rule outright. */
+  def q84IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.incrementalDedup(
+      d.filter(col("doc_id") % 3 =!= 0), d.filter(col("doc_id") % 3 === 0),
+      "doc_id", "text", n = 2, bands = 16, rowsPerBand = 8, threshold = 0.9)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  val q84IncrementalDedupSql: String =
+    s"""WITH $jaccardCtesSql,
+      |pairs AS (
+      |  SELECT doc_a, doc_b FROM inter
+      |  JOIN sizes sa ON sa.doc_id = doc_a
+      |  JOIN sizes sb ON sb.doc_id = doc_b
+      |  WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.9),
+      |drops AS (
+      |  SELECT doc_b AS doc_id FROM pairs WHERE doc_b % 3 = 0
+      |  UNION
+      |  SELECT doc_a AS doc_id FROM pairs WHERE doc_a % 3 = 0 AND doc_b % 3 <> 0)
+      |SELECT d.doc_id, d.lang, d.source, d.n_chars
+      |FROM documents d
+      |WHERE d.doc_id % 3 = 0 AND d.doc_id NOT IN (SELECT doc_id FROM drops)
+      |ORDER BY d.doc_id""".stripMargin
 }
