@@ -859,4 +859,61 @@ object PipelineQueries {
       |FROM documents d
       |WHERE d.doc_id % 3 = 0 AND d.doc_id NOT IN (SELECT doc_id FROM drops)
       |ORDER BY d.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q85
+  /** Vocabulary building: the corpus's top-20 tokens by frequency (token
+    * asc tie-break). Plan shape is the one that matters at 100 TB: explode
+    * → map-side partial count → one |vocab|-sized exchange →
+    * TakeOrderedAndProject — the full token stream is never globally
+    * sorted or collected. */
+  def q85VocabTopK(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    d.select(explode(TextOps.words(TextOps.normalized(col("text")))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(20)
+  }
+
+  val q85VocabTopKSql: String =
+    s"""SELECT token, COUNT(*) AS n
+      |FROM (SELECT unnest($wordsSql) AS token FROM documents)
+      |WHERE token <> ''
+      |GROUP BY token
+      |ORDER BY n DESC, token ASC
+      |LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- q86
+  /** PII scrub before corpus release: redact emails/URLs to placeholder
+    * tokens and report what was removed. The corpus has no organic PII, so
+    * each doc is salted with a synthetic address and link derived from its
+    * id — the regex machinery (RE2-compatible patterns, identical in both
+    * engines) and the scan-speed projection are what's under test. */
+  def q86Redact(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val salted = d.select(col("doc_id"),
+      concat(col("text"), lit(" contact user"), col("doc_id"),
+        lit("@example.com or https://site"), col("doc_id"),
+        lit(".example/path")).as("t"))
+    salted.select(
+      col("doc_id"),
+      TextOps.emailCount(col("t")).as("n_emails"),
+      TextOps.urlCount(col("t")).as("n_urls"),
+      TextOps.redact(col("t")).as("redacted"))
+      .orderBy("doc_id")
+  }
+
+  val q86RedactSql: String =
+    s"""WITH salted AS (
+      |  SELECT doc_id,
+      |    text || ' contact user' || doc_id || '@example.com or https://site'
+      |      || doc_id || '.example/path' AS t
+      |  FROM documents)
+      |SELECT doc_id,
+      |  len(regexp_extract_all(t, '${TextOps.emailPattern}')) AS n_emails,
+      |  len(regexp_extract_all(t, '${TextOps.urlPattern}')) AS n_urls,
+      |  regexp_replace(regexp_replace(t, '${TextOps.emailPattern}', '<EMAIL>', 'g'),
+      |    '${TextOps.urlPattern}', '<URL>', 'g') AS redacted
+      |FROM salted
+      |ORDER BY doc_id""".stripMargin
 }

@@ -92,4 +92,25 @@ object TextOps {
   /** Document fingerprint: md5 of the canonical form — the exact-dedup key
     * and the cheap near-dup pre-filter. */
   def fingerprint(c: Column): Column = md5(normalized(c).cast("binary"))
+
+  /** Email-shaped substrings. RE2-compatible (no backrefs/lookaround) so
+    * the DuckDB oracle runs the same pattern; Java and RE2 agree on this
+    * class syntax. */
+  val emailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** URL-shaped substrings (scheme + non-space run). */
+  val urlPattern: String = "https?://[^\\s]+"
+
+  /** PII scrub: replace every email/URL with a placeholder token. Pure
+    * codegen'd projection — the redaction stage of corpus release runs at
+    * scan speed. */
+  def redact(c: Column): Column =
+    regexp_replace(regexp_replace(c, emailPattern, "<EMAIL>"),
+      urlPattern, "<URL>")
+
+  /** Match counts for the scrub report (what was redacted, per doc). */
+  def emailCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(emailPattern), lit(0)))
+  def urlCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(urlPattern), lit(0)))
 }
