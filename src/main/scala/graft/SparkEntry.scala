@@ -114,6 +114,13 @@ object SparkEntry {
     "q69_scale10_region", "q70_scale10_rollup", "q75_scale100_pricing",
     "q79_scale100_fixedpoint", "q83_scale100_rollup")
 
+  /** Bench entries long enough (tens of seconds — the ×100 scale pass)
+    * that scheduling noise is <2% of runtime: they get one timed pass
+    * instead of warmup+min-of-3, keeping the bench's wall clock bounded
+    * while the sub-second entries keep the noise-robust protocol. */
+  def longBenchQueries: Set[String] = Set(
+    "q75_scale100_pricing", "q79_scale100_fixedpoint", "q83_scale100_rollup")
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
