@@ -80,9 +80,12 @@ object SimHash64 {
 
 /** Imperative registration for an already-running session (idempotent). */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64", exprs => SimHash64(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_dot", exprs => FloatDot(exprs(0), exprs(1)), "built-in")
+  }
 }
 
 /** The production injection point: `SparkSessionExtensions` hook, activated
@@ -90,10 +93,16 @@ object GraftFunctions {
   * `builder.withExtensions(new GraftExtensions)`). Every session built with
   * it has the engine's custom expressions without imperative setup. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("simhash64"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[SimHash64].getName, "simhash64"),
       (exprs: Seq[Expression]) => SimHash64(exprs.head)))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[FloatDot].getName, "vec_dot"),
+      (exprs: Seq[Expression]) => FloatDot(exprs(0), exprs(1))))
+  }
 }

@@ -22,10 +22,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-order double dot product of two float arrays. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** Sequential-order double dot product of two float arrays — the native
+    * codegen'd [[graft.functions.FloatDot]] expression (registered by
+    * GraftExtensions/GraftFunctions in every engine session). Bit-identical
+    * to the composed `aggregate(zip_with(...))` form it replaced, without
+    * the per-row interpreted lambdas and intermediate array. */
+  def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
