@@ -98,6 +98,7 @@ object SparkEntry {
     "q84_incremental_dedup" -> (PipelineQueries.q84IncrementalDedup _),
     "q85_vocab_topk"       -> (PipelineQueries.q85VocabTopK _),
     "q86_redact"           -> (PipelineQueries.q86Redact _),
+    "q87_scale100_join"    -> (RelationalQueries.q87Scale100Join _),
   )
 
   /** Headline queries the bench harness times (a subset of [[queries]]:
@@ -112,14 +113,15 @@ object SparkEntry {
     "q48_quality", "q50_simhash", "q51_multimodal", "q62_scale10_pricing",
     "q64_scale10_join", "q66_skew_dedup_hot", "q67_skew_dedup_uniform",
     "q69_scale10_region", "q70_scale10_rollup", "q75_scale100_pricing",
-    "q79_scale100_fixedpoint", "q83_scale100_rollup")
+    "q79_scale100_fixedpoint", "q83_scale100_rollup", "q87_scale100_join")
 
   /** Bench entries long enough (tens of seconds — the ×100 scale pass)
     * that scheduling noise is <2% of runtime: they get one timed pass
     * instead of warmup+min-of-3, keeping the bench's wall clock bounded
     * while the sub-second entries keep the noise-robust protocol. */
   def longBenchQueries: Set[String] = Set(
-    "q75_scale100_pricing", "q79_scale100_fixedpoint", "q83_scale100_rollup")
+    "q75_scale100_pricing", "q79_scale100_fixedpoint", "q83_scale100_rollup",
+    "q87_scale100_join")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -204,5 +206,6 @@ object SparkEntry {
     "q84_incremental_dedup" -> PipelineQueries.q84IncrementalDedupSql,
     "q85_vocab_topk"       -> PipelineQueries.q85VocabTopKSql,
     "q86_redact"           -> PipelineQueries.q86RedactSql,
+    "q87_scale100_join"    -> RelationalQueries.q87Scale100JoinSql,
   )
 }

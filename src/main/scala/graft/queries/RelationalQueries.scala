@@ -285,6 +285,39 @@ object RelationalQueries {
       |GROUP BY ROLLUP (r100.range, l_returnflag, l_linestatus)
       |ORDER BY rep ASC NULLS FIRST, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- q87
+  /** The ×100 JOIN-class scale point (q64's shape at 10× its scale): a
+    * ×100-replicated lineitem broadcast-joined to orders, revenue summed
+    * fixed-point. The fact stream — ~60M rows at bench sf0.1 — joins
+    * map-side inside the scan's codegen pipeline (dim side is two columns,
+    * explicitly broadcast) and never shuffles; the only exchange carries
+    * 500 groups. Completes the ×100 evidence across all three headline
+    * classes: aggregation (q75/q79), rollup (q83), join (here). */
+  def q87Scale100Join(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.AggOps.{fixedPointSum, unscaledLong}
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .withColumn("rep", explode(sequence(lit(0L), lit(99L))))
+    val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+    val revU = unscaledLong(col("l_extendedprice"), 2) *
+      (lit(10000L) - unscaledLong(col("l_discount"), 4))
+    li.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"), col("rep"))
+      .agg(
+        fixedPointSum(revU, 6, "revenue"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("o_orderpriority", "rep")
+  }
+
+  val q87Scale100JoinSql: String =
+    """SELECT o_orderpriority, r.range AS rep,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem CROSS JOIN range(100) r
+      |JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority, r.range
+      |ORDER BY o_orderpriority, rep""".stripMargin
+
   // ---------------------------------------------------------------- q79
   /** q75's ×100 pricing computed through [[graft.ops.AggOps.fixedPointSum]]:
     * the same exact rational values (the oracle is literally q75's SQL),

@@ -67,6 +67,13 @@ class PlanLintSpec extends AnyFunSuite with SparkSpec {
       s"fact side shuffled through a sort-merge join:\n$plan")
   }
 
+  test("the x100 fact join broadcasts the dim side — the fact rows never shuffle (q87)") {
+    val plan = graft.SparkEntry.queries("q87_scale100_join")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"q87 must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"q87 must not SMJ:\n$plan")
+  }
+
   test("the x10 star join broadcasts every dim in the chain (q69)") {
     val plan = SparkEntry.queries("q69_scale10_region")(spark, sfDir)
       .queryExecution.executedPlan.toString
