@@ -293,10 +293,15 @@ object PipelineQueries {
     * the probe count is the documented recall-vs-cost knob.) */
   def q54EmbedNeardupClustered(s: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDupClustered(embs(s, dir), "vec_id", "embedding",
-      threshold = 0.44, nCentroids = 8, nProbe = 3)
+      threshold = 0.44, nCentroids = 8, nProbe = 4)
       .orderBy("id_a", "id_b")
 
-  /** q53's exact-pair SQL verbatim: multi-probe recall is total here. */
+  /** q53's exact-pair SQL verbatim: multi-probe recall is total here.
+    * nProbe=4, not 3: a 10×-scale local gate run (sf0.1, 2000 vectors)
+    * caught 4 of 211 pairs straddling probe boundaries at nProbe=3 —
+    * recall of a fixed probe count is scale-dependent, so the oracle-
+    * backed entry uses the probe depth re-validated recall-total at BOTH
+    * sf0.01 and sf0.1 (still half the buckets, still no n² stage). */
   val q54EmbedNeardupClusteredSql: String = q53EmbedNeardupSql
 
   // ---------------------------------------------------------------- q55
