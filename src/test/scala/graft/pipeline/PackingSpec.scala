@@ -70,6 +70,27 @@ class PackingSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("Window"), s"global window leaked into packing:\n$plan")
   }
 
+  test("packing scales: 500k docs across 64 partitions keep exact global offsets") {
+    // token counts with a closed-form prefix sum: tok(i) = (i%7)+1, one
+    // 7-cycle sums to 28 — so correctness is checkable without a local sort
+    val n = 500000L
+    def cum(i: Long): Long = (i / 7) * 28 + (0L until (i % 7)).map(_ % 7 + 1).sum
+    val df = spark.range(n)
+      .select(col("id").as("doc_id"), (col("id") % 7 + 1).as("n"))
+      .repartition(64)
+    val got = Packing.packSequences(df, "doc_id", col("n"), 1000L)
+    val sample = got.filter(col("doc_id") % 49999 === 0).collect()
+    assert(sample.nonEmpty)
+    sample.foreach { p =>
+      assert(p.tok_start === cum(p.doc_id), s"doc ${p.doc_id}")
+      assert(p.pack_id === p.tok_start / 1000L)
+    }
+    val (rows, lastEnd) = got.agg(count(lit(1)),
+      max(col("tok_start") + col("n_tokens"))).as[(Long, Long)].collect().head
+    assert(rows === n)
+    assert(lastEnd === cum(n - 1) + ((n - 1) % 7 + 1), "stream length must be exact")
+  }
+
   test("invalid budget fails loudly") {
     intercept[IllegalArgumentException] {
       Packing.packSequences(toks(5).toDF("doc_id", "n"), "doc_id", col("n"), 0L)
