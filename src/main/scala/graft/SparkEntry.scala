@@ -99,6 +99,7 @@ object SparkEntry {
     "q85_vocab_topk"       -> (PipelineQueries.q85VocabTopK _),
     "q86_redact"           -> (PipelineQueries.q86Redact _),
     "q87_scale100_join"    -> (RelationalQueries.q87Scale100Join _),
+    "q88_profile"          -> (CdcQueries.q88Profile _),
   )
 
   /** Headline queries the bench harness times (a subset of [[queries]]:
@@ -207,5 +208,6 @@ object SparkEntry {
     "q85_vocab_topk"       -> PipelineQueries.q85VocabTopKSql,
     "q86_redact"           -> PipelineQueries.q86RedactSql,
     "q87_scale100_join"    -> RelationalQueries.q87Scale100JoinSql,
+    "q88_profile"          -> CdcQueries.q88ProfileSql,
   )
 }

@@ -792,4 +792,30 @@ object CdcQueries {
     "CASE WHEN l_orderkey % 2 = 0 THEN CAST(-1 AS BIGINT) ELSE l_orderkey END")
 
   val q67SkewDedupUniformSql: String = skewDedupSql("l_orderkey")
+
+  // ---------------------------------------------------------------- q88
+  /** Table profiling over lineitem: per-column null counts, exact distinct
+    * cardinality, min/max — the post-merge freshness check and pre-training
+    * data-quality gate. The oracle recomputes every stat; the one-pass
+    * approximate profiler ([[graft.oracle.Profile.tableApprox]], the
+    * 100 TB form) is suite-bounded against this exact one. */
+  def q88Profile(s: SparkSession, dir: String): DataFrame =
+    graft.oracle.Profile.table(Tables.load(s, dir, "lineitem"))
+      .orderBy("column_name")
+
+  val q88ProfileSql: String = {
+    val cols = Seq(
+      "l_orderkey" -> "bigint", "l_partkey" -> "bigint",
+      "l_suppkey" -> "bigint", "l_linenumber" -> "int",
+      "l_quantity" -> "double", "l_extendedprice" -> "double",
+      "l_discount" -> "double", "l_tax" -> "double",
+      "l_returnflag" -> "string", "l_linestatus" -> "string",
+      "l_shipdate" -> "timestamp_ntz")
+    cols.map { case (c, t) =>
+      s"""SELECT '$c' AS column_name, '$t' AS dtype, COUNT(*) AS n_rows,
+        |  COUNT($c) AS n_nonnull, COUNT(DISTINCT $c) AS n_distinct,
+        |  CAST(MIN($c) AS VARCHAR) AS min_val, CAST(MAX($c) AS VARCHAR) AS max_val
+        |FROM lineitem""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+  }
 }
