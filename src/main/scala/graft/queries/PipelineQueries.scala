@@ -908,6 +908,116 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q89
+  /** The END-TO-END corpus release pipeline in one call — the reason the
+    * curation operators exist as a library: exact dedup (keep the min-id
+    * canonical per content fingerprint) → benchmark decontamination
+    * (drop docs sharing any word 4-gram with the eval set) → per-language
+    * quality selection (top 50%) → deterministic 50% sample → sequence
+    * packing into 256-token windows. Every stage is individually
+    * hash-proven (q40/q82/q80/q76/q78); this entry proves the COMPOSITION
+    * against one chained SQL oracle, so a user can trust the one-call
+    * pipeline, not just the parts. Plan-wise the stages fuse: the
+    * fingerprint group, the broadcast shingle join, the lang window, the
+    * map-side sample filter, and the two-pass pack — no stage collects or
+    * re-shuffles the corpus beyond its own declared exchange. */
+  def q89CorpusRelease(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    // 1. exact dedup, min-id canonical per fingerprint
+    val withFp = d.withColumn("fp", TextOps.fingerprint(col("text")))
+    val canon = withFp.groupBy("fp").agg(min("doc_id").as("keep_id"))
+    val deduped = withFp.join(canon, "fp")
+      .filter(col("doc_id") === col("keep_id")).drop("fp", "keep_id")
+    // 2. decontaminate vs the (external, fixed) benchmark slice
+    val bench = d.filter(col("doc_id") % 97 === 0)
+    val flagged = Decontaminate.flagOverlaps(deduped, bench, "doc_id", "text", 4)
+    val clean = deduped.join(flagged.select("doc_id"), Seq("doc_id"), "left_anti")
+    // 3. top 50% quality per language
+    val w = TextOps.words(TextOps.normalized(col("text")))
+    val scored = clean.select(col("doc_id"), col("lang"), col("text"),
+      size(w).as("n_words"),
+      TextOps.stopwordCount(w, TextOps.enStopwords).as("n_stopwords"),
+      length(regexp_replace(col("text"), "[^0-9]", "")).as("n_digit_chars"),
+      length(col("text")).as("n_chars"))
+      .withColumn("stop_ratio", col("n_stopwords").cast("double") /
+        nullif(col("n_words"), lit(0)).cast("double"))
+      .withColumn("digit_ratio", col("n_digit_chars").cast("double") /
+        nullif(col("n_chars"), lit(0)).cast("double"))
+      .withColumn("quality", TextOps.qualityScore(
+        col("n_words"), col("stop_ratio"), col("digit_ratio")))
+    val selected = Select.topPExact(scored, "lang",
+      Seq(col("quality").desc_nulls_last, col("doc_id").asc), 0.5)
+      .select("doc_id", "lang", "text")
+    // 4. deterministic 50% sample
+    val sampled = Sampling.sample(selected, col("doc_id"), 0.5)
+    // 5. pack into 256-token windows (doc_id order)
+    Packing.packSequences(sampled, "doc_id",
+        TextOps.tokenCountRe(col("text")), 256L)
+      .join(sampled.select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("tok_start"), col("pack_id"))
+      .orderBy("doc_id")
+  }
+
+  val q89CorpusReleaseSql: String = {
+    val stops = TextOps.enStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH fps AS (
+      |  SELECT doc_id, lang, text, md5($normSql) AS fp FROM documents),
+      |canon AS (SELECT fp, MIN(doc_id) AS keep_id FROM fps GROUP BY fp),
+      |dedup AS (
+      |  SELECT f.doc_id, f.lang, f.text FROM fps f
+      |  JOIN canon c ON f.fp = c.fp AND f.doc_id = c.keep_id),
+      |aw AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+      |ash AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_transform(range(1, len(ws) - 2),
+      |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS shingle
+      |  FROM aw WHERE len(ws) >= 4),
+      |bench AS (SELECT DISTINCT shingle FROM ash WHERE doc_id % 97 = 0),
+      |flagged AS (
+      |  SELECT DISTINCT c.doc_id FROM ash c JOIN bench b ON c.shingle = b.shingle),
+      |clean AS (
+      |  SELECT d.* FROM dedup d
+      |  WHERE d.doc_id NOT IN (SELECT doc_id FROM flagged)),
+      |base AS (
+      |  SELECT doc_id, lang, text,
+      |    len($wordsSql) AS n_words,
+      |    len(list_filter($wordsSql, w -> list_contains($stops, w))) AS n_stopwords,
+      |    length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit_chars,
+      |    length(text) AS n_chars
+      |  FROM clean),
+      |qscored AS (
+      |  SELECT doc_id, lang, text,
+      |    greatest(0.0, least(1.0,
+      |      0.2 + 0.6 * (CAST(n_stopwords AS DOUBLE) / CAST(nullif(n_words, 0) AS DOUBLE))
+      |        + 0.002 * CAST(n_words AS DOUBLE)
+      |        - 0.3 * (CAST(n_digit_chars AS DOUBLE) / CAST(nullif(n_chars, 0) AS DOUBLE)))) AS quality
+      |  FROM base),
+      |ranked AS (
+      |  SELECT doc_id, lang, text,
+      |    ROW_NUMBER() OVER (PARTITION BY lang
+      |      ORDER BY quality DESC NULLS LAST, doc_id ASC) AS rn,
+      |    COUNT(*) OVER (PARTITION BY lang) AS cnt
+      |  FROM qscored),
+      |selected AS (
+      |  SELECT doc_id, lang, text FROM ranked
+      |  WHERE rn <= CAST(CEIL(0.5 * cnt) AS BIGINT)),
+      |sampled AS (
+      |  SELECT doc_id, lang, text FROM selected
+      |  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < 5000),
+      |tc AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens
+      |  FROM sampled),
+      |cs AS (
+      |  SELECT doc_id, lang, n_tokens,
+      |    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start
+      |  FROM tc)
+      |SELECT doc_id, lang, n_tokens, tok_start, tok_start // 256 AS pack_id
+      |FROM cs ORDER BY doc_id""".stripMargin
+  }
+
   val q86RedactSql: String =
     s"""WITH salted AS (
       |  SELECT doc_id,
