@@ -47,6 +47,19 @@ object Sampling {
     df.filter(bucket(key) < math.round(rate * Buckets).toInt)
   }
 
+  /** Deterministic train/test split: every key lands in exactly one side,
+    * decided by its md5 bucket — re-runs, other engines, and later batches
+    * of the same corpus all agree, so the held-out set never leaks into
+    * training by nondeterminism. Returns the frame with a `split` column
+    * (`test` for ~`testFrac`, else `train`). */
+  def split(df: DataFrame, key: Column, testFrac: Double): DataFrame = {
+    require(testFrac >= 0 && testFrac <= 1,
+      s"split: testFrac must be in [0,1], got $testFrac")
+    val thr = math.round(testFrac * Buckets).toInt
+    df.withColumn("split",
+      when(bucket(key) < thr, lit("test")).otherwise(lit("train")))
+  }
+
   /** Per-stratum sampling rates (e.g. downweight `en`, keep all of `zh`).
     * The rate map rides along as a literal MAP expression — no join, no
     * shuffle, one codegen'd filter. Strata missing from `rates` fall back

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.curate.{Decontaminate, Packing, Sampling, Select, Shuffle}
+import graft.curate.{Decontaminate, Interleave, Packing, Sampling, Select, Shuffle}
 import graft.dedup.Dedup
 import graft.functions.GraftFunctions
 import graft.multimodal.{AudioOps, ImageOps, MultimodalOps, VideoOps}
@@ -907,6 +907,47 @@ object PipelineQueries {
       TextOps.redact(col("t")).as("redacted"))
       .orderBy("doc_id")
   }
+
+  // ---------------------------------------------------------------- q90
+  /** Deterministic train/test split (15% held out): md5-bucket membership
+    * means re-runs, other engines, and future batches agree on the split —
+    * the held-out set cannot leak by nondeterminism. The oracle pins every
+    * row's side. */
+  def q90TrainTestSplit(s: SparkSession, dir: String): DataFrame =
+    Sampling.split(docs(s, dir), col("doc_id"), testFrac = 0.15)
+      .select(col("doc_id"), col("lang"), col("split"))
+      .orderBy("doc_id")
+
+  val q90TrainTestSplitSql: String =
+    """SELECT doc_id, lang,
+      |  CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < 1500
+      |    THEN 'test' ELSE 'train' END AS split
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q91
+  /** Weighted source interleaving (stride scheduling): en at 50%, the
+    * other languages at 12.5% each — reading in `pos` order holds those
+    * rates in every prefix. One lang-partitioned rank window, no global
+    * window; dyadic weights keep the position arithmetic bit-exact in
+    * both engines. */
+  def q91CurriculumInterleave(s: SparkSession, dir: String): DataFrame =
+    Interleave.byWeight(docs(s, dir), "lang", "doc_id",
+      Map("en" -> 0.5, "de" -> 0.125, "es" -> 0.125, "fr" -> 0.125,
+        "zh" -> 0.125))
+      .select(col("doc_id"), col("lang"), col("pos"))
+      .orderBy("doc_id")
+
+  val q91CurriculumInterleaveSql: String =
+    """WITH r AS (
+      |  SELECT doc_id, lang,
+      |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      |  FROM documents)
+      |SELECT doc_id, lang,
+      |  (CAST(rn AS DOUBLE) - 0.5) /
+      |    (CASE lang WHEN 'en' THEN CAST(0.5 AS DOUBLE) ELSE CAST(0.125 AS DOUBLE) END) AS pos
+      |FROM r
+      |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q89
   /** The END-TO-END corpus release pipeline in one call — the reason the

@@ -66,6 +66,45 @@ class SelectShuffleSpec extends AnyFunSuite with SparkSpec {
     assert(moved > 3000, s"order should look shuffled; only $moved ids moved")
   }
 
+  test("train/test split is a disjoint, deterministic partition of the corpus") {
+    val df = (0L until 3000L).toDF("id")
+    val a = graft.curate.Sampling.split(df, col("id"), 0.2)
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(a("test") + a("train") === 3000L)
+    assert(math.abs(a("test") - 600L) < 90, s"test side ${a("test")} != ~600")
+    val b = graft.curate.Sampling.split(df, col("id"), 0.2)
+      .filter(col("split") === "test").select("id").as[Long].collect().toSet
+    val c = graft.curate.Sampling.split(df, col("id"), 0.2)
+      .filter(col("split") === "test").select("id").as[Long].collect().toSet
+    assert(b === c, "split must be stable across runs")
+  }
+
+  test("stride interleave holds target rates in every prefix (off by at most one stride)") {
+    // 400 'a' docs, 400 'b' docs, weights 3:1 — prefix of k must hold
+    // ~0.75k a's, within 1
+    val df = ((0L until 400L).map(i => (i, "a")) ++
+      (1000L until 1400L).map(i => (i, "b"))).toDF("id", "src")
+    val ordered = graft.curate.Interleave.byWeight(df, "src", "id",
+      Map("a" -> 3.0, "b" -> 1.0))
+      .orderBy("pos", "id").select("src").as[String].collect()
+    var nA = 0
+    ordered.zipWithIndex.take(520).foreach { case (s, i) =>
+      if (s == "a") nA += 1
+      val k = i + 1
+      assert(math.abs(nA - 0.75 * k) <= 1.0 + 1e-9,
+        s"prefix $k: ${nA} a's, want ~${0.75 * k}")
+    }
+  }
+
+  test("interleave fails loudly on a source missing from the mixture") {
+    val df = Seq((1L, "a"), (2L, "zz")).toDF("id", "src")
+    val err = intercept[Exception] {
+      graft.curate.Interleave.byWeight(df, "src", "id", Map("a" -> 1.0)).collect()
+    }
+    val msg = err.getMessage + Option(err.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("no weight"), s"unexpected: $err")
+  }
+
   test("no single-partition global window in the shuffle plan") {
     val plan = Shuffle.deterministicOrder((0L until 100L).toDF("doc_id"), "doc_id")
       .queryExecution.executedPlan.toString
