@@ -135,6 +135,41 @@ object ImageOps {
     }(Encoders.product[Thumb])
   }
 
+  /** Deterministic cluster-pattern image whose aHash IS a known 64-bit
+    * word: each 8×8 cell paints solid 210 (bit 1) or 40 (bit 0) per the
+    * splitmix64 word of `clusterId`, with the first `variant` cells
+    * flipped — cells sit ≥ ~80 luma away from any achievable global mean,
+    * so the mean-threshold bits are exact by construction and
+    * `hamming(aHash(c,i), aHash(c,j)) = |i-j|` while distinct clusters
+    * differ in ~32 bits. The generator behind the image near-dup oracle:
+    * the TRUE pair set is computable from ids alone. */
+  def syntheticClusterPng(clusterId: Long, variant: Int): Array[Byte] = {
+    var z = clusterId + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    val word = z ^ (z >>> 31)
+    val img = new BufferedImage(32, 32, BufferedImage.TYPE_INT_RGB)
+    var cell = 0
+    while (cell < 64) {
+      val bit = (((word >>> cell) & 1L) == 1L) ^ (cell < variant)
+      val v = if (bit) 210 else 40
+      val (cx, cy) = (cell % 8, cell / 8)
+      var dy = 0
+      while (dy < 4) {
+        var dx = 0
+        while (dx < 4) {
+          img.setRGB(cx * 4 + dx, cy * 4 + dy, (v << 16) | (v << 8) | v)
+          dx += 1
+        }
+        dy += 1
+      }
+      cell += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** Deterministic grayscale test pattern (pixel (x,y) of image `id` has
     * luminance `(id*31 + x*7 + y*13) mod 256`), REALLY encoded to PNG
     * bytes. Gives the engine a corpus of genuine images whose decoded

@@ -7,7 +7,7 @@ import graft.Tables
 import graft.curate.{Decontaminate, Interleave, Packing, Sampling, Select, Shuffle}
 import graft.dedup.Dedup
 import graft.functions.GraftFunctions
-import graft.multimodal.{AudioOps, ImageOps, MultimodalOps, VideoOps}
+import graft.multimodal.{AudioOps, ImageDedup, ImageOps, MultimodalOps, VideoOps}
 import graft.sim.Similarity
 import graft.text.TextOps
 
@@ -907,6 +907,32 @@ object PipelineQueries {
       TextOps.redact(col("t")).as("redacted"))
       .orderBy("doc_id")
   }
+
+  // ---------------------------------------------------------------- q92
+  /** IMAGE near-dup end to end: decode (real PNG codec) → aHash
+    * fingerprint → 4×16-bit banded candidates → bit_count Hamming verify.
+    * The fixture plants one 4-variant cluster per 4 consecutive doc ids
+    * with aHash == a known splitmix64 word by construction (cells sit far
+    * from the mean threshold), so the TRUE pair set — all within-cluster
+    * pairs, hamming = id distance — is computable from ids alone and the
+    * oracle pins the detector's output exactly: a full hash-green oracle
+    * for a media near-dup path. */
+  def q92ImageNeardup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = docs(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        (id, ImageOps.syntheticClusterPng(id / 4, (id % 4).toInt))
+      }).toDF("media_id", "media")
+    ImageDedup.nearDupPairs(media, maxHamming = 3)
+      .orderBy("id_a", "id_b")
+  }
+
+  val q92ImageNeardupSql: String =
+    """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(b.doc_id - a.doc_id AS INT) AS hamming
+      |FROM documents a JOIN documents b
+      |  ON a.doc_id // 4 = b.doc_id // 4 AND a.doc_id < b.doc_id
+      |ORDER BY id_a, id_b""".stripMargin
 
   // ---------------------------------------------------------------- q90
   /** Deterministic train/test split (15% held out): md5-bucket membership
