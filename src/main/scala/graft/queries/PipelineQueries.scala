@@ -7,7 +7,7 @@ import graft.Tables
 import graft.curate.{Decontaminate, Interleave, Packing, Sampling, Select, Shuffle}
 import graft.dedup.Dedup
 import graft.functions.GraftFunctions
-import graft.multimodal.{AudioOps, ImageDedup, ImageOps, MultimodalOps, VideoOps}
+import graft.multimodal.{AudioDedup, AudioOps, ImageDedup, ImageOps, MultimodalOps, VideoOps}
 import graft.sim.Similarity
 import graft.text.TextOps
 
@@ -933,6 +933,25 @@ object PipelineQueries {
       |FROM documents a JOIN documents b
       |  ON a.doc_id // 4 = b.doc_id // 4 AND a.doc_id < b.doc_id
       |ORDER BY id_a, id_b""".stripMargin
+
+  // ---------------------------------------------------------------- q93
+  /** AUDIO near-dup end to end: WAV/PCM decode → 64-bit energy-delta
+    * fingerprint (Haitsma–Kalker shape, integer-exact) → the same banded
+    * engine as q92. The fixture's loudness walk makes the fingerprint a
+    * known splitmix64 word, so the oracle pins the detector's full pair
+    * output from ids alone — both decodable media modalities now carry
+    * fully hash-green near-dup paths. */
+  def q93AudioNeardup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = docs(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        (id, AudioDedup.syntheticClusterWav(id / 4, (id % 4).toInt))
+      }).toDF("media_id", "media")
+    AudioDedup.nearDupPairs(media, maxHamming = 3)
+      .orderBy("id_a", "id_b")
+  }
+
+  val q93AudioNeardupSql: String = q92ImageNeardupSql
 
   // ---------------------------------------------------------------- q90
   /** Deterministic train/test split (15% held out): md5-bucket membership
