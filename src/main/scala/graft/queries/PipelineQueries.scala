@@ -1034,8 +1034,13 @@ object PipelineQueries {
     val selected = Select.topPExact(scored, "lang",
       Seq(col("quality").desc_nulls_last, col("doc_id").asc), 0.5)
       .select("doc_id", "lang", "text")
-    // 4. deterministic 50% sample
+    // 4. deterministic 50% sample — eagerly checkpointed: the released set
+    // is SMALL (a fraction of the corpus) and everything downstream
+    // (range-partitioner sampling, the packing's two passes, the lang
+    // join-back) would otherwise re-run the five upstream stages once per
+    // job; after the checkpoint they re-read a materialized frame instead
     val sampled = Sampling.sample(selected, col("doc_id"), 0.5)
+      .localCheckpoint(true)
     // 5. pack into 256-token windows (doc_id order)
     Packing.packSequences(sampled, "doc_id",
         TextOps.tokenCountRe(col("text")), 256L)
