@@ -730,7 +730,8 @@ object PipelineQueries {
       |    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start
       |  FROM tc)
-      |SELECT doc_id, n_tokens, tok_start, tok_start // 512 AS pack_id
+      |SELECT doc_id, n_tokens, CAST(tok_start AS BIGINT) AS tok_start,
+      |  CAST(tok_start // 512 AS BIGINT) AS pack_id
       |FROM cs ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q80
@@ -1105,7 +1106,8 @@ object PipelineQueries {
       |    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start
       |  FROM tc)
-      |SELECT doc_id, lang, n_tokens, tok_start, tok_start // 256 AS pack_id
+      |SELECT doc_id, lang, n_tokens, CAST(tok_start AS BIGINT) AS tok_start,
+      |  CAST(tok_start // 256 AS BIGINT) AS pack_id
       |FROM cs ORDER BY doc_id""".stripMargin
   }
 

@@ -55,15 +55,24 @@ def value_hash(df: pd.DataFrame) -> str:
             continue
         # An int column holding NULLs arrives as float64/object on one side
         # but int64 on the other (pandas nullability), which would hash with
-        # different type prefixes and report a false FAIL — normalize any
-        # all-integral numeric column (NULLs allowed) to nullable Int64
-        # first. Only genuine ints/floats coerce: strings/bytes must stay
-        # text ("04" vs "4" distinct), bools are handled above, and Decimal
-        # must NOT round-trip through float64 (precision loss beyond 2^53
-        # could mint a false PASS — ADVICE r3); Decimal is not a
-        # numbers.Real so the isinstance guard excludes it.
+        # different type prefixes and report a false FAIL — normalize such a
+        # column to nullable Int64 first. The coercion is deliberately
+        # NARROW: a NULL-free float64 column must hash as float even when
+        # all values are integral, because the driver treats int64 vs
+        # float64 as a type-class mismatch (its r1 q12 behavior; DuckDB
+        # HUGEINT->float64 masked by this very coercion shipped the r6
+        # q78/q89 regression — VERDICT r6). So float dtype only coerces
+        # when NULLs are actually present (the pandas-nullability case);
+        # object dtype (Python ints) always coerces. Only genuine
+        # ints/floats coerce: strings/bytes must stay text ("04" vs "4"
+        # distinct), bools are handled above, and Decimal must NOT
+        # round-trip through float64 (precision loss beyond 2^53 could mint
+        # a false PASS — ADVICE r3); Decimal is not a numbers.Real so the
+        # isinstance guard excludes it. Every firing is loud so local green
+        # with a WARN is never silently weaker than the driver.
         if not pd.api.types.is_integer_dtype(s) and (
-                pd.api.types.is_float_dtype(s) or s.dtype == object):
+                (pd.api.types.is_float_dtype(s) and s.isna().any())
+                or s.dtype == object):
             try:
                 coercible = vals.map(
                     lambda v: isinstance(v, numbers.Real)
@@ -71,6 +80,9 @@ def value_hash(df: pd.DataFrame) -> str:
                 coerced = pd.to_numeric(s, errors="coerce")
                 if coercible and coerced.notna().equals(s.notna()) and \
                         coerced.dropna().astype(float).map(float.is_integer).all():
+                    print(f"     WARN col '{col}': coerced {s.dtype} -> "
+                          f"Int64 (nullable-int normalization); driver may "
+                          f"hash this column differently", file=sys.stderr)
                     s = coerced.astype("Int64")
             except (TypeError, ValueError):
                 pass
@@ -94,12 +106,15 @@ def value_hash(df: pd.DataFrame) -> str:
     return h.hexdigest()
 
 
-def main(out_dir: str, sf_dir: str) -> int:
+def main(out_dir: str, sf_dir: str, only: str = "") -> int:
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
                 f"read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if only:  # local iteration filter, mirrors Verify's SPARK_GRAFT_ONLY
+        keep = {q.strip() for q in only.split(",")}
+        oracle = {k: v for k, v in oracle.items() if k in keep}
     n_bad = 0
     for name, sql in sorted(oracle.items()):
         try:
@@ -140,4 +155,5 @@ def main(out_dir: str, sf_dir: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else ""))
