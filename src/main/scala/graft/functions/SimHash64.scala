@@ -85,6 +85,8 @@ object GraftFunctions {
       "simhash64", exprs => SimHash64(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", exprs => FloatDot(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "unscaled_fixed", UnscaledFixed.build, "built-in")
   }
 }
 
@@ -104,5 +106,17 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[FloatDot].getName, "vec_dot"),
       (exprs: Seq[Expression]) => FloatDot(exprs(0), exprs(1))))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("unscaled_fixed"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[UnscaledFixed].getName, "unscaled_fixed"),
+      UnscaledFixed.build))
+    // sum(decimal)→unscaled-long fast path; disable with
+    // spark.graft.decimalFastPath=false. Injected BEFORE the reagg rule so
+    // a rollup's decimal sums go long first, then decompose as long sums.
+    ext.injectOptimizerRule(_ => graft.plans.DecimalSumFastPath)
+    // rollup/cube one-pass re-aggregation; disable with
+    // spark.graft.groupingSetReagg=false.
+    ext.injectOptimizerRule(_ => graft.plans.GroupingSetReagg)
   }
 }

@@ -120,15 +120,15 @@ object AggOps {
     (sum(unscaled).cast("decimal(38,0)") / lit(p)).cast("double").as(name)
   }
 
-  /** The unscaled-long view of a column at `scale` decimals. This IS the
-    * decimal cast (same conversion, same half-up digit — `round(x·10^s)`
-    * on the raw double is NOT: a literal like 1.005 rounds up through the
-    * decimal string but down through its binary product 100.49999…),
-    * followed by exact integer extraction. Only the downstream multiplies
-    * and the sum accumulator leave decimal representation. */
-  def unscaledLong(c: Column, scale: Int): Column = {
-    var p = 1L
-    (0 until scale).foreach(_ => p *= 10L)
-    (c.cast(s"decimal(18,$scale)") * lit(p)).cast("long")
-  }
+  /** The unscaled-long view of a double column at `scale` decimals. This
+    * IS the decimal cast (same conversion, same half-up digit —
+    * `round(x·10^s)` on the raw double is NOT: a literal like 1.005 rounds
+    * up through the decimal string but down through its binary product
+    * 100.49999…), followed by exact integer extraction — fused into the
+    * allocation-free [[graft.functions.UnscaledFixed]] kernel (requires
+    * the GraftExtensions session; fuzz-proven bit-identical to the
+    * cast-and-multiply form it replaced). ANSI contract: values whose
+    * integer part exceeds 18−scale digits throw loudly. */
+  def unscaledLong(c: Column, scale: Int): Column =
+    call_function("unscaled_fixed", c, lit(18), lit(scale))
 }

@@ -260,20 +260,25 @@ object RelationalQueries {
       |ORDER BY l_returnflag, l_linestatus, rep""".stripMargin
 
   // ---------------------------------------------------------------- q83
-  /** ×100 rollup with BOTH aggregation rewrites compounded: one finest
-    * pass instead of native rollup's (d+1)× Expand ([[graft.ops.AggOps
-    * .rollupReagg]], proven at ×10 by q70) AND long fixed-point
-    * accumulators instead of BigDecimal sums (proven by q79). At 100 TB
-    * this is the difference between 4 decimal passes over the corpus and
-    * ONE integer pass plus re-aggregation of 600 finest groups. Same
-    * DuckDB ROLLUP-over-decimal oracle — exact by construction. */
+  /** ×100 rollup written as PLAIN native `.rollup(...).agg(...)` — what an
+    * unmodified Spark user writes — made one-pass by the two injected
+    * optimizer rules compounding: [[graft.plans.GroupingSetReagg]] moves
+    * the Expand above a finest-level aggregate (one fact pass instead of
+    * (d+1)×) and [[graft.plans.DecimalSumFastPath]] turns the decimal sum
+    * into long fixed-point accumulators. At 100 TB this is the difference
+    * between 4 decimal passes over the corpus and ONE integer pass plus
+    * re-aggregation of 600 finest groups. The library spellings of the
+    * same rewrites ([[graft.ops.AggOps.rollupReagg]]/
+    * [[AggOps.rollupReaggFixedPoint]]) stay proven by q70/q73; this entry
+    * pins that UNMODIFIED code gets the same plan. Same DuckDB
+    * ROLLUP-over-decimal oracle — exact by construction. */
   def q83Scale100Rollup(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
       .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity"))
       .withColumn("rep", explode(sequence(lit(0L), lit(99L))))
-    graft.ops.AggOps.rollupReaggFixedPoint(li,
-      Seq("rep", "l_returnflag", "l_linestatus"),
-      col("l_quantity"), 2, "n_rows", "sum_qty")
+    li.rollup(col("rep"), col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast(dec12_2)).cast("double").as("sum_qty"))
       .orderBy(col("rep").asc_nulls_first,
         col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
   }

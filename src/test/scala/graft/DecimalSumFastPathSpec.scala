@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Contract of the sum(decimal)→unscaled-long optimizer rule: fires on the
+  * eligible shape (and only there), is disable-able, and never changes the
+  * result — checked by value against the same query with the rule off. */
+class DecimalSumFastPathSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .withExtensions(new graft.functions.GraftExtensions)
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("DecimalSumFastPathSpec").getOrCreate()
+
+  import spark.implicits._
+
+  private def sample: DataFrame =
+    Seq((1, 10.05, 0.04), (1, 2.50, 0.00), (2, 1.005, 0.10),
+      (2, -3.75, 0.02), (3, 0.0, 0.0))
+      .toDF("k", "price", "disc")
+
+  private def pricing(df: DataFrame): DataFrame =
+    df.groupBy("k").agg(
+      sum(col("price").cast("decimal(12,2)")).cast("double").as("s1"),
+      sum(col("price").cast("decimal(12,2)") *
+        (lit(1).cast("decimal(6,4)") - col("disc").cast("decimal(6,4)")))
+        .cast("double").as("s2"))
+      .orderBy("k")
+
+  private def optimizedString(df: DataFrame): String =
+    df.queryExecution.optimizedPlan.toString
+
+  test("rewrites sum(cast(double as decimal)).cast(double) to the long path") {
+    val plan = optimizedString(pricing(sample))
+    assert(plan.contains("unscaled_fixed("), plan)
+    assert(!plan.contains("sum(cast(price"), plan)
+  }
+
+  test("values are identical with the rule on and off") {
+    val on = pricing(sample).collect()
+    spark.conf.set("spark.graft.decimalFastPath", "false")
+    try {
+      val offPlan = optimizedString(pricing(sample))
+      assert(!offPlan.contains("unscaled_fixed("), offPlan)
+      val off = pricing(sample).collect()
+      assert(on.toSeq === off.toSeq)
+    } finally spark.conf.unset("spark.graft.decimalFastPath")
+  }
+
+  test("leaves DISTINCT, FILTER, decimal-typed, and double sums alone") {
+    val df = sample
+    val distinctPlan = optimizedString(df.groupBy("k")
+      .agg(sum_distinct(col("price").cast("decimal(12,2)")).cast("double")))
+    assert(!distinctPlan.contains("unscaled_fixed("), distinctPlan)
+
+    df.createOrReplaceTempView("fp_sample")
+    val filterPlan = optimizedString(spark.sql(
+      """SELECT k, CAST(SUM(CAST(price AS DECIMAL(12,2)))
+        |  FILTER (WHERE disc > 0) AS DOUBLE) FROM fp_sample GROUP BY k"""
+        .stripMargin))
+    assert(!filterPlan.contains("unscaled_fixed("), filterPlan)
+
+    // no double cast on top: result stays decimal-typed, must not rewrite
+    val decimalPlan = optimizedString(df.groupBy("k")
+      .agg(sum(col("price").cast("decimal(12,2)"))))
+    assert(!decimalPlan.contains("unscaled_fixed("), decimalPlan)
+
+    // plain double sum: order-sensitive, not a decimal, must not rewrite
+    val doublePlan = optimizedString(df.groupBy("k")
+      .agg(sum(col("price")).cast("double")))
+    assert(!doublePlan.contains("unscaled_fixed("), doublePlan)
+  }
+
+  test("combined precision beyond the cap does not rewrite") {
+    // 18+7 digits of product precision can overflow a long per row
+    val plan = optimizedString(sample.groupBy("k").agg(
+      sum(col("price").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(6,4)") - col("disc").cast("decimal(6,4)")))
+        .cast("double")))
+    assert(!plan.contains("unscaled_fixed("), plan)
+  }
+
+  test("string-tie values stay exact through the rewritten plan") {
+    // 1.005's decimal cast rounds UP (string semantics) — the fast path
+    // must agree group-wise after aggregation too
+    val row = pricing(sample).filter($"k" === 2).collect().head
+    assert(math.abs(row.getDouble(1) - (1.01 - 3.75)) < 1e-12)
+  }
+}
