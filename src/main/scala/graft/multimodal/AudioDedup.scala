@@ -44,7 +44,8 @@ object AudioDedup {
     * bits. Same batched decode shape as [[AudioOps.decodeAudio]]; corrupt
     * or non-PCM payloads drop out (never fail the job). */
   def nearDupPairs(df: DataFrame, maxHamming: Int = 3,
-      idCol: String = "media_id", mediaCol: String = "media"): DataFrame = {
+      idCol: String = "media_id", mediaCol: String = "media",
+      maxBucket: Int = 10000, strictBuckets: Boolean = false): DataFrame = {
     val rows = df.select(col(idCol).cast("long"), col(mediaCol).cast("binary"))
       .as[(Long, Array[Byte])](Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
     val hashed = rows.mapPartitions { it =>
@@ -54,7 +55,7 @@ object AudioDedup {
       }
     }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
       .toDF("media_id", "fp")
-    Banded64.pairs(hashed, maxHamming)
+    Banded64.pairs(hashed, maxHamming, maxBucket, strictBuckets)
   }
 
   /** Decode a WAV payload to 16-bit PCM samples; null when undecodable. */

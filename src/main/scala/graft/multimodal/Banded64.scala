@@ -7,12 +7,47 @@ import org.apache.spark.sql.functions._
   * audio energy-hash, any future modality): exact-fingerprint pre-collapse
   * → 4×16-bit banded candidate generation → codegen'd `bit_count` Hamming
   * verification → member re-expansion. Pigeonhole makes 4 bands exhaustive
-  * for Hamming ≤ 3; banding keeps candidates a groupBy, never all-pairs. */
+  * for Hamming ≤ 3; banding keeps candidates a groupBy, never all-pairs.
+  *
+  * Degenerate-band guard (same contract as the text LSH paths,
+  * [[graft.dedup.Dedup]] bucketPairs): a band self-join on 16-bit
+  * signatures has 2^16 buckets per band, so n distinct fingerprints
+  * sharing a band value (black frames, silence, constant-color thumbnails)
+  * produce a ~n²/2 candidate blow-up. Buckets larger than `maxBucket`
+  * DISTINCT fingerprints are dropped from candidate generation — a
+  * recall-vs-survival trade the operator must not make silently: every
+  * drop increments [[droppedBuckets]] and logs loudly, and
+  * `strictBuckets = true` fails the job instead. Exact duplicates are
+  * unaffected (they collapse to one representative before banding and
+  * re-expand through the members join). */
 object Banded64 {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Count of over-cap band buckets dropped in `spark`'s lifetime —
+    * programmatic visibility so callers can alert on recall loss instead
+    * of scraping logs. Weak keys: a retired session releases its counter. */
+  private val droppedAcc =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+        org.apache.spark.util.LongAccumulator]())
+  def droppedBuckets(spark: org.apache.spark.sql.SparkSession): Long =
+    Option(droppedAcc.get(spark)).map(_.value.longValue).getOrElse(0L)
+  private def dropCounter(spark: org.apache.spark.sql.SparkSession) =
+    droppedAcc.synchronized {
+      var acc = droppedAcc.get(spark)
+      if (acc == null) {
+        acc = spark.sparkContext.longAccumulator("graft.media.droppedBuckets")
+        droppedAcc.put(spark, acc)
+      }
+      acc
+    }
+
   /** `hashed` must have columns (`media_id` long, `fp` long). Returns
-    * (id_a, id_b, hamming) for every pair within `maxHamming`. */
-  def pairs(hashed: DataFrame, maxHamming: Int): DataFrame = {
+    * (id_a, id_b, hamming) for every pair within `maxHamming` whose band
+    * buckets stay under `maxBucket` distinct fingerprints. */
+  def pairs(hashed: DataFrame, maxHamming: Int, maxBucket: Int = 10000,
+      strictBuckets: Boolean = false): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"Banded64: 4x16-bit bands are exhaustive only for maxHamming <= 3, got $maxHamming")
     // one banding representative per distinct fingerprint: k identical
@@ -22,7 +57,27 @@ object Banded64 {
       rep.select(col("fp"), col("rep"),
         lit(b).as("band"), shiftright(col("fp"), b * 16).bitwiseAND(0xffffL).as("sig"))
     }.reduce(_ unionByName _)
-    val candidates = bands.as("x").join(bands.as("y"),
+    // cap candidate generation per (band, sig) bucket — the hot-band guard
+    val bucketCounts = bands.groupBy(col("band"), col("sig"))
+      .agg(count(lit(1)).as("__n"))
+    val over = bucketCounts.filter(col("__n") > maxBucket)
+      .agg(count(lit(1)).as("buckets"),
+        coalesce(max(col("__n")), lit(0L)).as("largest"))
+      .head()
+    if (over.getLong(0) > 0) {
+      val msg = s"Banded64: ${over.getLong(0)} band bucket(s) larger than " +
+        s"$maxBucket distinct fingerprints (largest=${over.getLong(1)}); " +
+        "near-dup recall for their members is reduced — raise maxBucket or " +
+        "pre-filter degenerate media (black frames, silence)"
+      if (strictBuckets) throw new IllegalStateException(
+        s"$msg (strictBuckets=true fails instead of dropping)")
+      dropCounter(hashed.sparkSession).add(over.getLong(0))
+      log.warn(s"$msg (dropping; see Banded64.droppedBuckets)")
+    }
+    val ok = bucketCounts.filter(col("__n") <= maxBucket)
+      .select(col("band"), col("sig"))
+    val prunedBands = bands.join(ok, Seq("band", "sig"))
+    val candidates = prunedBands.as("x").join(prunedBands.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.rep") < col("y.rep"))
       .select(col("x.fp").as("h_a"), col("x.rep").as("rep_a"),

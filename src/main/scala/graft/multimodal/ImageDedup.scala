@@ -17,12 +17,15 @@ import org.apache.spark.sql.functions._
 object ImageDedup {
 
   /** Pairs of decodable images whose aHashes are within `maxHamming` bits
-    * (via [[Banded64]]: 4 × 16-bit bands ⇒ exhaustive for maxHamming ≤ 3). */
+    * (via [[Banded64]]: 4 × 16-bit bands ⇒ exhaustive for maxHamming ≤ 3).
+    * `maxBucket`/`strictBuckets` forward to [[Banded64.pairs]]'s hot-band
+    * guard (constant-color thumbnails share band signatures). */
   def nearDupPairs(df: DataFrame, maxHamming: Int = 3,
-      idCol: String = "media_id", mediaCol: String = "media"): DataFrame =
+      idCol: String = "media_id", mediaCol: String = "media",
+      maxBucket: Int = 10000, strictBuckets: Boolean = false): DataFrame =
     Banded64.pairs(
       ImageOps.decodeImages(df, idCol, mediaCol)
         .filter(col("decoded"))
         .select(col("media_id"), col("ahash").as("fp")),
-      maxHamming)
+      maxHamming, maxBucket, strictBuckets)
 }
