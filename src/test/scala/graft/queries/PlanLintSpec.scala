@@ -46,6 +46,29 @@ class PlanLintSpec extends AnyFunSuite with SparkSpec {
       s"global windows found:\n${offenders.mkString("\n")}")
   }
 
+  test("curation-path queries plan NO window at all (not even partitioned)") {
+    // A partitionBy window is only scale-safe when the partition key is
+    // high-cardinality; the curation operators' keys (source/lang,
+    // quality band) are few by construction, so each window partition
+    // would be a near-global single-task sort chain — the r6 Interleave
+    // finding. The curate package is built on the two-pass range-
+    // partition pattern instead, so its query plans must be window-FREE;
+    // any WindowExec appearing here is a regression to the defect class.
+    def windows(p: SparkPlan): Seq[WindowExec] = p match {
+      case a: AdaptiveSparkPlanExec => windows(a.executedPlan)
+      case w: WindowExec => w +: w.children.flatMap(windows)
+      case other => other.children.flatMap(windows)
+    }
+    val curationQueries = Seq("q78_sequence_pack", "q81_corpus_shuffle",
+      "q89_corpus_release", "q91_curriculum_interleave")
+    val offenders = curationQueries.flatMap { name =>
+      windows(SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan)
+        .map(w => s"$name: ${w.simpleStringWithNodeId()}")
+    }
+    assert(offenders.isEmpty,
+      s"windows in curation plans:\n${offenders.mkString("\n")}")
+  }
+
   test("no query plans an unhinted cartesian product") {
     // CartesianProductExec shuffles |left|×|right| — every intentional
     // cross join in the engine is broadcast (BroadcastNestedLoopJoin over
