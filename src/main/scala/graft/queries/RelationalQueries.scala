@@ -323,6 +323,57 @@ object RelationalQueries {
       |GROUP BY o_orderpriority, r.range
       |ORDER BY o_orderpriority, rep""".stripMargin
 
+  // ---------------------------------------------------------------- q94
+  /** q87's ×100 join computed CO-LOCATED instead of broadcast: both sides
+    * pre-bucketed on the join key ([[graft.sql.QueryEngine.saveBucketed]],
+    * 32 buckets), so the sort-merge join needs NO exchange on either side
+    * — the plan the engine would run when the dim outgrows the broadcast
+    * threshold, and the "pay the shuffle once at ingest" half of the
+    * bucketing story (the write shuffles once; every subsequent join
+    * reads co-located). The ×100 explode sits ABOVE the bucketed scan
+    * (Generate preserves partitioning), the merge hint keeps AQE from
+    * converting back to broadcast, and the only exchange in the plan
+    * carries the 500 output groups. Oracle: identical values to q87
+    * (same SQL), so hash-green proves the bucketed path exact. */
+  def q94BucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.AggOps.{fixedPointSum, unscaledLong}
+    ensureBucketedTables(s, dir)
+    val (liT, oT) = bucketedNames(dir)
+    val li = s.table(liT)
+      .withColumn("rep", explode(sequence(lit(0L), lit(99L))))
+    val o = s.table(oT)
+    val revU = unscaledLong(col("l_extendedprice"), 2) *
+      (lit(10000L) - unscaledLong(col("l_discount"), 4))
+    li.hint("merge").join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"), col("rep"))
+      .agg(
+        fixedPointSum(revU, 6, "revenue"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("o_orderpriority", "rep")
+  }
+
+  private def bucketedNames(dir: String): (String, String) = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    (s"lineitem_bkt_$tag", s"orders_bkt_$tag")
+  }
+
+  /** Idempotent ingest step for [[q94BucketedJoin]]: bucket-write the two
+    * join sides into the session warehouse (the once-per-ingest shuffle).
+    * Exposed so the bench can run it untimed — the recorded q94 number is
+    * the steady-state co-located read path, not the ingest. */
+  def ensureBucketedTables(s: SparkSession, dir: String): Unit = {
+    val (liT, oT) = bucketedNames(dir)
+    if (!s.catalog.tableExists(liT))
+      graft.sql.QueryEngine.saveBucketed(
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+        liT, "l_orderkey", 32)
+    if (!s.catalog.tableExists(oT))
+      graft.sql.QueryEngine.saveBucketed(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority")),
+        oT, "o_orderkey", 32)
+  }
+
   // ---------------------------------------------------------------- q79
   /** q75's ×100 pricing computed through [[graft.ops.AggOps.fixedPointSum]]:
     * the same exact rational values (the oracle is literally q75's SQL),

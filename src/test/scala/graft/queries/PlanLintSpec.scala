@@ -106,6 +106,25 @@ class PlanLintSpec extends AnyFunSuite with SparkSpec {
       s"fact side shuffled through a sort-merge join:\n$plan")
   }
 
+  test("the bucketed x100 join is exchange-free on both join sides (q94)") {
+    // Both sides read pre-bucketed on the join key: the sort-merge join
+    // must consume bucket partitioning directly — any ShuffleExchange
+    // BELOW the join means bucketing was not picked up and the fact
+    // stream re-shuffled. (The single exchange above the join carries
+    // only the 500 output groups.)
+    val plan = SparkEntry.queries("q94_bucketed_join")(spark, sfDir)
+      .queryExecution.executedPlan
+    def findSmj(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => findSmj(a.executedPlan)
+      case s if s.nodeName.contains("SortMergeJoin") => Seq(s)
+      case other => other.children.flatMap(findSmj)
+    }
+    val smjs = findSmj(plan)
+    assert(smjs.nonEmpty, s"q94 must sort-merge join:\n$plan")
+    assert(!smjs.head.toString.contains("Exchange"),
+      s"exchange below the bucketed join:\n${smjs.head}")
+  }
+
   test("selective filters reach the parquet scan as data filters (q6)") {
     val plan = SparkEntry.queries("q6_revenue")(spark, sfDir)
       .queryExecution.executedPlan.toString
