@@ -44,6 +44,11 @@ object Packing {
     // Pass 1: per-partition token totals. Bounded driver traffic: one pair
     // per partition. Same RDD object in both passes, so the range
     // partitioner's sampled boundaries (seeded by RDD id) are identical.
+    if (rdd.getNumPartitions > 1000000)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"packSequences: ${rdd.getNumPartitions} partitions — pass 1 " +
+          "collects one token total per partition to the driver; beyond " +
+          "~1e6 partitions coalesce the input or raise maxPartitionBytes")
     val totals = rdd.mapPartitionsWithIndex { case (i, it) =>
       var t = 0L
       it.foreach { case (_, tok) =>

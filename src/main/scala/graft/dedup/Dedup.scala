@@ -453,21 +453,44 @@ object Dedup {
     * ingested 100 TB corpus: each arriving batch pays LSH over
     * existing ∪ batch, never a re-dedup of the whole lake.
     *
-    * Ids must be globally unique across both frames (a collision would
-    * corrupt provenance silently, so it raises — one bounded
-    * intersect-limit-1 job). */
+    * Ids must be globally unique across both frames (a collision corrupts
+    * provenance silently). The guard is range-based and cheap: a min/max
+    * aggregate per side (map-side partial, no shuffle of the id sets),
+    * warning loudly when the ranges overlap. `strictIds = true` upgrades
+    * an overlap to an EXACT intersect check that raises on a real
+    * collision — a full distinct-shuffle of both id sets, i.e. an extra
+    * pass over the existing corpus, which is why it is opt-in (ADVICE
+    * r6). NOTE: despite its transformation-shaped signature this function
+    * runs the guard's Spark job(s) eagerly at call time. */
   def incrementalDedup(existing: DataFrame, incoming: DataFrame,
       idCol: String, textCol: String, n: Int, bands: Int, rowsPerBand: Int,
       threshold: Double, maxBucket: Int = 10000,
-      strictBuckets: Boolean = false): DataFrame = {
+      strictBuckets: Boolean = false, strictIds: Boolean = false): DataFrame = {
     val ex = existing.select(col(idCol), col(textCol))
     val inc = incoming.select(col(idCol), col(textCol))
-    val clash = ex.select(col(idCol)).intersect(inc.select(col(idCol)))
-      .limit(1).collect()
-    require(clash.isEmpty,
-      s"incrementalDedup: id '${clash.headOption.map(_.get(0)).orNull}' is " +
-        "in BOTH the existing corpus and the incoming batch — ids must be " +
-        "globally unique or provenance is meaningless")
+    // typed overlap test in-engine (lexicographic toString would misorder
+    // numeric ids); one map-side min/max per side, 1×1 cross join
+    val bounds = ex.agg(min(col(idCol)).as("lo"), max(col(idCol)).as("hi"))
+      .crossJoin(inc.agg(min(col(idCol)).as("ilo"), max(col(idCol)).as("ihi")))
+      .select(col("lo"), col("hi"), col("ilo"), col("ihi"),
+        (col("lo") <= col("ihi") && col("ilo") <= col("hi")).as("overlap"))
+      .head()
+    val rangesOverlap = !bounds.isNullAt(4) && bounds.getBoolean(4)
+    if (rangesOverlap) {
+      if (strictIds) {
+        val clash = ex.select(col(idCol)).intersect(inc.select(col(idCol)))
+          .limit(1).collect()
+        require(clash.isEmpty,
+          s"incrementalDedup: id '${clash.headOption.map(_.get(0)).orNull}' " +
+            "is in BOTH the existing corpus and the incoming batch — ids " +
+            "must be globally unique or provenance is meaningless")
+      } else {
+        log.warn("incrementalDedup: existing and incoming id RANGES overlap " +
+          s"(existing [${bounds.get(0)}, ${bounds.get(1)}], incoming " +
+          s"[${bounds.get(2)}, ${bounds.get(3)}]); a shared id would corrupt " +
+          "provenance — pass strictIds=true for an exact (full-pass) check")
+      }
+    }
     val pairs = minHashLsh(ex.unionByName(inc), idCol, textCol, n, bands,
       rowsPerBand, threshold, maxBucket, strictBuckets)
     val newIds = inc.select(col(idCol))

@@ -1039,7 +1039,13 @@ object PipelineQueries {
     // is SMALL (a fraction of the corpus) and everything downstream
     // (range-partitioner sampling, the packing's two passes, the lang
     // join-back) would otherwise re-run the five upstream stages once per
-    // job; after the checkpoint they re-read a materialized frame instead
+    // job; after the checkpoint they re-read a materialized frame instead.
+    // Contract note: localCheckpoint blocks live on executor local disk,
+    // NOT reliable storage — an executor loss mid-release loses them and
+    // fails the lineage (non-recoverable); a production release run that
+    // must survive preemption should use reliable checkpoint
+    // (sc.setCheckpointDir + .checkpoint()) or persist the frame to the
+    // lake and re-read it, at one extra round-trip of the SMALL frame
     val sampled = Sampling.sample(selected, col("doc_id"), 0.5)
       .localCheckpoint(true)
     // 5. pack into 256-token windows (doc_id order)
@@ -1111,17 +1117,24 @@ object PipelineQueries {
       |FROM cs ORDER BY doc_id""".stripMargin
   }
 
+  // URLs redact FIRST and emails count on the URL-redacted text,
+  // mirroring TextOps.redact/emailCount: a userinfo URL
+  // (https://user@host.com/x) is one URL, never also an email.
   val q86RedactSql: String =
     s"""WITH salted AS (
       |  SELECT doc_id,
       |    text || ' contact user' || doc_id || '@example.com or https://site'
       |      || doc_id || '.example/path' AS t
-      |  FROM documents)
+      |  FROM documents),
+      |u AS (
+      |  SELECT doc_id, t,
+      |    regexp_replace(t, '${TextOps.urlPattern}', '<URL>', 'g') AS t_nourl
+      |  FROM salted)
       |SELECT doc_id,
-      |  len(regexp_extract_all(t, '${TextOps.emailPattern}')) AS n_emails,
+      |  len(regexp_extract_all(t_nourl, '${TextOps.emailPattern}')) AS n_emails,
       |  len(regexp_extract_all(t, '${TextOps.urlPattern}')) AS n_urls,
-      |  regexp_replace(regexp_replace(t, '${TextOps.emailPattern}', '<EMAIL>', 'g'),
-      |    '${TextOps.urlPattern}', '<URL>', 'g') AS redacted
-      |FROM salted
+      |  regexp_replace(t_nourl, '${TextOps.emailPattern}', '<EMAIL>', 'g')
+      |    AS redacted
+      |FROM u
       |ORDER BY doc_id""".stripMargin
 }

@@ -101,16 +101,23 @@ object TextOps {
   /** URL-shaped substrings (scheme + non-space run). */
   val urlPattern: String = "https?://[^\\s]+"
 
-  /** PII scrub: replace every email/URL with a placeholder token. Pure
-    * codegen'd projection — the redaction stage of corpus release runs at
-    * scan speed. */
+  /** PII scrub: replace every URL, then every email, with a placeholder
+    * token. URLs FIRST: a URL with userinfo (`https://user@host.com/x`)
+    * contains an email-shaped substring, and redacting emails first would
+    * rewrite its middle (and double-count it — ADVICE r6). Pure codegen'd
+    * projection — the redaction stage of corpus release runs at scan
+    * speed. */
   def redact(c: Column): Column =
-    regexp_replace(regexp_replace(c, emailPattern, "<EMAIL>"),
-      urlPattern, "<URL>")
+    regexp_replace(regexp_replace(c, urlPattern, "<URL>"),
+      emailPattern, "<EMAIL>")
 
-  /** Match counts for the scrub report (what was redacted, per doc). */
+  /** Match counts for the scrub report (what was redacted, per doc).
+    * [[emailCount]] counts emails OUTSIDE URLs — it matches on the
+    * URL-redacted text, mirroring [[redact]]'s order, so a userinfo URL
+    * counts once as a URL and never as an email. */
   def emailCount(c: Column): Column =
-    size(regexp_extract_all(c, lit(emailPattern), lit(0)))
+    size(regexp_extract_all(regexp_replace(c, urlPattern, "<URL>"),
+      lit(emailPattern), lit(0)))
   def urlCount(c: Column): Column =
     size(regexp_extract_all(c, lit(urlPattern), lit(0)))
 }

@@ -38,14 +38,28 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkSpec {
     assert(got === 0L, "existing corpus must win regardless of id order")
   }
 
-  test("id collisions across frames raise instead of corrupting provenance") {
+  test("strictIds upgrades an id collision to a raise instead of corrupting provenance") {
     val existing = Seq((1L, "some text here for the test")).toDF("doc_id", "text")
     val incoming = Seq((1L, "other text entirely different")).toDF("doc_id", "text")
     val err = intercept[IllegalArgumentException] {
       Dedup.incrementalDedup(existing, incoming, "doc_id", "text",
-        n = 2, bands = 16, rowsPerBand = 8, threshold = 0.9)
+        n = 2, bands = 16, rowsPerBand = 8, threshold = 0.9, strictIds = true)
     }
     assert(err.getMessage.contains("globally unique"))
+    // default guard is the cheap range check: overlap only warns, the
+    // batch still processes (an extra full pass over the lake per batch
+    // must be opt-in — ADVICE r6)
+    val got = Dedup.incrementalDedup(existing, incoming, "doc_id", "text",
+      n = 2, bands = 16, rowsPerBand = 8, threshold = 0.9)
+    assert(got.count() === 1L)
+  }
+
+  test("disjoint id ranges skip even the exact check under strictIds") {
+    val existing = Seq((1L, "some text here for the test")).toDF("doc_id", "text")
+    val incoming = Seq((10L, "other text entirely different")).toDF("doc_id", "text")
+    val got = Dedup.incrementalDedup(existing, incoming, "doc_id", "text",
+      n = 2, bands = 16, rowsPerBand = 8, threshold = 0.9, strictIds = true)
+    assert(got.count() === 1L)
   }
 
   test("equals the pair-rule reference on a mixed corpus") {

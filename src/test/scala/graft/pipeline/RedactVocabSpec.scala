@@ -28,6 +28,22 @@ class RedactVocabSpec extends AnyFunSuite with SparkSpec {
     assert(!got.values.exists(v => v._3.contains("@") && v._1 > 0))
   }
 
+  test("a userinfo URL is one URL, never also an email (ADVICE r6 overlap)") {
+    val df = Seq(
+      (1L, "see https://user@host.com/x for details"),
+      (2L, "mail a@b.co then https://u@h.org/p and b@c.io end"))
+      .toDF("id", "t")
+    val got = df.select(col("id"),
+      TextOps.emailCount(col("t")).as("ne"),
+      TextOps.urlCount(col("t")).as("nu"),
+      TextOps.redact(col("t")).as("r"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    // the URL's userinfo must not be counted or rewritten as an email
+    assert(got(1L) === ((0, 1, "see <URL> for details")))
+    // standalone emails still count around an embedded userinfo URL
+    assert(got(2L) === ((2, 1, "mail <EMAIL> then <URL> and <EMAIL> end")))
+  }
+
   test("vocabulary top-k counts tokens exactly with a deterministic tie order") {
     val df = Seq("b b b a a c", "a c d", "e").map(Tuple1(_)).toDF("text")
     val got = df
