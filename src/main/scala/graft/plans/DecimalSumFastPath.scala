@@ -68,13 +68,29 @@ object DecimalSumFastPath extends Rule[LogicalPlan] {
                   Sum(e, _), _, /* isDistinct = */ false, None, _),
                 DoubleType, _, _) if e.dataType.isInstanceOf[DecimalType] =>
             unscaled(e) match {
-              case Some((longExpr, scale, _)) =>
+              case Some((longExpr, scale, _)) if scale <= MaxExactScale =>
                 rescaled(ae, longExpr, scale, c)
-              case None => c
+              case _ => c
+            }
+          // decimal-typed result (no double cast): rescale back to the
+          // original Sum result type — exact for scale ≤ 6, so plain
+          // `SELECT SUM(decimal_col)` gets the long path too
+          case ae @ AggregateExpression(
+                Sum(e, _), _, /* isDistinct = */ false, None, _)
+              if e.dataType.isInstanceOf[DecimalType] =>
+            unscaled(e) match {
+              case Some((longExpr, scale, _)) if scale <= MaxExactScale =>
+                rescaledToDecimal(ae, longExpr, scale)
+              case _ => ae
             }
         }
     }
   }
+
+  /** Spark caps decimal precision at 38 and, under precision loss, cuts a
+    * divide's result scale to 6 — so the `sum(long)/10^s` rescale is only
+    * EXACT for s ≤ 6. Larger scales stay on the native decimal path. */
+  private val MaxExactScale = 6
 
   /** `(longExpr, scale, precision)` such that `longExpr = e · 10^scale`
     * exactly and `|longExpr| < 10^precision`, or None when `e` does not
@@ -145,6 +161,28 @@ object DecimalSumFastPath extends Rule[LogicalPlan] {
         Literal(pow, DecimalType(pow.precision, 0)),
         original.evalMode)
       original.copy(child = divide)
+    }
+  }
+
+  /** Decimal-result form: `cast(cast(sum(longExpr) as decimal(38,0)) /
+    * 10^scale as <original sum type>)`. The divide result (scale ≥ 6 ≥
+    * `scale`) holds the exact rational, and the final cast back to
+    * `sum(decimal)`'s own result type (scale = `scale`) is exact because
+    * the value has at most `scale` fractional digits. */
+  private def rescaledToDecimal(ae: AggregateExpression, longExpr: Expression,
+      scale: Int): Expression = {
+    val longSum = ae.copy(aggregateFunction =
+      ae.aggregateFunction.asInstanceOf[Sum].copy(child = longExpr))
+    val mode = EvalMode.fromSQLConf(SQLConf.get)
+    if (scale == 0) {
+      Cast(longSum, ae.dataType, None, mode)
+    } else {
+      val pow = Decimal(java.math.BigDecimal.TEN.pow(scale))
+      val divide = Divide(
+        Cast(longSum, DecimalType(38, 0), None, mode),
+        Literal(pow, DecimalType(pow.precision, 0)),
+        mode)
+      Cast(divide, ae.dataType, None, mode)
     }
   }
 

@@ -363,15 +363,31 @@ object RelationalQueries {
     * the steady-state co-located read path, not the ingest. */
   def ensureBucketedTables(s: SparkSession, dir: String): Unit = {
     val (liT, oT) = bucketedNames(dir)
-    if (!s.catalog.tableExists(liT))
+    if (!s.catalog.tableExists(liT)) {
+      dropStaleLocation(s, liT)
       graft.sql.QueryEngine.saveBucketed(
         t(s, dir, "lineitem")
           .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
         liT, "l_orderkey", 32)
-    if (!s.catalog.tableExists(oT))
+    }
+    if (!s.catalog.tableExists(oT)) {
+      dropStaleLocation(s, oT)
       graft.sql.QueryEngine.saveBucketed(
         t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority")),
         oT, "o_orderkey", 32)
+    }
+  }
+
+  /** The in-memory catalog is per-session but the warehouse directory is
+    * on disk: a table absent from the catalog whose location survives a
+    * previous session would fail the managed CREATE with
+    * LOCATION_ALREADY_EXISTS. The bucketed tables are derived caches, so
+    * a stale location is safe to remove and rebuild. */
+  private def dropStaleLocation(s: SparkSession, table: String): Unit = {
+    val wh = new org.apache.hadoop.fs.Path(
+      s.sessionState.conf.warehousePath, table.toLowerCase)
+    val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(wh)) fs.delete(wh, true)
   }
 
   // ---------------------------------------------------------------- q79

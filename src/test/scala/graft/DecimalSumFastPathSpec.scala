@@ -51,7 +51,7 @@ class DecimalSumFastPathSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.decimalFastPath")
   }
 
-  test("leaves DISTINCT, FILTER, decimal-typed, and double sums alone") {
+  test("leaves DISTINCT, FILTER, and double sums alone") {
     val df = sample
     val distinctPlan = optimizedString(df.groupBy("k")
       .agg(sum_distinct(col("price").cast("decimal(12,2)")).cast("double")))
@@ -64,15 +64,33 @@ class DecimalSumFastPathSpec extends AnyFunSuite {
         .stripMargin))
     assert(!filterPlan.contains("unscaled_fixed("), filterPlan)
 
-    // no double cast on top: result stays decimal-typed, must not rewrite
-    val decimalPlan = optimizedString(df.groupBy("k")
-      .agg(sum(col("price").cast("decimal(12,2)"))))
-    assert(!decimalPlan.contains("unscaled_fixed("), decimalPlan)
-
     // plain double sum: order-sensitive, not a decimal, must not rewrite
     val doublePlan = optimizedString(df.groupBy("k")
       .agg(sum(col("price")).cast("double")))
     assert(!doublePlan.contains("unscaled_fixed("), doublePlan)
+  }
+
+  test("decimal-typed sum results rewrite too and stay exact") {
+    def q = sample.groupBy("k")
+      .agg(sum(col("price").cast("decimal(12,2)")).as("s")).orderBy("k")
+    val plan = optimizedString(q)
+    assert(plan.contains("unscaled_fixed("), plan)
+    val on = q.collect()
+    spark.conf.set("spark.graft.decimalFastPath", "false")
+    try {
+      val off = q.collect()
+      assert(on.toSeq === off.toSeq)
+      assert(on.head.getDecimal(1) === off.head.getDecimal(1))
+    } finally spark.conf.unset("spark.graft.decimalFastPath")
+  }
+
+  test("scales beyond 6 stay on the native path (divide rescale would round)") {
+    val plan = optimizedString(sample.groupBy("k")
+      .agg(sum(col("price").cast("decimal(18,8)")).cast("double")))
+    assert(!plan.contains("unscaled_fixed("), plan)
+    val decPlan = optimizedString(sample.groupBy("k")
+      .agg(sum(col("price").cast("decimal(18,8)"))))
+    assert(!decPlan.contains("unscaled_fixed("), decPlan)
   }
 
   test("combined precision beyond the cap does not rewrite") {
