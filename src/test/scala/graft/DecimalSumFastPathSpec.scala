@@ -102,6 +102,38 @@ class DecimalSumFastPathSpec extends AnyFunSuite {
     assert(!plan.contains("unscaled_fixed("), plan)
   }
 
+  test("window sums over decimal are untouched (rule scope is Aggregate only)") {
+    sample.createOrReplaceTempView("fp_win")
+    def q = spark.sql(
+      """SELECT k, CAST(SUM(CAST(price AS DECIMAL(12,2)))
+        |  OVER (PARTITION BY k ORDER BY price) AS DOUBLE) AS running
+        |FROM fp_win""".stripMargin)
+    val plan = optimizedString(q)
+    assert(!plan.contains("unscaled_fixed("), plan)
+    val on = q.collect().map(_.toString).sorted.toSeq
+    spark.conf.set("spark.graft.decimalFastPath", "false")
+    try assert(on === q.collect().map(_.toString).sorted.toSeq)
+    finally spark.conf.unset("spark.graft.decimalFastPath")
+  }
+
+  test("NULL inputs flow through the fused kernel like the native path") {
+    val withNulls = Seq[(Int, Option[Double], Option[Double])](
+      (1, Some(10.05), Some(0.04)), (1, None, Some(0.5)),
+      (2, None, None), (3, Some(1.005), None))
+      .toDF("k", "price", "disc")
+    def q = withNulls.groupBy("k").agg(
+      sum(col("price").cast("decimal(12,2)")).cast("double").as("s"))
+      .orderBy("k")
+    val plan = optimizedString(q)
+    assert(plan.contains("unscaled_fixed("), plan)
+    val on = q.collect()
+    spark.conf.set("spark.graft.decimalFastPath", "false")
+    try assert(on.toSeq === q.collect().toSeq)
+    finally spark.conf.unset("spark.graft.decimalFastPath")
+    // group 2 is all-NULL: sum must be NULL, not 0
+    assert(on.find(_.getInt(0) == 2).get.isNullAt(1))
+  }
+
   test("string-tie values stay exact through the rewritten plan") {
     // 1.005's decimal cast rounds UP (string semantics) — the fast path
     // must agree group-wise after aggregation too

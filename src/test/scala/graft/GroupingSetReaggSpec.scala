@@ -89,6 +89,15 @@ class GroupingSetReaggSpec extends AnyFunSuite {
     assert(!distPlan.contains("__graft_partial_"), distPlan)
   }
 
+  test("HAVING over a rewritten rollup filters the re-aggregated values") {
+    sample.createOrReplaceTempView("gs_having")
+    val (rows, plan) = bothWays(spark.sql(
+      """SELECT a, b, SUM(n) AS s FROM gs_having
+        |GROUP BY ROLLUP (a, b) HAVING SUM(n) > 5""".stripMargin))
+    assert(plan.contains("__graft_partial_"), plan)
+    assert(rows.nonEmpty)
+  }
+
   test("rewrite matches native on a wider random frame") {
     val rnd = new scala.util.Random(7)
     val wide = (1 to 5000).map { _ =>
