@@ -106,6 +106,7 @@ object SparkEntry {
     "q92_image_neardup"    -> (PipelineQueries.q92ImageNeardup _),
     "q93_audio_neardup"    -> (PipelineQueries.q93AudioNeardup _),
     "q94_bucketed_join"    -> (RelationalQueries.q94BucketedJoin _),
+    "q95_quantize_int8"    -> (PipelineQueries.q95QuantizeInt8 _),
   )
 
   /** Untimed per-query setup the bench runs before timing (ingest-side
@@ -227,6 +228,7 @@ object SparkEntry {
     // identical exact values to q87 — the bucketed co-located join must
     // match the broadcast plan bit for bit
     "q94_bucketed_join"    -> RelationalQueries.q87Scale100JoinSql,
+    "q95_quantize_int8"    -> PipelineQueries.q95QuantizeInt8Sql,
     "q88_profile"          -> CdcQueries.q88ProfileSql,
     "q89_corpus_release"   -> PipelineQueries.q89CorpusReleaseSql,
     "q90_train_test_split" -> PipelineQueries.q90TrainTestSplitSql,

@@ -8,7 +8,7 @@ import graft.curate.{Decontaminate, Interleave, Packing, Sampling, Select, Shuff
 import graft.dedup.Dedup
 import graft.functions.GraftFunctions
 import graft.multimodal.{AudioDedup, AudioOps, ImageDedup, ImageOps, MultimodalOps, VideoOps}
-import graft.sim.Similarity
+import graft.sim.{Quantize, Similarity}
 import graft.text.TextOps
 
 /** CORRECTNESS entries for the large-scale training-data-pipeline operator
@@ -1137,4 +1137,49 @@ object PipelineQueries {
       |    AS redacted
       |FROM u
       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q95
+  /** Symmetric int8 embedding quantization ([[graft.sim.Quantize]]) with a
+    * FULL exact oracle over its observable stats: per vector, the scale,
+    * the quantized-element sum and nonzero count (integer-exact), and the
+    * worst per-element reconstruction error. Cross-engine exactness rests
+    * on `floor(x/s + 0.5)` (IEEE floor is exact in both engines, unlike
+    * `round()` half-way semantics) and float→double casts before any
+    * arithmetic; `sum_q` is CAST to BIGINT in the oracle (DuckDB list_sum
+    * is HUGEINT — the q78/q89 r6 lesson). */
+  def q95QuantizeInt8(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val scale = Quantize.scaleOf(col("embedding"))
+    val q = Quantize.quantized(col("embedding"), col("scale"))
+    e.select(col("vec_id"), scale.as("scale"), col("embedding"))
+      .withColumn("q", q)
+      .select(
+        col("vec_id"), col("scale"),
+        aggregate(col("q"), lit(0L), (acc, v) => acc + v).as("sum_q"),
+        size(filter(col("q"), _ =!= 0L)).cast("long").as("nnz"),
+        Quantize.maxError(col("embedding"), col("scale")).as("max_err"))
+      .orderBy("vec_id")
+  }
+
+  val q95QuantizeInt8Sql: String =
+    """WITH s AS (
+      |  SELECT vec_id, embedding,
+      |    list_max(list_transform(embedding,
+      |      x -> abs(CAST(x AS DOUBLE)))) / CAST(127 AS DOUBLE) AS scale
+      |  FROM embeddings),
+      |q AS (
+      |  SELECT vec_id, scale, embedding,
+      |    list_transform(embedding, x -> CASE WHEN scale = 0 THEN 0
+      |      ELSE CAST(GREATEST(CAST(-127 AS DOUBLE), LEAST(CAST(127 AS DOUBLE),
+      |        FLOOR(CAST(x AS DOUBLE) / scale + CAST(0.5 AS DOUBLE)))) AS BIGINT)
+      |      END) AS qv
+      |  FROM s)
+      |SELECT vec_id, scale,
+      |  CAST(list_sum(qv) AS BIGINT) AS sum_q,
+      |  CAST(len(list_filter(qv, v -> v <> 0)) AS BIGINT) AS nnz,
+      |  COALESCE(list_max(list_transform(range(1, len(embedding) + 1),
+      |    i -> abs(CAST(embedding[i] AS DOUBLE)
+      |      - CAST(qv[i] AS DOUBLE) * scale))), CAST(0 AS DOUBLE)) AS max_err
+      |FROM q
+      |ORDER BY vec_id""".stripMargin
 }
