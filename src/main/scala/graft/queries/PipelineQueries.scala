@@ -1161,6 +1161,56 @@ object PipelineQueries {
       .orderBy("vec_id")
   }
 
+  // ---------------------------------------------------------------- q96
+  /** Similarity search OVER the int8-quantized corpus — the use case that
+    * justifies [[graft.sim.Quantize]]: brute-force cosine top-10 on the
+    * DEQUANTIZED vectors (q·scale, double math), reusing the exact
+    * [[Similarity.bruteForceTopK]] machinery (vec_dot accepts double
+    * arrays). Fully hash-green oracle: DuckDB replays quantize →
+    * dequantize → cosine → rank with identical list arithmetic, so this
+    * pins end-to-end that the quantized search path is engine-exact — the
+    * recall-vs-exact question is a data property, not an engine one, and
+    * QuantizedSearch tests pin recall ≥ 0.9 @10 on the fixture. */
+  def q96QuantizedSearch(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val deq = Quantize.int8(e, "vec_id", "embedding")
+      .select(col("vec_id"),
+        Quantize.dequantized(col("q"), col("scale")).as("d"))
+    Similarity.bruteForceTopK(deq, deq.filter(col("vec_id") < 8),
+      "vec_id", "d", k = 10)
+      .orderBy("q_id", "rank")
+  }
+
+  val q96QuantizedSearchSql: String =
+    """WITH s AS (
+      |  SELECT vec_id, embedding,
+      |    list_max(list_transform(embedding,
+      |      x -> abs(CAST(x AS DOUBLE)))) / CAST(127 AS DOUBLE) AS scale
+      |  FROM embeddings),
+      |dq AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CASE WHEN scale = 0 THEN CAST(0 AS DOUBLE)
+      |      ELSE CAST(GREATEST(CAST(-127 AS DOUBLE), LEAST(CAST(127 AS DOUBLE),
+      |        FLOOR(CAST(x AS DOUBLE) / scale + CAST(0.5 AS DOUBLE)))) AS DOUBLE)
+      |        * scale END) AS e
+      |  FROM s),
+      |v AS (
+      |  SELECT vec_id, e,
+      |    sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+      |  FROM dq),
+      |scored AS (
+      |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+      |    list_sum(list_transform(range(1, len(q.e) + 1),
+      |      i -> q.e[i] * c.e[i])) / (q.nrm * c.nrm) AS cosine
+      |  FROM v q JOIN v c ON q.vec_id < 8 AND q.vec_id <> c.vec_id),
+      |ranked AS (
+      |  SELECT *, row_number() OVER
+      |    (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
+      |  FROM scored)
+      |SELECT q_id, n_id, rank, cosine FROM ranked
+      |WHERE rank <= 10
+      |ORDER BY q_id, rank""".stripMargin
+
   val q95QuantizeInt8Sql: String =
     """WITH s AS (
       |  SELECT vec_id, embedding,

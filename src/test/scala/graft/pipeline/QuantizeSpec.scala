@@ -65,6 +65,21 @@ class QuantizeSpec extends AnyFunSuite with SparkSpec {
     assert(q.forall(x => x >= -127L && x <= 127L))
   }
 
+  test("quantized search holds recall >= 0.9 @10 vs exact on the fixture") {
+    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val deq = Quantize.int8(e, "vec_id", "embedding")
+      .select(col("vec_id"),
+        Quantize.dequantized(col("q"), col("scale")).as("d"))
+    def topSet(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = topSet(graft.sim.Similarity.bruteForceTopK(
+      e, e.filter(col("vec_id") < 8), "vec_id", "embedding", 10))
+    val quant = topSet(graft.sim.Similarity.bruteForceTopK(
+      deq, deq.filter(col("vec_id") < 8), "vec_id", "d", 10))
+    val recall = (exact & quant).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall@10 = $recall")
+  }
+
   test("int8 returns one narrow row per vector") {
     val out = Quantize.int8(frame(Seq(
       Array(1.0f, -0.5f), Array(0.25f, 0.75f))), "id", "v")
