@@ -108,6 +108,7 @@ object SparkEntry {
     "q94_bucketed_join"    -> (RelationalQueries.q94BucketedJoin _),
     "q95_quantize_int8"    -> (PipelineQueries.q95QuantizeInt8 _),
     "q96_quantized_search" -> (PipelineQueries.q96QuantizedSearch _),
+    "q97_repetition_filter" -> (PipelineQueries.q97RepetitionFilter _),
   )
 
   /** Untimed per-query setup the bench runs before timing (ingest-side
@@ -231,6 +232,7 @@ object SparkEntry {
     "q94_bucketed_join"    -> RelationalQueries.q87Scale100JoinSql,
     "q95_quantize_int8"    -> PipelineQueries.q95QuantizeInt8Sql,
     "q96_quantized_search" -> PipelineQueries.q96QuantizedSearchSql,
+    "q97_repetition_filter" -> PipelineQueries.q97RepetitionFilterSql,
     "q88_profile"          -> CdcQueries.q88ProfileSql,
     "q89_corpus_release"   -> PipelineQueries.q89CorpusReleaseSql,
     "q90_train_test_split" -> PipelineQueries.q90TrainTestSplitSql,

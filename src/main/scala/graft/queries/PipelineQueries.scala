@@ -9,7 +9,7 @@ import graft.dedup.Dedup
 import graft.functions.GraftFunctions
 import graft.multimodal.{AudioDedup, AudioOps, ImageDedup, ImageOps, MultimodalOps, VideoOps}
 import graft.sim.{Quantize, Similarity}
-import graft.text.TextOps
+import graft.text.{Repetition, TextOps}
 
 /** CORRECTNESS entries for the large-scale training-data-pipeline operator
   * families (dedup, similarity search, text analysis, multimodal), over the
@@ -1232,4 +1232,50 @@ object PipelineQueries {
       |      - CAST(qv[i] AS DOUBLE) * scale))), CAST(0 AS DOUBLE)) AS max_err
       |FROM q
       |ORDER BY vec_id""".stripMargin
+
+  // ---------------------------------------------------------------- q97
+  /** Intra-document repetition metrics + keep/drop verdict
+    * ([[graft.text.Repetition]]) — the boilerplate/degenerate-repetition
+    * filter stage (duplicate-word fraction, top word-bigram share).
+    * Thresholds 0.55/0.05 sit near the corpus medians (0.54/0.033) so the
+    * verdict column genuinely splits the corpus. The Spark argmax is
+    * `max(struct(cnt, gram))` — ties to the lexicographically largest
+    * gram — which the oracle mirrors as `ORDER BY cnt DESC, gram DESC`. */
+  def q97RepetitionFilter(s: SparkSession, dir: String): DataFrame =
+    Repetition.metrics(docs(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  val q97RepetitionFilterSql: String =
+    s"""WITH w AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+      |base AS (
+      |  SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n_words,
+      |    CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct_words
+      |  FROM w),
+      |g AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+      |    i -> ws[i] || ' ' || ws[i+1])) AS gram
+      |  FROM base),
+      |c AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2),
+      |t AS (
+      |  SELECT doc_id, gram AS top_gram, cnt AS top_gram_n,
+      |    row_number() OVER
+      |      (PARTITION BY doc_id ORDER BY cnt DESC, gram DESC) AS rn
+      |  FROM c),
+      |m AS (
+      |  SELECT b.doc_id, n_words, n_distinct_words,
+      |    COALESCE(CAST(1 AS DOUBLE) - CAST(n_distinct_words AS DOUBLE)
+      |      / CAST(nullif(n_words, 0) AS DOUBLE), CAST(0 AS DOUBLE))
+      |      AS dup_word_frac,
+      |    COALESCE(top_gram, '') AS top_gram,
+      |    CAST(COALESCE(top_gram_n, 0) AS BIGINT) AS top_gram_n,
+      |    COALESCE(CAST(top_gram_n AS DOUBLE)
+      |      / CAST(nullif(n_words - 1, 0) AS DOUBLE), CAST(0 AS DOUBLE))
+      |      AS top_gram_frac
+      |  FROM base b
+      |  LEFT JOIN (SELECT * FROM t WHERE rn = 1) t ON b.doc_id = t.doc_id)
+      |SELECT *,
+      |  dup_word_frac <= CAST(0.55 AS DOUBLE)
+      |    AND top_gram_frac <= CAST(0.05 AS DOUBLE) AS keep
+      |FROM m
+      |ORDER BY doc_id""".stripMargin
 }
