@@ -109,6 +109,7 @@ object SparkEntry {
     "q95_quantize_int8"    -> (PipelineQueries.q95QuantizeInt8 _),
     "q96_quantized_search" -> (PipelineQueries.q96QuantizedSearch _),
     "q97_repetition_filter" -> (PipelineQueries.q97RepetitionFilter _),
+    "q98_span_dedup"       -> (PipelineQueries.q98SpanDedup _),
   )
 
   /** Untimed per-query setup the bench runs before timing (ingest-side
@@ -233,6 +234,7 @@ object SparkEntry {
     "q95_quantize_int8"    -> PipelineQueries.q95QuantizeInt8Sql,
     "q96_quantized_search" -> PipelineQueries.q96QuantizedSearchSql,
     "q97_repetition_filter" -> PipelineQueries.q97RepetitionFilterSql,
+    "q98_span_dedup"       -> PipelineQueries.q98SpanDedupSql,
     "q88_profile"          -> CdcQueries.q88ProfileSql,
     "q89_corpus_release"   -> PipelineQueries.q89CorpusReleaseSql,
     "q90_train_test_split" -> PipelineQueries.q90TrainTestSplitSql,

@@ -1,0 +1,73 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.text.TextOps
+
+/** Corpus-level duplicate-span removal — the C4 rule ("any three-sentence
+  * span occurring more than once in the corpus is removed, keeping one")
+  * re-expressed relationally. The corpus here has no sentence boundaries,
+  * so the span unit is k consecutive words of the canonical form
+  * ([[TextOps.normalized]]): a deterministic segmentation both engines
+  * reproduce exactly. The FIRST occurrence in corpus order — lexicographic
+  * min of (doc id, span index) — survives; every later occurrence,
+  * including repeats inside the same document, is dropped, and each
+  * document is reassembled from its surviving spans in order.
+  *
+  * Scale shape: explode (×spans/doc) → one groupBy shuffle on the span's
+  * md5 (the 16-byte hash, not the span text, is the shuffle key, so key
+  * width is bounded no matter how long spans get) with a map-side-combined
+  * struct-min → one hash-keyed join back (a hot span — boilerplate repeated
+  * across millions of pages, the exact motivation for the operator — is ONE
+  * row on the build side; the probe fan-out is the occurrence count, which
+  * AQE skew-join splits) → one doc-keyed reassembly aggregation. No windows,
+  * no driver-side state; every aggregate is partial-aggregatable.
+  */
+object SpanDedup {
+
+  /** Per-document result: `n_spans`, `n_kept` (spans surviving corpus-level
+    * dedup), and `clean_text` (the document rebuilt from surviving spans,
+    * space-joined; empty when nothing survives). Documents whose text
+    * normalizes to nothing still appear, with their single empty span
+    * subject to the same first-occurrence rule. */
+  def clean(df: DataFrame, idCol: String, textCol: String, k: Int = 3)
+      : DataFrame = {
+    require(k >= 1, s"span size must be >= 1, got $k")
+    val id = col(idCol)
+    val base = df
+      .select(id, TextOps.words(TextOps.normalized(col(textCol))).as("ws"))
+      .select(id, col("ws"),
+        floor((size(col("ws")) + (k - 1)) / k.toDouble).cast("long")
+          .as("n_spans"))
+    // Guarded: sequence(0, -1) would yield [0, -1] (Spark picks step -1),
+    // so a NULL-text doc (size(null) = -1 → n_spans 0) must short-circuit.
+    val spanArr: Column =
+      when(col("n_spans") > 0,
+        transform(sequence(lit(0L), col("n_spans") - 1), i =>
+          concat_ws(" ", slice(col("ws"), (i * k + 1).cast("int"), lit(k)))))
+        .otherwise(array())
+    val spans = base
+      .select(id, posexplode(spanArr).as(Seq("span_idx", "span")))
+      .withColumn("h", md5(col("span")))
+    val winners = spans
+      .groupBy(col("h"))
+      .agg(min(struct(id.as("d"), col("span_idx").as("i"))).as("w"))
+    val kept = spans
+      .join(winners, "h")
+      .where(id === col("w.d") && col("span_idx") === col("w.i"))
+    val rebuilt = kept
+      .groupBy(id)
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("span_idx"), col("span")))),
+            s => s.getField("span")),
+          " ").as("clean_text"))
+    base.select(id, col("n_spans"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(id, coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.curate.{Decontaminate, Interleave, Packing, Sampling, Select, Shuffle}
-import graft.dedup.Dedup
+import graft.dedup.{Dedup, SpanDedup}
 import graft.functions.GraftFunctions
 import graft.multimodal.{AudioDedup, AudioOps, ImageDedup, ImageOps, MultimodalOps, VideoOps}
 import graft.sim.{Quantize, Similarity}
@@ -1278,4 +1278,46 @@ object PipelineQueries {
       |    AND top_gram_frac <= CAST(0.05 AS DOUBLE) AS keep
       |FROM m
       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q98
+  /** Corpus-level duplicate-span removal ([[graft.dedup.SpanDedup]]) — the
+    * C4 rule over deterministic 3-word spans of the canonical text: the
+    * corpus-first occurrence (lexicographic (doc_id, span_idx) min) of each
+    * span survives, all later occurrences drop, and each document is
+    * rebuilt from its surviving spans. At k=3 ~19% of this corpus's spans
+    * are repeats, so the rule genuinely rewrites documents. */
+  def q98SpanDedup(s: SparkSession, dir: String): DataFrame =
+    SpanDedup.clean(docs(s, dir), "doc_id", "text", k = 3)
+      .orderBy("doc_id")
+
+  val q98SpanDedupSql: String =
+    s"""WITH w AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+      |b AS (
+      |  SELECT doc_id, ws,
+      |    CAST(floor((len(ws) + 2) / CAST(3 AS DOUBLE)) AS BIGINT) AS n_spans
+      |  FROM w),
+      |s AS (
+      |  SELECT doc_id, unnest(list_transform(range(0, n_spans),
+      |    i -> {'i': i, 'sp': array_to_string(ws[(i*3+1):(i*3+3)], ' ')}))
+      |    AS e
+      |  FROM b),
+      |s2 AS (SELECT doc_id, e.i AS span_idx, e.sp AS span FROM s),
+      |w1 AS (SELECT span, MIN(doc_id) AS wdoc FROM s2 GROUP BY 1),
+      |w2 AS (
+      |  SELECT s2.span, s2.doc_id AS wdoc, MIN(s2.span_idx) AS widx
+      |  FROM s2 JOIN w1 ON s2.span = w1.span AND s2.doc_id = w1.wdoc
+      |  GROUP BY 1, 2),
+      |kept AS (
+      |  SELECT s2.doc_id, s2.span_idx, s2.span
+      |  FROM s2 JOIN w2 ON s2.span = w2.span
+      |    AND s2.doc_id = w2.wdoc AND s2.span_idx = w2.widx),
+      |re AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+      |    string_agg(span, ' ' ORDER BY span_idx) AS clean_text
+      |  FROM kept GROUP BY 1)
+      |SELECT b.doc_id, n_spans,
+      |  CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept,
+      |  COALESCE(clean_text, '') AS clean_text
+      |FROM b LEFT JOIN re ON b.doc_id = re.doc_id
+      |ORDER BY b.doc_id""".stripMargin
 }

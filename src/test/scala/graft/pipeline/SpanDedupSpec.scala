@@ -1,0 +1,60 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.dedup.SpanDedup
+
+/** Contract of corpus-level span dedup: first occurrence (lexicographic
+  * (doc, idx) min) wins, later occurrences drop — across documents AND
+  * within one — reassembly preserves span order, and the short/null-text
+  * edges hold. */
+class SpanDedupSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  // k=2 spans: doc 1 = ["a b","c d","a b"], doc 2 = ["c d","x y"],
+  // doc 3 = ["z"] (short tail), doc 4 = null text.
+  private def docs = Seq(
+    (1L, Option("a b c d a b")),
+    (2L, Option("c d x y")),
+    (3L, Option("z")),
+    (4L, Option.empty[String]))
+    .toDF("doc_id", "text")
+
+  private lazy val out = SpanDedup.clean(docs, "doc_id", "text", k = 2)
+    .orderBy("doc_id").collect()
+
+  private def row(id: Long): Row = out.find(_.getLong(0) == id).get
+
+  test("first occurrence wins; cross-doc and within-doc repeats drop") {
+    val d1 = row(1L)
+    // "a b" appears at idx 0 and 2: only idx 0 survives; "c d" idx 1 is
+    // the corpus-first occurrence (doc 1 < doc 2).
+    assert(d1.getLong(1) == 3L && d1.getLong(2) == 2L)
+    assert(d1.getString(3) == "a b c d")
+    val d2 = row(2L)
+    // doc 2's "c d" lost to doc 1; "x y" is unique.
+    assert(d2.getLong(1) == 2L && d2.getLong(2) == 1L)
+    assert(d2.getString(3) == "x y")
+  }
+
+  test("a doc shorter than k keeps its single partial span") {
+    val d3 = row(3L)
+    assert(d3.getLong(1) == 1L && d3.getLong(2) == 1L)
+    assert(d3.getString(3) == "z")
+  }
+
+  test("null text yields zero spans and an empty clean_text") {
+    val d4 = row(4L)
+    assert(d4.getLong(1) == 0L && d4.getLong(2) == 0L)
+    assert(d4.getString(3) == "")
+  }
+
+  test("reassembly preserves original span order, not hash order") {
+    val df = Seq((1L, "m m z z a a m m b b")).toDF("doc_id", "text")
+    val r = SpanDedup.clean(df, "doc_id", "text", k = 2).collect()(0)
+    // spans: "m m","z z","a a","m m","b b" -> second "m m" drops
+    assert(r.getString(3) == "m m z z a a b b")
+  }
+}
