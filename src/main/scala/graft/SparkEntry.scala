@@ -110,6 +110,7 @@ object SparkEntry {
     "q96_quantized_search" -> (PipelineQueries.q96QuantizedSearch _),
     "q97_repetition_filter" -> (PipelineQueries.q97RepetitionFilter _),
     "q98_span_dedup"       -> (PipelineQueries.q98SpanDedup _),
+    "q99_lm_score"         -> (PipelineQueries.q99LmScore _),
   )
 
   /** Untimed per-query setup the bench runs before timing (ingest-side
@@ -235,6 +236,7 @@ object SparkEntry {
     "q96_quantized_search" -> PipelineQueries.q96QuantizedSearchSql,
     "q97_repetition_filter" -> PipelineQueries.q97RepetitionFilterSql,
     "q98_span_dedup"       -> PipelineQueries.q98SpanDedupSql,
+    "q99_lm_score"         -> PipelineQueries.q99LmScoreSql,
     "q88_profile"          -> CdcQueries.q88ProfileSql,
     "q89_corpus_release"   -> PipelineQueries.q89CorpusReleaseSql,
     "q90_train_test_split" -> PipelineQueries.q90TrainTestSplitSql,

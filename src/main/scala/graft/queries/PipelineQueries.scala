@@ -9,7 +9,7 @@ import graft.dedup.{Dedup, SpanDedup}
 import graft.functions.GraftFunctions
 import graft.multimodal.{AudioDedup, AudioOps, ImageDedup, ImageOps, MultimodalOps, VideoOps}
 import graft.sim.{Quantize, Similarity}
-import graft.text.{Repetition, TextOps}
+import graft.text.{NgramLM, Repetition, TextOps}
 
 /** CORRECTNESS entries for the large-scale training-data-pipeline operator
   * families (dedup, similarity search, text analysis, multimodal), over the
@@ -1320,4 +1320,38 @@ object PipelineQueries {
       |  COALESCE(clean_text, '') AS clean_text
       |FROM b LEFT JOIN re ON b.doc_id = re.doc_id
       |ORDER BY b.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q99
+  /** Bigram-LM fluency scoring ([[graft.text.NgramLM]]) — the CCNet-style
+    * perplexity quality filter with the LM trained on the corpus itself.
+    * `ln` is not bit-identical across engines (the one transcendental in
+    * the whole oracle surface), so the score is compared at fixed
+    * precision: `round(score, 6)` on BOTH sides; the pre-log arithmetic is
+    * exact integer-count math. */
+  def q99LmScore(s: SparkSession, dir: String): DataFrame =
+    NgramLM.bigramScore(docs(s, dir), "doc_id", "text")
+      .withColumn("score", round(col("score"), 6))
+      .orderBy("doc_id")
+
+  val q99LmScoreSql: String =
+    s"""WITH w AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+      |p0 AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+      |    i -> {'w1': ws[i], 'w2': ws[i+1]})) AS p
+      |  FROM w),
+      |p2 AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM p0),
+      |bc AS (SELECT w1, w2, CAST(COUNT(*) AS DOUBLE) AS cb
+      |       FROM p2 GROUP BY 1, 2),
+      |cc AS (SELECT w1, CAST(COUNT(*) AS DOUBLE) AS cw FROM p2 GROUP BY 1),
+      |v AS (SELECT CAST(COUNT(DISTINCT word) AS DOUBLE) AS v
+      |      FROM (SELECT unnest(ws) AS word FROM w)),
+      |sc AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |    avg(-ln((cb + CAST(1 AS DOUBLE)) / (cw + v))) AS score
+      |  FROM p2 JOIN bc USING (w1, w2) JOIN cc USING (w1) CROSS JOIN v
+      |  GROUP BY 1)
+      |SELECT w.doc_id, CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+      |  round(COALESCE(score, CAST(0 AS DOUBLE)), 6) AS score
+      |FROM w LEFT JOIN sc ON w.doc_id = sc.doc_id
+      |ORDER BY w.doc_id""".stripMargin
 }
