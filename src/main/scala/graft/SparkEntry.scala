@@ -135,7 +135,8 @@ object SparkEntry {
     "q64_scale10_join", "q66_skew_dedup_hot", "q67_skew_dedup_uniform",
     "q69_scale10_region", "q70_scale10_rollup", "q74_video_decode",
     "q75_scale100_pricing", "q79_scale100_fixedpoint", "q83_scale100_rollup",
-    "q87_scale100_join", "q89_corpus_release", "q94_bucketed_join")
+    "q87_scale100_join", "q89_corpus_release", "q94_bucketed_join",
+    "q98_span_dedup", "q99_lm_score")
 
   /** Bench entries long enough (tens of seconds — the ×100 scale pass)
     * that scheduling noise is <2% of runtime: they get one timed pass

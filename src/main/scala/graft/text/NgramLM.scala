@@ -13,12 +13,16 @@ import org.apache.spark.sql.functions._
   * size. Lower score = more typical text; a threshold on it is the fluency
   * filter.
   *
-  * Scale shape: the LM "training" is two partial-aggregatable groupBys over
-  * the exploded bigram stream (by (w1,w2) and by w1); V is a 1-row aggregate
-  * broadcast into the scoring join. Scoring joins the bigram stream against
-  * the count tables keyed by (w1,w2) / w1 — natural-language token counts
-  * are Zipfian, exactly the skew AQE's skew-join split handles — then one
-  * doc-keyed average. No windows, no driver-side state.
+  * Scale shape: the exploded bigram stream is collapsed ONCE to per-doc
+  * (w1, w2, multiplicity) — after that every relation is distinct bigrams,
+  * not occurrences, so a common bigram repeated across a shard costs one
+  * row, not millions. The LM is two partial-aggregatable groupBys over that
+  * collapsed table ((w1,w2), then w1 derived from it — the context pass
+  * never re-reads the occurrence stream); V is a 1-row aggregate broadcast
+  * into the scoring join. Scoring joins distinct doc-bigrams against the
+  * count tables keyed by (w1,w2) / w1 — natural-language token counts are
+  * Zipfian, exactly the skew AQE's skew-join split handles — then one
+  * doc-keyed multiplicity-weighted average. No windows, no driver state.
   *
   * Exactness contract: `ln` is NOT bit-identical across engines, so
   * cross-engine oracles must compare the score at fixed precision
@@ -44,21 +48,24 @@ object NgramLM {
           .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
           .as("p"))
       .select(id, col("p.w1").as("w1"), col("p.w2").as("w2"))
-    val bigramC = pairs.groupBy("w1", "w2")
-      .agg(count(lit(1)).cast("double").as("cb"))
-    val contextC = pairs.groupBy("w1")
-      .agg(count(lit(1)).cast("double").as("cw"))
+    val docBi = pairs.groupBy(id, col("w1"), col("w2"))
+      .agg(count(lit(1)).as("m"))
+    val bigramC = docBi.groupBy("w1", "w2")
+      .agg(sum(col("m")).cast("double").as("cb"))
+    val contextC = bigramC.groupBy("w1")
+      .agg(sum(col("cb")).as("cw"))
     val vocab = base.select(explode(col("ws")).as("w"))
       .agg(countDistinct(col("w")).cast("double").as("v"))
-    val scored = pairs
+    val scored = docBi
       .join(bigramC, Seq("w1", "w2"))
       .join(contextC, Seq("w1"))
       .crossJoin(broadcast(vocab))
-      .select(id,
+      .select(id, col("m"),
         (-log((col("cb") + alpha) / (col("cw") + col("v") * alpha)))
           .as("nll"))
       .groupBy(id)
-      .agg(count(lit(1)).as("n_bigrams"), avg(col("nll")).as("score"))
+      .agg(sum(col("m")).as("n_bigrams"),
+        (sum(col("m") * col("nll")) / sum(col("m"))).as("score"))
     base.select(id)
       .join(scored, Seq(idCol), "left")
       .select(id,
