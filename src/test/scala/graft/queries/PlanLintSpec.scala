@@ -59,8 +59,14 @@ class PlanLintSpec extends AnyFunSuite with SparkSpec {
       case w: WindowExec => w +: w.children.flatMap(windows)
       case other => other.children.flatMap(windows)
     }
+    // q97/q98/q99 (repetition metrics, span dedup, LM scoring) joined the
+    // list in r7: each replaces the obvious window spelling (per-doc
+    // row_number argmax, global prefix positions) with a partial-
+    // aggregatable struct-min/max or a two-level min, so their plans must
+    // also stay window-free.
     val curationQueries = Seq("q78_sequence_pack", "q81_corpus_shuffle",
-      "q89_corpus_release", "q91_curriculum_interleave")
+      "q89_corpus_release", "q91_curriculum_interleave",
+      "q97_repetition_filter", "q98_span_dedup", "q99_lm_score")
     val offenders = curationQueries.flatMap { name =>
       windows(SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan)
         .map(w => s"$name: ${w.simpleStringWithNodeId()}")
