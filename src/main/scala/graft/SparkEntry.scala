@@ -111,6 +111,7 @@ object SparkEntry {
     "q97_repetition_filter" -> (PipelineQueries.q97RepetitionFilter _),
     "q98_span_dedup"       -> (PipelineQueries.q98SpanDedup _),
     "q99_lm_score"         -> (PipelineQueries.q99LmScore _),
+    "q100_spandedup_scale10" -> (PipelineQueries.q100SpanDedupScale10 _),
   )
 
   /** Untimed per-query setup the bench runs before timing (ingest-side
@@ -136,7 +137,7 @@ object SparkEntry {
     "q69_scale10_region", "q70_scale10_rollup", "q74_video_decode",
     "q75_scale100_pricing", "q79_scale100_fixedpoint", "q83_scale100_rollup",
     "q87_scale100_join", "q89_corpus_release", "q94_bucketed_join",
-    "q98_span_dedup", "q99_lm_score")
+    "q98_span_dedup", "q99_lm_score", "q100_spandedup_scale10")
 
   /** Bench entries long enough (tens of seconds — the ×100 scale pass)
     * that scheduling noise is <2% of runtime: they get one timed pass
@@ -238,6 +239,7 @@ object SparkEntry {
     "q97_repetition_filter" -> PipelineQueries.q97RepetitionFilterSql,
     "q98_span_dedup"       -> PipelineQueries.q98SpanDedupSql,
     "q99_lm_score"         -> PipelineQueries.q99LmScoreSql,
+    "q100_spandedup_scale10" -> PipelineQueries.q100SpanDedupScale10Sql,
     "q88_profile"          -> CdcQueries.q88ProfileSql,
     "q89_corpus_release"   -> PipelineQueries.q89CorpusReleaseSql,
     "q90_train_test_split" -> PipelineQueries.q90TrainTestSplitSql,

@@ -1354,4 +1354,56 @@ object PipelineQueries {
       |  round(COALESCE(score, CAST(0 AS DOUBLE)), 6) AS score
       |FROM w LEFT JOIN sc ON w.doc_id = sc.doc_id
       |ORDER BY w.doc_id""".stripMargin
+
+  // --------------------------------------------------------------- q100
+  /** ×10-replicated span dedup — the DEDUP-class entry in the ×N scale
+    * series (q62/q64 aggregation/join, q83/q87 ×100): the corpus is
+    * replicated with distinct doc ids, so EVERY span is a ≥10-way
+    * duplicate. This is the operator's worst realistic regime — massive
+    * boilerplate duplication — and stresses exactly the two spots the
+    * design claims scale: the winner aggregation (hot spans, absorbed by
+    * map-side struct-min combine) and the winner join's probe fan-out
+    * (AQE skew split). Replica 0 of each doc reproduces the q98 keep set;
+    * later replicas keep nothing — the oracle pins the whole surface. */
+  def q100SpanDedupScale10(s: SparkSession, dir: String): DataFrame = {
+    val rep = docs(s, dir)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0L), lit(9L))).as("r"))
+      .select((col("doc_id") * 10 + col("r")).as("doc_id"), col("text"))
+    SpanDedup.clean(rep, "doc_id", "text", k = 3).orderBy("doc_id")
+  }
+
+  val q100SpanDedupScale10Sql: String =
+    s"""WITH rep AS (
+      |  SELECT doc_id * 10 + r.range AS doc_id, text
+      |  FROM documents CROSS JOIN range(10) r),
+      |w AS (SELECT doc_id, $wordsSql AS ws FROM rep),
+      |b AS (
+      |  SELECT doc_id, ws,
+      |    CAST(floor((len(ws) + 2) / CAST(3 AS DOUBLE)) AS BIGINT) AS n_spans
+      |  FROM w),
+      |s AS (
+      |  SELECT doc_id, unnest(list_transform(range(0, n_spans),
+      |    i -> {'i': i, 'sp': array_to_string(ws[(i*3+1):(i*3+3)], ' ')}))
+      |    AS e
+      |  FROM b),
+      |s2 AS (SELECT doc_id, e.i AS span_idx, e.sp AS span FROM s),
+      |w1 AS (SELECT span, MIN(doc_id) AS wdoc FROM s2 GROUP BY 1),
+      |w2 AS (
+      |  SELECT s2.span, s2.doc_id AS wdoc, MIN(s2.span_idx) AS widx
+      |  FROM s2 JOIN w1 ON s2.span = w1.span AND s2.doc_id = w1.wdoc
+      |  GROUP BY 1, 2),
+      |kept AS (
+      |  SELECT s2.doc_id, s2.span_idx, s2.span
+      |  FROM s2 JOIN w2 ON s2.span = w2.span
+      |    AND s2.doc_id = w2.wdoc AND s2.span_idx = w2.widx),
+      |re AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+      |    string_agg(span, ' ' ORDER BY span_idx) AS clean_text
+      |  FROM kept GROUP BY 1)
+      |SELECT b.doc_id, n_spans,
+      |  CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept,
+      |  COALESCE(clean_text, '') AS clean_text
+      |FROM b LEFT JOIN re ON b.doc_id = re.doc_id
+      |ORDER BY b.doc_id""".stripMargin
 }
