@@ -112,6 +112,7 @@ object SparkEntry {
     "q98_span_dedup"       -> (PipelineQueries.q98SpanDedup _),
     "q99_lm_score"         -> (PipelineQueries.q99LmScore _),
     "q100_spandedup_scale10" -> (PipelineQueries.q100SpanDedupScale10 _),
+    "q101_gopher_repetition" -> (PipelineQueries.q101GopherRepetition _),
   )
 
   /** Untimed per-query setup the bench runs before timing (ingest-side
@@ -240,6 +241,7 @@ object SparkEntry {
     "q98_span_dedup"       -> PipelineQueries.q98SpanDedupSql,
     "q99_lm_score"         -> PipelineQueries.q99LmScoreSql,
     "q100_spandedup_scale10" -> PipelineQueries.q100SpanDedupScale10Sql,
+    "q101_gopher_repetition" -> PipelineQueries.q101GopherRepetitionSql,
     "q88_profile"          -> CdcQueries.q88ProfileSql,
     "q89_corpus_release"   -> PipelineQueries.q89CorpusReleaseSql,
     "q90_train_test_split" -> PipelineQueries.q90TrainTestSplitSql,

@@ -1406,4 +1406,64 @@ object PipelineQueries {
       |  COALESCE(clean_text, '') AS clean_text
       |FROM b LEFT JOIN re ON b.doc_id = re.doc_id
       |ORDER BY b.doc_id""".stripMargin
+
+  // --------------------------------------------------------------- q101
+  /** Full Gopher char-fraction repetition suite
+    * ([[graft.text.Repetition.charMetrics]]): top n-gram char share for
+    * n=2..4, duplicated n-gram char mass for n=5..10, denominators the
+    * normalized doc length. Every fraction is exact integer-count
+    * arithmetic divided once — bit-identical cross-engine, no rounding
+    * needed. The oracle resolves top-gram ties the same way (cnt DESC,
+    * gram DESC). */
+  def q101GopherRepetition(s: SparkSession, dir: String): DataFrame =
+    Repetition.charMetrics(docs(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  val q101GopherRepetitionSql: String = {
+    val tops = Seq(2, 3, 4)
+    val dups = 5 to 10
+    val wideCols = (tops.map(n =>
+        s"MAX(CASE WHEN n = $n THEN top_mass END) AS t$n") ++
+      dups.map(n =>
+        s"MAX(CASE WHEN n = $n THEN dup_mass END) AS d$n")).mkString(",\n|    ")
+    val fracCols = (tops.map(n =>
+        s"COALESCE(CAST(t$n AS DOUBLE) / CAST(nullif(b.n_chars, 0) AS DOUBLE), CAST(0 AS DOUBLE)) AS top${n}_frac") ++
+      dups.map(n =>
+        s"COALESCE(CAST(d$n AS DOUBLE) / CAST(nullif(b.n_chars, 0) AS DOUBLE), CAST(0 AS DOUBLE)) AS dup${n}_frac")).mkString(",\n|  ")
+    s"""WITH w AS (SELECT doc_id, $normSql AS norm FROM documents),
+      |b AS (
+      |  SELECT doc_id, CAST(length(norm) AS BIGINT) AS n_chars,
+      |    string_split(norm, ' ') AS ws
+      |  FROM w),
+      |nn AS (SELECT doc_id, n_chars, ws, unnest(range(2, 11)) AS n FROM b),
+      |g AS (
+      |  SELECT doc_id, n_chars, n,
+      |    unnest(list_transform(range(1, greatest(len(ws) - n + 2, 1)),
+      |      i -> array_to_string(ws[i:i+n-1], ' '))) AS gram
+      |  FROM nn),
+      |c AS (SELECT doc_id, n_chars, n, gram, COUNT(*) AS cnt
+      |      FROM g GROUP BY 1, 2, 3, 4),
+      |t AS (
+      |  SELECT doc_id, n, gram, cnt, row_number() OVER
+      |    (PARTITION BY doc_id, n ORDER BY cnt DESC, gram DESC) AS rn
+      |  FROM c),
+      |tm AS (SELECT doc_id, n, cnt * length(gram) AS top_mass
+      |       FROM t WHERE rn = 1),
+      |pn AS (
+      |  SELECT doc_id, n_chars, n,
+      |    SUM(CASE WHEN cnt >= 2 THEN cnt * length(gram) ELSE 0 END)
+      |      AS dup_mass
+      |  FROM c GROUP BY 1, 2, 3),
+      |j AS (
+      |  SELECT pn.doc_id, pn.n_chars, pn.n, tm.top_mass, pn.dup_mass
+      |  FROM pn JOIN tm ON pn.doc_id = tm.doc_id AND pn.n = tm.n),
+      |wide AS (
+      |  SELECT doc_id, n_chars,
+      |    $wideCols
+      |  FROM j GROUP BY 1, 2)
+      |SELECT b.doc_id, b.n_chars,
+      |  $fracCols
+      |FROM b LEFT JOIN wide ON b.doc_id = wide.doc_id
+      |ORDER BY b.doc_id""".stripMargin
+  }
 }

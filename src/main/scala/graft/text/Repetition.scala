@@ -63,6 +63,66 @@ object Repetition {
           col("top_gram_frac") <= maxTopGramFrac)
   }
 
+  /** The full Gopher char-fraction repetition suite (Rae et al. 2021,
+    * table A1): per document, the fraction of characters covered by the
+    * most frequent word n-gram for each n in `topNs`, and the char mass of
+    * ALL duplicated n-grams for each n in `dupNs`. Deterministic
+    * relational definition: gram length is the space-joined gram's char
+    * count, the denominator is the normalized doc's char count, and the
+    * duplicate mass counts every occurrence (`Σ_{c(g)≥2} c(g)·len(g)`,
+    * overlaps NOT collapsed — so dup fractions can exceed 1 on degenerate
+    * text; threshold semantics are unaffected). Top-gram ties resolve to
+    * the lexicographically largest gram, as in [[metrics]].
+    *
+    * Scale shape: ONE explode producing every (n, gram) pair (explode
+    * factor ≈ |dupNs ∪ topNs| × words — the published algorithm's cost),
+    * then two partial-aggregatable groupBys ((doc, n, gram) counts, then
+    * per-(doc, n) struct-max + conditional sums), then a conditional-
+    * aggregation collapse to one wide row per doc. No windows.
+    */
+  def charMetrics(df: DataFrame, idCol: String, textCol: String,
+      topNs: Seq[Int] = Seq(2, 3, 4), dupNs: Seq[Int] = 5 to 10)
+      : DataFrame = {
+    require((topNs ++ dupNs).forall(_ >= 2), "gram sizes must be >= 2")
+    val id = col(idCol)
+    val ns = (topNs ++ dupNs).distinct.sorted
+    val base = df
+      .select(id, TextOps.normalized(col(textCol)).as("norm"))
+      .select(id, length(col("norm")).cast("long").as("n_chars"),
+        TextOps.words(col("norm")).as("ws"))
+    val tagged = base
+      .select(id, col("n_chars"),
+        explode(flatten(array(ns.map(n =>
+          transform(TextOps.wordShingles(col("ws"), n), g =>
+            struct(lit(n).as("n"), g.as("gram")))): _*))).as("e"))
+      .select(id, col("n_chars"), col("e.n").as("n"), col("e.gram").as("gram"))
+    val counts = tagged
+      .groupBy(id, col("n_chars"), col("n"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+    val perN = counts
+      .groupBy(id, col("n_chars"), col("n"))
+      .agg(max(struct(col("cnt"), col("gram"))).as("t"),
+        sum(when(col("cnt") >= 2,
+          col("cnt") * length(col("gram")).cast("long")).otherwise(0L))
+          .as("dup_mass"))
+    val aggs = topNs.map(n =>
+        max(when(col("n") === n, col("t"))).as(s"t$n")) ++
+      dupNs.map(n =>
+        max(when(col("n") === n, col("dup_mass"))).as(s"d$n"))
+    val wide = perN.groupBy(id, col("n_chars"))
+      .agg(aggs.head, aggs.tail: _*)
+    val denom = nullif(col("n_chars"), lit(0L)).cast("double")
+    base.select(id, col("n_chars"))
+      .join(wide.drop("n_chars"), Seq(idCol), "left")
+      .select(id +: col("n_chars") +:
+        (topNs.map(n => coalesce(
+          (col(s"t$n.cnt") * length(col(s"t$n.gram")).cast("long"))
+            .cast("double") / denom, lit(0.0)).as(s"top${n}_frac")) ++
+         dupNs.map(n => coalesce(
+          col(s"d$n").cast("double") / denom, lit(0.0))
+            .as(s"dup${n}_frac"))): _*)
+  }
+
   /** The filter itself: documents whose repetition metrics pass. */
   def filter(df: DataFrame, idCol: String, textCol: String, n: Int = 2,
       maxDupWordFrac: Double = 0.55, maxTopGramFrac: Double = 0.05)

@@ -58,6 +58,29 @@ class RepetitionSpec extends AnyFunSuite with SparkSpec {
     assert(row(5L).getString(4) == "b a")
   }
 
+  test("charMetrics: hand-computed top-gram and dup-gram char fractions") {
+    // "aa bb aa bb cc" -> norm 14 chars; 2-grams: "aa bb"(2), "bb aa"(1),
+    // "bb cc"(1); top2 = "aa bb": 2*5/14. 3-grams all unique ->
+    // top3 = max cnt 1, ties to largest gram "bb aa bb" (8 chars): 8/14.
+    val df = Seq((1L, "aa bb aa bb cc")).toDF("doc_id", "text")
+    val r = Repetition.charMetrics(df, "doc_id", "text",
+      topNs = Seq(2, 3), dupNs = Seq(2)).collect()(0)
+    assert(r.getLong(1) == 14L)
+    assert(math.abs(r.getDouble(2) - 10.0 / 14.0) < 1e-15) // top2_frac
+    assert(math.abs(r.getDouble(3) - 8.0 / 14.0) < 1e-15)  // top3_frac
+    // dup2: only "aa bb" has cnt>=2 -> mass 2*5=10 -> 10/14
+    assert(math.abs(r.getDouble(4) - 10.0 / 14.0) < 1e-15)
+  }
+
+  test("charMetrics: short and empty docs yield all-zero fractions") {
+    val df = Seq((1L, "one"), (2L, "")).toDF("doc_id", "text")
+    val rs = Repetition.charMetrics(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // doc 1: 3 chars but no 2..10-gram exists; doc 2: 0 chars
+    assert(rs(0).getLong(1) == 3L && rs(1).getLong(1) == 0L)
+    for (r <- rs; i <- 2 until r.length) assert(r.getDouble(i) == 0.0)
+  }
+
   test("filter keeps exactly the rows whose metrics pass") {
     // loose thresholds: only the spam doc (dup_word_frac 0.75) trips
     val kept = Repetition.filter(docs, "doc_id", "text",
