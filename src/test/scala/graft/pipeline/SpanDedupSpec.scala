@@ -51,6 +51,29 @@ class SpanDedupSpec extends AnyFunSuite with SparkSpec {
     assert(d4.getString(3) == "")
   }
 
+  test("seeded fuzz: distributed result equals the in-memory reference") {
+    // 60 random docs over a 5-word vocabulary at k=2: heavy genuine span
+    // duplication. The whole-corpus invariants pin the distributed
+    // program against a straight-line in-memory reference: total kept ==
+    // |distinct spans| (each span survives exactly once, somewhere), and
+    // every doc's n_spans matches its chunk count.
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val data = (0L until 60L).map { i =>
+      (i, Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(5))).mkString(" "))
+    }
+    val out = SpanDedup.clean(data.toDF("doc_id", "text"), "doc_id", "text",
+      k = 2).collect()
+    def chunks(text: String): Seq[String] =
+      text.split(" ").toSeq.grouped(2).map(_.mkString(" ")).toSeq
+    val allChunks = data.flatMap { case (_, t) => chunks(t) }
+    assert(out.map(_.getLong(2)).sum == allChunks.distinct.size,
+      "every distinct span must survive exactly once corpus-wide")
+    val byId = data.toMap
+    for (r <- out)
+      assert(r.getLong(1) == chunks(byId(r.getLong(0))).size)
+  }
+
   test("reassembly preserves original span order, not hash order") {
     val df = Seq((1L, "m m z z a a m m b b")).toDF("doc_id", "text")
     val r = SpanDedup.clean(df, "doc_id", "text", k = 2).collect()(0)
