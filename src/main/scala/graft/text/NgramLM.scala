@@ -3,15 +3,25 @@ package graft.text
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+/** A trained bigram LM: `bigrams` (w1, w2, cb), `contexts` (w1, cw), and
+  * the 1-row `vocab` (v) — plain DataFrames, so a model persists as three
+  * parquet tables and scoring composes with any source, including a
+  * micro-batched stream (stream-static joins / foreachBatch). */
+case class BigramModel(bigrams: DataFrame, contexts: DataFrame,
+    vocab: DataFrame, alpha: Double)
+
 /** Corpus-trained bigram language-model scoring — the CCNet-style
   * "perplexity against an in-domain LM" quality filter, with the LM and the
-  * scoring pass both expressed relationally over the same corpus. Per
-  * document: the mean negative log-likelihood (nats/bigram) of its word
-  * bigrams under an add-α smoothed conditional
+  * scoring pass both expressed relationally. Per document: the mean
+  * negative log-likelihood (nats/bigram) of its word bigrams under an
+  * add-α smoothed conditional
   * `P(w2|w1) = (c(w1,w2) + α) / (c(w1,·) + α·V)`, where `c` are corpus
-  * counts, `c(w1,·)` the bigram-context count, and `V` the corpus vocabulary
-  * size. Lower score = more typical text; a threshold on it is the fluency
-  * filter.
+  * counts, `c(w1,·)` the bigram-context count, and `V` the training
+  * vocabulary size. Lower score = more typical text; a threshold on it is
+  * the fluency filter. [[NgramLM.train]] builds the model;
+  * [[NgramLM.score]] applies it to ANY document set (unseen bigrams and
+  * contexts smooth to α/(c+αV) and 1/V); [[NgramLM.bigramScore]] is the
+  * self-scoring composition the q99 oracle pins.
   *
   * Scale shape: the exploded bigram stream is collapsed ONCE to per-doc
   * (w1, w2, multiplicity) — after that every relation is distinct bigrams,
@@ -31,38 +41,55 @@ import org.apache.spark.sql.functions._
   */
 object NgramLM {
 
-  /** Per-document `n_bigrams` and `score` (mean NLL, nats/bigram; 0.0 for
-    * docs with fewer than two words). */
-  def bigramScore(df: DataFrame, idCol: String, textCol: String,
-      alpha: Double = 1.0): DataFrame = {
-    require(alpha > 0, s"smoothing alpha must be > 0, got $alpha")
-    val id = col(idCol)
-    val base = df
-      .select(id, TextOps.words(TextOps.normalized(col(textCol))).as("ws"))
-    val pairs = base
-      .select(id,
+  private def normWords(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame =
+    df.select(col(idCol),
+      TextOps.words(TextOps.normalized(col(textCol))).as("ws"))
+
+  /** Per-doc distinct bigrams with multiplicity: (id, w1, w2, m). */
+  private def docBigrams(base: DataFrame, idCol: String): DataFrame =
+    base
+      .select(col(idCol),
         explode(when(size(col("ws")) >= 2,
           transform(sequence(lit(1), size(col("ws")) - 1), i =>
             struct(element_at(col("ws"), i).as("w1"),
               element_at(col("ws"), i + 1).as("w2"))))
           .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
           .as("p"))
-      .select(id, col("p.w1").as("w1"), col("p.w2").as("w2"))
-    val docBi = pairs.groupBy(id, col("w1"), col("w2"))
+      .select(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(col(idCol), col("w1"), col("w2"))
       .agg(count(lit(1)).as("m"))
-    val bigramC = docBi.groupBy("w1", "w2")
+
+  /** Train the LM on a corpus. */
+  def train(df: DataFrame, idCol: String, textCol: String,
+      alpha: Double = 1.0): BigramModel = {
+    require(alpha > 0, s"smoothing alpha must be > 0, got $alpha")
+    val base = normWords(df, idCol, textCol)
+    val bigramC = docBigrams(base, idCol).groupBy("w1", "w2")
       .agg(sum(col("m")).cast("double").as("cb"))
     val contextC = bigramC.groupBy("w1")
       .agg(sum(col("cb")).as("cw"))
     val vocab = base.select(explode(col("ws")).as("w"))
       .agg(countDistinct(col("w")).cast("double").as("v"))
-    val scored = docBi
-      .join(bigramC, Seq("w1", "w2"))
-      .join(contextC, Seq("w1"))
-      .crossJoin(broadcast(vocab))
+    BigramModel(bigramC, contextC, vocab, alpha)
+  }
+
+  /** Score any document set against a trained model. Bigrams absent from
+    * the model back off to the smoothing mass (`cb = 0`); unseen contexts
+    * to the uniform `1/V`. Output: id, `n_bigrams`, `score` (0.0 for docs
+    * with fewer than two words). */
+  def score(df: DataFrame, idCol: String, textCol: String,
+      model: BigramModel): DataFrame = {
+    val id = col(idCol)
+    val base = normWords(df, idCol, textCol)
+    val a = model.alpha
+    val scored = docBigrams(base, idCol)
+      .join(model.bigrams, Seq("w1", "w2"), "left")
+      .join(model.contexts, Seq("w1"), "left")
+      .crossJoin(broadcast(model.vocab))
       .select(id, col("m"),
-        (-log((col("cb") + alpha) / (col("cw") + col("v") * alpha)))
-          .as("nll"))
+        (-log((coalesce(col("cb"), lit(0.0)) + a)
+          / (coalesce(col("cw"), lit(0.0)) + col("v") * a))).as("nll"))
       .groupBy(id)
       .agg(sum(col("m")).as("n_bigrams"),
         (sum(col("m") * col("nll")) / sum(col("m"))).as("score"))
@@ -72,4 +99,11 @@ object NgramLM {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("score"), lit(0.0)).as("score"))
   }
+
+  /** Self-scoring: train on `df` and score `df` (the q99 oracle form —
+    * every bigram/context is in-model, so the left-join backoff never
+    * fires and the result equals the original inner-join spelling). */
+  def bigramScore(df: DataFrame, idCol: String, textCol: String,
+      alpha: Double = 1.0): DataFrame =
+    score(df, idCol, textCol, train(df, idCol, textCol, alpha))
 }

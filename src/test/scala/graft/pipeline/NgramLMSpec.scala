@@ -50,6 +50,23 @@ class NgramLMSpec extends AnyFunSuite with SparkSpec {
     assert(row(1L).getDouble(2) < row(2L).getDouble(2))
   }
 
+  test("train/score split: unseen bigrams and contexts back off correctly") {
+    val model = NgramLM.train(docs, "doc_id", "text")
+    val fresh = Seq(
+      (10L, "a b"), // in-model bigram: P = 4/7
+      (11L, "a c"), // seen context a (cw=3), unseen bigram: P = 1/(3+4)
+      (12L, "q q")) // unseen context: P = 1/(0+4) = 1/V
+      .toDF("doc_id", "text")
+    val out = NgramLM.score(fresh, "doc_id", "text", model)
+      .orderBy("doc_id").collect()
+    assert(math.abs(out(0).getDouble(2) - -math.log(4.0 / 7.0)) < 1e-12)
+    assert(math.abs(out(1).getDouble(2) - -math.log(1.0 / 7.0)) < 1e-12)
+    assert(math.abs(out(2).getDouble(2) - -math.log(1.0 / 4.0)) < 1e-12)
+    // the fluency ordering the filter needs: in-model < partial < unseen
+    assert(out(0).getDouble(2) < out(2).getDouble(2)
+      && out(2).getDouble(2) < out(1).getDouble(2))
+  }
+
   test("alpha scales smoothing: larger alpha flattens the model") {
     val flat = NgramLM.bigramScore(docs, "doc_id", "text", alpha = 1e6)
       .orderBy("doc_id").collect()
