@@ -60,12 +60,9 @@ object NgramLM {
       .groupBy(col(idCol), col("w1"), col("w2"))
       .agg(count(lit(1)).as("m"))
 
-  /** Train the LM on a corpus. */
-  def train(df: DataFrame, idCol: String, textCol: String,
-      alpha: Double = 1.0): BigramModel = {
-    require(alpha > 0, s"smoothing alpha must be > 0, got $alpha")
-    val base = normWords(df, idCol, textCol)
-    val bigramC = docBigrams(base, idCol).groupBy("w1", "w2")
+  private def trainFrom(base: DataFrame, docBi: DataFrame,
+      alpha: Double): BigramModel = {
+    val bigramC = docBi.groupBy("w1", "w2")
       .agg(sum(col("m")).cast("double").as("cb"))
     val contextC = bigramC.groupBy("w1")
       .agg(sum(col("cb")).as("cw"))
@@ -74,16 +71,29 @@ object NgramLM {
     BigramModel(bigramC, contextC, vocab, alpha)
   }
 
+  /** Train the LM on a corpus. */
+  def train(df: DataFrame, idCol: String, textCol: String,
+      alpha: Double = 1.0): BigramModel = {
+    require(alpha > 0, s"smoothing alpha must be > 0, got $alpha")
+    val base = normWords(df, idCol, textCol)
+    trainFrom(base, docBigrams(base, idCol), alpha)
+  }
+
   /** Score any document set against a trained model. Bigrams absent from
     * the model back off to the smoothing mass (`cb = 0`); unseen contexts
     * to the uniform `1/V`. Output: id, `n_bigrams`, `score` (0.0 for docs
     * with fewer than two words). */
   def score(df: DataFrame, idCol: String, textCol: String,
       model: BigramModel): DataFrame = {
-    val id = col(idCol)
     val base = normWords(df, idCol, textCol)
+    scoreFrom(base, docBigrams(base, idCol), idCol, model)
+  }
+
+  private def scoreFrom(base: DataFrame, docBi: DataFrame, idCol: String,
+      model: BigramModel): DataFrame = {
+    val id = col(idCol)
     val a = model.alpha
-    val scored = docBigrams(base, idCol)
+    val scored = docBi
       .join(model.bigrams, Seq("w1", "w2"), "left")
       .join(model.contexts, Seq("w1"), "left")
       .crossJoin(broadcast(model.vocab))
@@ -102,8 +112,16 @@ object NgramLM {
 
   /** Self-scoring: train on `df` and score `df` (the q99 oracle form —
     * every bigram/context is in-model, so the left-join backoff never
-    * fires and the result equals the original inner-join spelling). */
+    * fires and the result equals the original inner-join spelling). The
+    * doc-bigram subtree is built ONCE and shared between the train and
+    * score sides, so its exchange canonicalizes identically on both paths
+    * and ReuseExchange runs the corpus explode+collapse a single time
+    * instead of twice. */
   def bigramScore(df: DataFrame, idCol: String, textCol: String,
-      alpha: Double = 1.0): DataFrame =
-    score(df, idCol, textCol, train(df, idCol, textCol, alpha))
+      alpha: Double = 1.0): DataFrame = {
+    require(alpha > 0, s"smoothing alpha must be > 0, got $alpha")
+    val base = normWords(df, idCol, textCol)
+    val docBi = docBigrams(base, idCol)
+    scoreFrom(base, docBi, idCol, trainFrom(base, docBi, alpha))
+  }
 }
