@@ -113,6 +113,7 @@ object SparkEntry {
     "q99_lm_score"         -> (PipelineQueries.q99LmScore _),
     "q100_spandedup_scale10" -> (PipelineQueries.q100SpanDedupScale10 _),
     "q101_gopher_repetition" -> (PipelineQueries.q101GopherRepetition _),
+    "q102_incremental_spans" -> (PipelineQueries.q102IncrementalSpans _),
   )
 
   /** Untimed per-query setup the bench runs before timing (ingest-side
@@ -242,6 +243,7 @@ object SparkEntry {
     "q99_lm_score"         -> PipelineQueries.q99LmScoreSql,
     "q100_spandedup_scale10" -> PipelineQueries.q100SpanDedupScale10Sql,
     "q101_gopher_repetition" -> PipelineQueries.q101GopherRepetitionSql,
+    "q102_incremental_spans" -> PipelineQueries.q102IncrementalSpansSql,
     "q88_profile"          -> CdcQueries.q88ProfileSql,
     "q89_corpus_release"   -> PipelineQueries.q89CorpusReleaseSql,
     "q90_train_test_split" -> PipelineQueries.q90TrainTestSplitSql,

@@ -5,6 +5,11 @@ import org.apache.spark.sql.functions._
 
 import graft.text.TextOps
 
+/** An incremental span-dedup step: the `cleaned` batch (same schema as
+  * [[SpanDedup.clean]]) and `newSpans` — the distinct span hashes this
+  * batch contributes, to be appended to the registry for the next batch. */
+case class SpanBatch(cleaned: DataFrame, newSpans: DataFrame)
+
 /** Corpus-level duplicate-span removal — the C4 rule ("any three-sentence
   * span occurring more than once in the corpus is removed, keeping one")
   * re-expressed relationally. The corpus here has no sentence boundaries,
@@ -26,13 +31,9 @@ import graft.text.TextOps
   */
 object SpanDedup {
 
-  /** Per-document result: `n_spans`, `n_kept` (spans surviving corpus-level
-    * dedup), and `clean_text` (the document rebuilt from surviving spans,
-    * space-joined; empty when nothing survives). Documents whose text
-    * normalizes to nothing still appear, with their single empty span
-    * subject to the same first-occurrence rule. */
-  def clean(df: DataFrame, idCol: String, textCol: String, k: Int = 3)
-      : DataFrame = {
+  /** (base: id|ws|n_spans, spans: id|span_idx|span|h). */
+  private def spansOf(df: DataFrame, idCol: String, textCol: String,
+      k: Int): (DataFrame, DataFrame) = {
     require(k >= 1, s"span size must be >= 1, got $k")
     val id = col(idCol)
     val base = df
@@ -50,6 +51,13 @@ object SpanDedup {
     val spans = base
       .select(id, posexplode(spanArr).as(Seq("span_idx", "span")))
       .withColumn("h", md5(col("span")))
+    (base, spans)
+  }
+
+  /** Batch-first-occurrence filter + per-doc reassembly over a span set. */
+  private def dedupAndRebuild(base: DataFrame, spans: DataFrame,
+      idCol: String): DataFrame = {
+    val id = col(idCol)
     val winners = spans
       .groupBy(col("h"))
       .agg(min(struct(id.as("d"), col("span_idx").as("i"))).as("w"))
@@ -69,5 +77,35 @@ object SpanDedup {
       .select(id, coalesce(col("n_spans"), lit(0L)).as("n_spans"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** Per-document result: `n_spans`, `n_kept` (spans surviving corpus-level
+    * dedup), and `clean_text` (the document rebuilt from surviving spans,
+    * space-joined; empty when nothing survives). Documents whose text
+    * normalizes to nothing still appear, with their single empty span
+    * subject to the same first-occurrence rule. */
+  def clean(df: DataFrame, idCol: String, textCol: String, k: Int = 3)
+      : DataFrame = {
+    val (base, spans) = spansOf(df, idCol, textCol, k)
+    dedupAndRebuild(base, spans, idCol)
+  }
+
+  /** Incremental form — the production shape for a continuously-ingested
+    * corpus: dedup ONE batch against the accumulated span registry without
+    * ever re-reading the lake. `registry` needs a single column `h` (md5
+    * of the span text — what [[SpanBatch.newSpans]] emits; bucket-write it
+    * on `h` and the anti-join below consumes bucketing exchange-free). A
+    * batch span survives iff its hash is NOT in the registry (anti-join)
+    * AND it is the batch-first occurrence (same winner rule as [[clean]]).
+    * Appending `newSpans` to the registry makes consecutive batches
+    * equivalent to one [[clean]] over their concatenation in batch order.
+    * Never call an action on `cleaned`/`newSpans` twice without persisting
+    * if the batch source is non-deterministic. */
+  def incremental(batch: DataFrame, idCol: String, textCol: String,
+      registry: DataFrame, k: Int = 3): SpanBatch = {
+    val (base, spans) = spansOf(batch, idCol, textCol, k)
+    val fresh = spans.join(registry.select(col("h")), Seq("h"), "left_anti")
+    val cleaned = dedupAndRebuild(base, fresh, idCol)
+    SpanBatch(cleaned, fresh.select(col("h")).distinct())
   }
 }

@@ -1466,4 +1466,59 @@ object PipelineQueries {
       |FROM b LEFT JOIN wide ON b.doc_id = wide.doc_id
       |ORDER BY b.doc_id""".stripMargin
   }
+
+  // --------------------------------------------------------------- q102
+  /** Incremental span dedup ([[graft.dedup.SpanDedup.incremental]]):
+    * even-id docs form the accumulated registry (their distinct span
+    * hashes), odd-id docs are the arriving batch — the continuous-
+    * ingestion path that never re-reads the lake. A batch span survives
+    * iff it misses the registry AND wins the batch-first rule. */
+  def q102IncrementalSpans(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val registry = SpanDedup
+      .incremental(d.where(col("doc_id") % 2 === 0), "doc_id", "text",
+        s.emptyDataFrame.select(lit("").as("h")).limit(0), k = 3)
+      .newSpans
+    SpanDedup
+      .incremental(d.where(col("doc_id") % 2 === 1), "doc_id", "text",
+        registry, k = 3)
+      .cleaned
+      .orderBy("doc_id")
+  }
+
+  val q102IncrementalSpansSql: String =
+    s"""WITH w AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+      |b AS (
+      |  SELECT doc_id, ws,
+      |    CAST(floor((len(ws) + 2) / CAST(3 AS DOUBLE)) AS BIGINT) AS n_spans
+      |  FROM w),
+      |s AS (
+      |  SELECT doc_id, unnest(list_transform(range(0, n_spans),
+      |    i -> {'i': i, 'sp': array_to_string(ws[(i*3+1):(i*3+3)], ' ')}))
+      |    AS e
+      |  FROM b),
+      |s2 AS (SELECT doc_id, e.i AS span_idx, e.sp AS span FROM s),
+      |reg AS (SELECT DISTINCT span FROM s2 WHERE doc_id % 2 = 0),
+      |fresh AS (
+      |  SELECT * FROM s2 WHERE doc_id % 2 = 1
+      |    AND span NOT IN (SELECT span FROM reg)),
+      |w1 AS (SELECT span, MIN(doc_id) AS wdoc FROM fresh GROUP BY 1),
+      |w2 AS (
+      |  SELECT f.span, f.doc_id AS wdoc, MIN(f.span_idx) AS widx
+      |  FROM fresh f JOIN w1 ON f.span = w1.span AND f.doc_id = w1.wdoc
+      |  GROUP BY 1, 2),
+      |kept AS (
+      |  SELECT f.doc_id, f.span_idx, f.span
+      |  FROM fresh f JOIN w2 ON f.span = w2.span
+      |    AND f.doc_id = w2.wdoc AND f.span_idx = w2.widx),
+      |re AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+      |    string_agg(span, ' ' ORDER BY span_idx) AS clean_text
+      |  FROM kept GROUP BY 1)
+      |SELECT b.doc_id, n_spans,
+      |  CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept,
+      |  COALESCE(clean_text, '') AS clean_text
+      |FROM b LEFT JOIN re ON b.doc_id = re.doc_id
+      |WHERE b.doc_id % 2 = 1
+      |ORDER BY b.doc_id""".stripMargin
 }

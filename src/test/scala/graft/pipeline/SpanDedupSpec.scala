@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.md5
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkSpec
@@ -72,6 +73,39 @@ class SpanDedupSpec extends AnyFunSuite with SparkSpec {
     val byId = data.toMap
     for (r <- out)
       assert(r.getLong(1) == chunks(byId(r.getLong(0))).size)
+  }
+
+  test("incremental batches compose to the one-shot corpus dedup") {
+    // batch 1 = docs 1-2, batch 2 = docs 3+. Feeding batch 2 the registry
+    // accumulated from batch 1 must reproduce clean() over everything.
+    val all = docs
+    val b1 = all.where($"doc_id" <= 2)
+    val b2 = all.where($"doc_id" > 2)
+    val empty = Seq.empty[String].toDF("h")
+    val s1 = SpanDedup.incremental(b1, "doc_id", "text", empty, k = 2)
+    val reg = s1.newSpans.cache()
+    val s2 = SpanDedup.incremental(b2, "doc_id", "text", reg, k = 2)
+    val got = (s1.cleaned.collect() ++ s2.cleaned.collect())
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    val want = SpanDedup.clean(all, "doc_id", "text", k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    assert(got === want, "batch-by-batch must equal one-shot")
+    // the registry only grows by genuinely new spans
+    assert(s1.newSpans.count() == 3) // "a b", "c d", "x y"... minus dupes
+  }
+
+  test("a registry hit drops the span even as the batch's first occurrence") {
+    val reg = Seq("a b").toDF("span").select(md5($"span").as("h"))
+    val out = SpanDedup.incremental(
+      Seq((9L, "a b c d")).toDF("doc_id", "text"), "doc_id", "text",
+      reg, k = 2)
+    val r = out.cleaned.collect()(0)
+    assert(r.getLong(2) == 1L && r.getString(3) == "c d")
+    assert(out.newSpans.collect().map(_.getString(0)).toSet
+      == Seq("c d").map(s => java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes).map("%02x".format(_)).mkString).toSet)
   }
 
   test("reassembly preserves original span order, not hash order") {
