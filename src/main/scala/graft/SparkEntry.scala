@@ -114,6 +114,7 @@ object SparkEntry {
     "q100_spandedup_scale10" -> (PipelineQueries.q100SpanDedupScale10 _),
     "q101_gopher_repetition" -> (PipelineQueries.q101GopherRepetition _),
     "q102_incremental_spans" -> (PipelineQueries.q102IncrementalSpans _),
+    "q103_classifier_gate"  -> (PipelineQueries.q103ClassifierGate _),
   )
 
   /** Untimed per-query setup the bench runs before timing (ingest-side
@@ -244,6 +245,7 @@ object SparkEntry {
     "q100_spandedup_scale10" -> PipelineQueries.q100SpanDedupScale10Sql,
     "q101_gopher_repetition" -> PipelineQueries.q101GopherRepetitionSql,
     "q102_incremental_spans" -> PipelineQueries.q102IncrementalSpansSql,
+    "q103_classifier_gate"  -> PipelineQueries.q103ClassifierGateSql,
     "q88_profile"          -> CdcQueries.q88ProfileSql,
     "q89_corpus_release"   -> PipelineQueries.q89CorpusReleaseSql,
     "q90_train_test_split" -> PipelineQueries.q90TrainTestSplitSql,

@@ -9,7 +9,7 @@ import graft.dedup.{Dedup, SpanDedup}
 import graft.functions.GraftFunctions
 import graft.multimodal.{AudioDedup, AudioOps, ImageDedup, ImageOps, MultimodalOps, VideoOps}
 import graft.sim.{Quantize, Similarity}
-import graft.text.{NgramLM, Repetition, TextOps}
+import graft.text.{HashClassifier, NgramLM, Repetition, TextOps}
 
 /** CORRECTNESS entries for the large-scale training-data-pipeline operator
   * families (dedup, similarity search, text analysis, multimodal), over the
@@ -1521,4 +1521,35 @@ object PipelineQueries {
       |FROM b LEFT JOIN re ON b.doc_id = re.doc_id
       |WHERE b.doc_id % 2 = 1
       |ORDER BY b.doc_id""".stripMargin
+
+  // --------------------------------------------------------------- q103
+  /** Hashed linear classifier gate ([[graft.text.HashClassifier]]) — the
+    * fasttext-style model-based quality filter with deterministic
+    * hash-derived integer weights (thousandths), so the margin is exact
+    * fixed-point arithmetic: bit-identical cross-engine, no rounding. The
+    * whole stage is a per-row projection — zero shuffles. */
+  def q103ClassifierGate(s: SparkSession, dir: String): DataFrame =
+    HashClassifier.margin(docs(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  val q103ClassifierGateSql: String = {
+    // md5-as-integer on both engines; weights = md5int(bucket) % 2001 - 1000
+    def m(x: String) = s"CAST(('0x' || substr(md5($x), 1, 8)) AS BIGINT)"
+    val bucket = m("w") + " % 4096"
+    val weight = m(s"CAST($bucket AS VARCHAR)") + " % 2001 - 1000"
+    s"""WITH w AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+      |sc AS (
+      |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+      |    list_sum(list_transform(ws, w -> $weight)) AS wsum
+      |  FROM w)
+      |SELECT doc_id, COALESCE(n_words, 0) AS n_words,
+      |  COALESCE(CAST(wsum AS DOUBLE)
+      |    / (CAST(nullif(n_words, 0) AS DOUBLE) * CAST(1000 AS DOUBLE)),
+      |    CAST(0 AS DOUBLE)) AS margin,
+      |  COALESCE(CAST(wsum AS DOUBLE)
+      |    / (CAST(nullif(n_words, 0) AS DOUBLE) * CAST(1000 AS DOUBLE)),
+      |    CAST(0 AS DOUBLE)) > CAST(0 AS DOUBLE) AS keep
+      |FROM sc
+      |ORDER BY doc_id""".stripMargin
+  }
 }
