@@ -115,6 +115,7 @@ object SparkEntry {
     "q101_gopher_repetition" -> (PipelineQueries.q101GopherRepetition _),
     "q102_incremental_spans" -> (PipelineQueries.q102IncrementalSpans _),
     "q103_classifier_gate"  -> (PipelineQueries.q103ClassifierGate _),
+    "q104_asof_state"      -> (CdcQueries.q104AsofState _),
   )
 
   /** Untimed per-query setup the bench runs before timing (ingest-side
@@ -246,6 +247,7 @@ object SparkEntry {
     "q101_gopher_repetition" -> PipelineQueries.q101GopherRepetitionSql,
     "q102_incremental_spans" -> PipelineQueries.q102IncrementalSpansSql,
     "q103_classifier_gate"  -> PipelineQueries.q103ClassifierGateSql,
+    "q104_asof_state"      -> CdcQueries.q104AsofStateSql,
     "q88_profile"          -> CdcQueries.q88ProfileSql,
     "q89_corpus_release"   -> PipelineQueries.q89CorpusReleaseSql,
     "q90_train_test_split" -> PipelineQueries.q90TrainTestSplitSql,

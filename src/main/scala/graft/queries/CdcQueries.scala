@@ -818,4 +818,42 @@ object CdcQueries {
         |FROM lineitem""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
   }
+
+  // --------------------------------------------------------------- q104
+  /** As-of (point-in-time) join ([[graft.operators.AsofJoin]]): each click
+    * event gets the user's latest purchase state at-or-before the click —
+    * "what did the row look like when the event happened", the CDC-lake
+    * companion query. Purchases collapse to one state per (user, µs) via
+    * `max(struct(event_id, …))` so the carried state is deterministic;
+    * the oracle is DuckDB's native ASOF LEFT JOIN over the same µs
+    * timestamps. */
+  def q104AsofState(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val facts = ev.where(col("event_type") === "click")
+      .select(col("event_id"), col("ts_us"), col("user_id"), col("value"))
+    val dims = ev.where(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts_us"))
+      .agg(max(struct(col("event_id"), col("value"))).as("m"))
+      .select(col("user_id"), col("ts_us"),
+        col("m.event_id").as("state_id"), col("m.value").as("state_value"))
+    graft.operators.AsofJoin
+      .asof(facts, dims, "user_id", "ts_us", Seq("state_id", "state_value"))
+      .orderBy("event_id")
+  }
+
+  val q104AsofStateSql: String =
+    """WITH f AS (
+      |  SELECT event_id, epoch_us(ts) AS ts_us, user_id, value
+      |  FROM events WHERE event_type = 'click'),
+      |d AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us,
+      |    MAX(event_id) AS state_id,
+      |    max_by(value, event_id) AS state_value
+      |  FROM events WHERE event_type = 'purchase'
+      |  GROUP BY 1, 2)
+      |SELECT f.event_id, f.ts_us, f.user_id, f.value,
+      |  d.state_id, d.state_value
+      |FROM f ASOF LEFT JOIN d
+      |  ON f.user_id = d.user_id AND f.ts_us >= d.ts_us
+      |ORDER BY f.event_id""".stripMargin
 }
