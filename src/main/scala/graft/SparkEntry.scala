@@ -116,6 +116,7 @@ object SparkEntry {
     "q102_incremental_spans" -> (PipelineQueries.q102IncrementalSpans _),
     "q103_classifier_gate"  -> (PipelineQueries.q103ClassifierGate _),
     "q104_asof_state"      -> (CdcQueries.q104AsofState _),
+    "q105_range_incidents" -> (CdcQueries.q105RangeIncidents _),
   )
 
   /** Untimed per-query setup the bench runs before timing (ingest-side
@@ -248,6 +249,7 @@ object SparkEntry {
     "q102_incremental_spans" -> PipelineQueries.q102IncrementalSpansSql,
     "q103_classifier_gate"  -> PipelineQueries.q103ClassifierGateSql,
     "q104_asof_state"      -> CdcQueries.q104AsofStateSql,
+    "q105_range_incidents" -> CdcQueries.q105RangeIncidentsSql,
     "q88_profile"          -> CdcQueries.q88ProfileSql,
     "q89_corpus_release"   -> PipelineQueries.q89CorpusReleaseSql,
     "q90_train_test_split" -> PipelineQueries.q90TrainTestSplitSql,

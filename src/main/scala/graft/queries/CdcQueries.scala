@@ -856,4 +856,41 @@ object CdcQueries {
       |FROM f ASOF LEFT JOIN d
       |  ON f.user_id = d.user_id AND f.ts_us >= d.ts_us
       |ORDER BY f.event_id""".stripMargin
+
+  // --------------------------------------------------------------- q105
+  /** Range join ([[graft.operators.RangeJoin]]): views landing inside a
+    * user's 10-minute post-error incident window. The bucketized equi-join
+    * spelling (bucket width = the window length → ≤2 buckets per interval)
+    * replaces the cartesian inequality plan; the oracle is DuckDB's plain
+    * inequality join (its IEJoin path) — same pairs, order-pinned. */
+  def q105RangeIncidents(s: SparkSession, dir: String): DataFrame = {
+    val winUs = 600L * 1000000
+    val ev = events(s, dir)
+    val facts = ev.where(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val incidents = ev.where(col("event_type") === "error")
+      .select(col("event_id").as("incident_id"), col("user_id"),
+        col("ts_us").as("start_us"),
+        (col("ts_us") + winUs).as("end_us"))
+    graft.operators.RangeJoin
+      .rangeJoin(facts, "ts_us", incidents, "start_us", "end_us",
+        Seq("user_id"), bucketWidth = winUs)
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("incident_id"), col("start_us"))
+      .orderBy("event_id", "incident_id")
+  }
+
+  val q105RangeIncidentsSql: String =
+    """WITH v AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS ts_us
+      |  FROM events WHERE event_type = 'view'),
+      |i AS (
+      |  SELECT event_id AS incident_id, user_id,
+      |    epoch_us(ts) AS start_us,
+      |    epoch_us(ts) + 600000000 AS end_us
+      |  FROM events WHERE event_type = 'error')
+      |SELECT v.event_id, v.user_id, v.ts_us, i.incident_id, i.start_us
+      |FROM v JOIN i ON v.user_id = i.user_id
+      |  AND v.ts_us >= i.start_us AND v.ts_us < i.end_us
+      |ORDER BY v.event_id, i.incident_id""".stripMargin
 }
