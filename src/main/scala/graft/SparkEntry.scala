@@ -117,6 +117,7 @@ object SparkEntry {
     "q103_classifier_gate"  -> (PipelineQueries.q103ClassifierGate _),
     "q104_asof_state"      -> (CdcQueries.q104AsofState _),
     "q105_range_incidents" -> (CdcQueries.q105RangeIncidents _),
+    "q106_percentiles"     -> (CdcQueries.q106Percentiles _),
   )
 
   /** Untimed per-query setup the bench runs before timing (ingest-side
@@ -250,6 +251,7 @@ object SparkEntry {
     "q103_classifier_gate"  -> PipelineQueries.q103ClassifierGateSql,
     "q104_asof_state"      -> CdcQueries.q104AsofStateSql,
     "q105_range_incidents" -> CdcQueries.q105RangeIncidentsSql,
+    "q106_percentiles"     -> CdcQueries.q106PercentilesSql,
     "q88_profile"          -> CdcQueries.q88ProfileSql,
     "q89_corpus_release"   -> PipelineQueries.q89CorpusReleaseSql,
     "q90_train_test_split" -> PipelineQueries.q90TrainTestSplitSql,

@@ -893,4 +893,33 @@ object CdcQueries {
       |FROM v JOIN i ON v.user_id = i.user_id
       |  AND v.ts_us >= i.start_us AND v.ts_us < i.end_us
       |ORDER BY v.event_id, i.incident_id""".stripMargin
+
+  // --------------------------------------------------------------- q106
+  /** Exact interpolated percentiles per group: Spark's `percentile`
+    * (exact, linear/type-7 interpolation) against DuckDB's
+    * `quantile_cont` — the analytic the approx profile (q88) deliberately
+    * does NOT cover. Exact percentiles sort within each group; at 100 TB
+    * the approx sketch path is the default and this is the
+    * small-group/audit spelling. Values are interpolations (a + f·(b−a))
+    * of exact doubles — fixed-point-pinned at 6 decimals to absorb the
+    * engines' differing evaluation order. */
+  def q106Percentiles(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.9)"), 6).as("p90"),
+        round(expr("percentile(value, 0.99)"), 6).as("p99"),
+        min(col("value")).as("v_min"), max(col("value")).as("v_max"))
+      .orderBy("event_type")
+
+  val q106PercentilesSql: String =
+    """SELECT event_type,
+      |  round(quantile_cont(value, 0.5), 6) AS p50,
+      |  round(quantile_cont(value, 0.9), 6) AS p90,
+      |  round(quantile_cont(value, 0.99), 6) AS p99,
+      |  MIN(value) AS v_min, MAX(value) AS v_max
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
 }
