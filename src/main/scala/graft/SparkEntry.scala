@@ -118,6 +118,7 @@ object SparkEntry {
     "q104_asof_state"      -> (CdcQueries.q104AsofState _),
     "q105_range_incidents" -> (CdcQueries.q105RangeIncidents _),
     "q106_percentiles"     -> (CdcQueries.q106Percentiles _),
+    "q107_asof_scale10"    -> (CdcQueries.q107AsofScale10 _),
   )
 
   /** Untimed per-query setup the bench runs before timing (ingest-side
@@ -143,7 +144,8 @@ object SparkEntry {
     "q69_scale10_region", "q70_scale10_rollup", "q74_video_decode",
     "q75_scale100_pricing", "q79_scale100_fixedpoint", "q83_scale100_rollup",
     "q87_scale100_join", "q89_corpus_release", "q94_bucketed_join",
-    "q98_span_dedup", "q99_lm_score", "q100_spandedup_scale10")
+    "q98_span_dedup", "q99_lm_score", "q100_spandedup_scale10",
+    "q104_asof_state", "q105_range_incidents", "q107_asof_scale10")
 
   /** Bench entries long enough (tens of seconds — the ×100 scale pass)
     * that scheduling noise is <2% of runtime: they get one timed pass
@@ -252,6 +254,7 @@ object SparkEntry {
     "q104_asof_state"      -> CdcQueries.q104AsofStateSql,
     "q105_range_incidents" -> CdcQueries.q105RangeIncidentsSql,
     "q106_percentiles"     -> CdcQueries.q106PercentilesSql,
+    "q107_asof_scale10"    -> CdcQueries.q107AsofScale10Sql,
     "q88_profile"          -> CdcQueries.q88ProfileSql,
     "q89_corpus_release"   -> PipelineQueries.q89CorpusReleaseSql,
     "q90_train_test_split" -> PipelineQueries.q90TrainTestSplitSql,

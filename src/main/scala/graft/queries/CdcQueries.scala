@@ -922,4 +922,51 @@ object CdcQueries {
       |FROM events
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
+
+  // --------------------------------------------------------------- q107
+  /** ×10-replicated as-of join — the scale entry for the window-carried
+    * join class (the ×N series' other joins are broadcast/bucketed):
+    * events replicate with distinct (user, event) ids, so the per-key
+    * sorted carry-forward runs over 10× keys × the same history depth —
+    * the dimension that actually grows at 100 TB. Same oracle shape as
+    * q104 over the replicated stream. */
+  def q107AsofScale10(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+      .select(col("event_id"), col("ts_us"), col("user_id"),
+        col("event_type"), col("value"),
+        explode(sequence(lit(0L), lit(9L))).as("r"))
+      .select((col("event_id") * 10 + col("r")).as("event_id"),
+        col("ts_us"), (col("user_id") * 10 + col("r")).as("user_id"),
+        col("event_type"), col("value"))
+    val facts = ev.where(col("event_type") === "click")
+      .select(col("event_id"), col("ts_us"), col("user_id"), col("value"))
+    val dims = ev.where(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts_us"))
+      .agg(max(struct(col("event_id"), col("value"))).as("m"))
+      .select(col("user_id"), col("ts_us"),
+        col("m.event_id").as("state_id"), col("m.value").as("state_value"))
+    graft.operators.AsofJoin
+      .asof(facts, dims, "user_id", "ts_us", Seq("state_id", "state_value"))
+      .orderBy("event_id")
+  }
+
+  val q107AsofScale10Sql: String =
+    """WITH rep AS (
+      |  SELECT event_id * 10 + r.range AS event_id, epoch_us(ts) AS ts_us,
+      |    user_id * 10 + r.range AS user_id, event_type, value
+      |  FROM events CROSS JOIN range(10) r),
+      |f AS (
+      |  SELECT event_id, ts_us, user_id, value
+      |  FROM rep WHERE event_type = 'click'),
+      |d AS (
+      |  SELECT user_id, ts_us,
+      |    MAX(event_id) AS state_id,
+      |    max_by(value, event_id) AS state_value
+      |  FROM rep WHERE event_type = 'purchase'
+      |  GROUP BY 1, 2)
+      |SELECT f.event_id, f.ts_us, f.user_id, f.value,
+      |  d.state_id, d.state_value
+      |FROM f ASOF LEFT JOIN d
+      |  ON f.user_id = d.user_id AND f.ts_us >= d.ts_us
+      |ORDER BY f.event_id""".stripMargin
 }
