@@ -119,6 +119,7 @@ object SparkEntry {
     "q105_range_incidents" -> (CdcQueries.q105RangeIncidents _),
     "q106_percentiles"     -> (CdcQueries.q106Percentiles _),
     "q107_asof_scale10"    -> (CdcQueries.q107AsofScale10 _),
+    "q108_tfidf_terms"     -> (PipelineQueries.q108TfidfTerms _),
   )
 
   /** Untimed per-query setup the bench runs before timing (ingest-side
@@ -255,6 +256,7 @@ object SparkEntry {
     "q105_range_incidents" -> CdcQueries.q105RangeIncidentsSql,
     "q106_percentiles"     -> CdcQueries.q106PercentilesSql,
     "q107_asof_scale10"    -> CdcQueries.q107AsofScale10Sql,
+    "q108_tfidf_terms"     -> PipelineQueries.q108TfidfTermsSql,
     "q88_profile"          -> CdcQueries.q88ProfileSql,
     "q89_corpus_release"   -> PipelineQueries.q89CorpusReleaseSql,
     "q90_train_test_split" -> PipelineQueries.q90TrainTestSplitSql,

@@ -9,7 +9,7 @@ import graft.dedup.{Dedup, SpanDedup}
 import graft.functions.GraftFunctions
 import graft.multimodal.{AudioDedup, AudioOps, ImageDedup, ImageOps, MultimodalOps, VideoOps}
 import graft.sim.{Quantize, Similarity}
-import graft.text.{HashClassifier, NgramLM, Repetition, TextOps}
+import graft.text.{HashClassifier, NgramLM, Repetition, TextOps, TfIdf}
 
 /** CORRECTNESS entries for the large-scale training-data-pipeline operator
   * families (dedup, similarity search, text analysis, multimodal), over the
@@ -1552,4 +1552,36 @@ object PipelineQueries {
       |FROM sc
       |ORDER BY doc_id""".stripMargin
   }
+
+  // --------------------------------------------------------------- q108
+  /** TF-IDF top-3 terms per document ([[graft.text.TfIdf]]). Ranks on the
+    * EXACT rational tf·N/df (bit-identical cross-engine) with term
+    * tie-break; the classic ln-based tfidf value is reported at fixed
+    * precision but never decides a rank — so the row set is deterministic
+    * even though ln is not. */
+  def q108TfidfTerms(s: SparkSession, dir: String): DataFrame =
+    TfIdf.topTerms(docs(s, dir), "doc_id", "text", k = 3)
+      .orderBy("doc_id", "rank")
+
+  val q108TfidfTermsSql: String =
+    s"""WITH w AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+      |t AS (SELECT doc_id, unnest(ws) AS term FROM w),
+      |tf AS (
+      |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      |  FROM t GROUP BY 1, 2),
+      |dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM w),
+      |sc AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+      |    CAST(tf.tf * n.n AS DOUBLE) / CAST(dfq.df AS DOUBLE) AS score,
+      |    round(CAST(tf.tf AS DOUBLE)
+      |      * ln(CAST(n.n AS DOUBLE) / CAST(dfq.df AS DOUBLE)), 6) AS tfidf
+      |  FROM tf JOIN dfq USING (term) CROSS JOIN n),
+      |r AS (
+      |  SELECT *, row_number() OVER
+      |    (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+      |  FROM sc)
+      |SELECT doc_id, CAST(rank AS INT) AS rank, term, tf, df, tfidf
+      |FROM r WHERE rank <= 3
+      |ORDER BY doc_id, rank""".stripMargin
 }

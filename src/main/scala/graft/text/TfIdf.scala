@@ -1,0 +1,54 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** TF-IDF keyword extraction: the top-k most characteristic terms per
+  * document — the IR-style doc-representation stage (search keys, topic
+  * tags, near-dup explanations).
+  *
+  * Ranking exactness: classic tf·ln(N/df) ranks by a transcendental, and
+  * `ln` differs across engines in the last ulp — two close scores could
+  * swap ranks between engines. The rank key here is the EXACT rational
+  * `tf·N/df` instead (same ordering intent: monotone ↑ in tf, ↓ in df;
+  * integer multiply then one IEEE division — bit-identical everywhere),
+  * with ties broken by term. The classic `tfidf` value is still reported,
+  * fixed-point rounded, it just doesn't decide ranks.
+  *
+  * Scale shape: explode → per-(doc, term) count (partial-agg) → document
+  * frequency derived FROM that table (never a second corpus pass) → a
+  * Zipf-skewed term join (AQE skew-split) → a doc-partitioned top-k
+  * window. The window key is the doc id — the highest-cardinality key
+  * available — so no partition degenerates; k rows leave per doc.
+  */
+object TfIdf {
+
+  def topTerms(df: DataFrame, idCol: String, textCol: String, k: Int = 3)
+      : DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val id = col(idCol)
+    val base = df
+      .select(id, TextOps.words(TextOps.normalized(col(textCol))).as("ws"))
+    val tf = base
+      .select(id, explode(col("ws")).as("term"))
+      .groupBy(id, col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    val n = base.agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(id)
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        (col("tf") * col("n")).cast("double") / col("df").cast("double"))
+      .withColumn("tfidf",
+        round(col("tf").cast("double")
+          * log(col("n").cast("double") / col("df").cast("double")), 6))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(id, col("rank"), col("term"), col("tf"), col("df"),
+        col("tfidf"))
+  }
+}

@@ -1,0 +1,49 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.text.TfIdf
+
+/** Contract of TF-IDF keyword extraction: corpus-wide terms rank below
+  * doc-specific ones, ranks are deterministic under ties, and k bounds
+  * the output per doc. */
+class TfIdfSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  // "common" is in every doc (df=3 -> lowest idf); each doc has its own
+  // marker term (df=1) repeated twice.
+  private def docs = Seq(
+    (1L, "common alpha alpha common common"),
+    (2L, "common beta beta"),
+    (3L, "common gamma gamma"))
+    .toDF("doc_id", "text")
+
+  test("doc-specific repeated terms outrank the corpus-wide term") {
+    val r = TfIdf.topTerms(docs, "doc_id", "text", k = 2)
+      .orderBy("doc_id", "rank").collect()
+    val top = r.filter(_.getInt(1) == 1).map(x => (x.getLong(0), x.getString(2)))
+    assert(top.toSet == Set((1L, "alpha"), (2L, "beta"), (3L, "gamma")))
+    // doc 1: common has tf 3, alpha tf 2: scores 3*3/3=3 vs 2*3/1=6
+    val d1 = r.filter(x => x.getLong(0) == 1L).map(_.getString(2)).toSeq
+    assert(d1 == Seq("alpha", "common"))
+  }
+
+  test("exact-score ties break by term, ranks stay dense and bounded") {
+    val tied = Seq((1L, "zz aa")).toDF("doc_id", "text")
+    val r = TfIdf.topTerms(tied, "doc_id", "text", k = 5)
+      .orderBy("rank").collect()
+    // both terms: tf=1, df=1, same score -> lexicographic order
+    assert(r.map(_.getString(2)).toSeq == Seq("aa", "zz"))
+    assert(r.map(_.getInt(1)).toSeq == Seq(1, 2))
+  }
+
+  test("tfidf column is ln-based while ranking stays rational") {
+    val r = TfIdf.topTerms(docs, "doc_id", "text", k = 1).collect()
+    for (row <- r) {
+      val tf = row.getLong(3); val df = row.getLong(4)
+      val expect = tf * math.log(3.0 / df)
+      assert(math.abs(row.getDouble(5) - (math.rint(expect * 1e6) / 1e6)) < 1e-9)
+    }
+  }
+}
