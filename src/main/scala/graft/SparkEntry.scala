@@ -120,6 +120,7 @@ object SparkEntry {
     "q106_percentiles"     -> (CdcQueries.q106Percentiles _),
     "q107_asof_scale10"    -> (CdcQueries.q107AsofScale10 _),
     "q108_tfidf_terms"     -> (PipelineQueries.q108TfidfTerms _),
+    "q109_bm25_search"     -> (PipelineQueries.q109Bm25Search _),
   )
 
   /** Untimed per-query setup the bench runs before timing (ingest-side
@@ -257,6 +258,7 @@ object SparkEntry {
     "q106_percentiles"     -> CdcQueries.q106PercentilesSql,
     "q107_asof_scale10"    -> CdcQueries.q107AsofScale10Sql,
     "q108_tfidf_terms"     -> PipelineQueries.q108TfidfTermsSql,
+    "q109_bm25_search"     -> PipelineQueries.q109Bm25SearchSql,
     "q88_profile"          -> CdcQueries.q88ProfileSql,
     "q89_corpus_release"   -> PipelineQueries.q89CorpusReleaseSql,
     "q90_train_test_split" -> PipelineQueries.q90TrainTestSplitSql,

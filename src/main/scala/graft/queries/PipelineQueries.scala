@@ -1584,4 +1584,42 @@ object PipelineQueries {
       |SELECT doc_id, CAST(rank AS INT) AS rank, term, tf, df, tfidf
       |FROM r WHERE rank <= 3
       |ORDER BY doc_id, rank""".stripMargin
+
+  // --------------------------------------------------------------- q109
+  /** BM25 ranked retrieval ([[graft.text.TfIdf.bm25]]) for a fixed
+    * 3-term query over the corpus: scores fixed-point rounded BEFORE the
+    * rank + doc-id tie-break, so the top-20 set and order are
+    * engine-deterministic despite ln. */
+  def q109Bm25Search(s: SparkSession, dir: String): DataFrame =
+    TfIdf.bm25(docs(s, dir), "doc_id", "text",
+      Seq("table", "query", "spark"), limit = 20)
+
+  val q109Bm25SearchSql: String =
+    s"""WITH w AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+      |b AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS len, ws FROM w),
+      |t AS (
+      |  SELECT doc_id, len, unnest(ws) AS term FROM b),
+      |tf AS (
+      |  SELECT doc_id, len, term, CAST(COUNT(*) AS BIGINT) AS tf
+      |  FROM t WHERE term IN ('table', 'query', 'spark')
+      |  GROUP BY 1, 2, 3),
+      |dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |st AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(len) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_len
+      |  FROM b),
+      |sc AS (
+      |  SELECT tf.doc_id,
+      |    ln(CAST(1 AS DOUBLE)
+      |      + (CAST(st.n AS DOUBLE) - CAST(dfq.df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+      |        / (CAST(dfq.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+      |    * (CAST(tf.tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+      |      / (CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+      |        * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)
+      |          * CAST(tf.len AS DOUBLE) / st.avg_len)) AS part
+      |  FROM tf JOIN dfq USING (term) CROSS JOIN st)
+      |SELECT doc_id, round(SUM(part), 6) AS score
+      |FROM sc GROUP BY 1
+      |ORDER BY score DESC, doc_id ASC
+      |LIMIT 20""".stripMargin
 }

@@ -47,4 +47,28 @@ class AsofJoinSpec extends AnyFunSuite with SparkSpec {
     // key 2's w1 (ts 15) must not serve key 1's fact at ts 19
     assert(out(102L).contains("v1"))
   }
+
+  test("seeded fuzz: distributed as-of equals the in-memory reference") {
+    val rnd = new scala.util.Random(11)
+    // dims unique per (key, ts) — the operator's determinism contract
+    val dimRows = rnd.shuffle((0L until 10L).flatMap(k =>
+      rnd.shuffle((0L until 50L).toList).take(12).map(ts =>
+        (k, ts, s"s$k-$ts")))).toList
+    val factRows = (0 until 300).map { i =>
+      (i.toLong, rnd.nextInt(12).toLong, rnd.nextInt(55).toLong)
+    }
+    val got = AsofJoin
+      .asof(factRows.toDF("fid", "k", "ts"), dimRows.toDF("k", "ts", "state"),
+        "k", "ts", Seq("state"))
+      .collect()
+      .map(r => (r.getLong(0), Option(r.getString(3)))).toMap
+    val byKey = dimRows.groupBy(_._1)
+    for ((fid, k, ts) <- factRows) {
+      val want = byKey.getOrElse(k, Nil).filter(_._2 <= ts) match {
+        case Nil => None
+        case hs  => Some(hs.maxBy(_._2)._3)
+      }
+      assert(got(fid) == want, s"fact $fid (k=$k ts=$ts)")
+    }
+  }
 }

