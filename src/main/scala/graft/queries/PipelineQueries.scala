@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.curate.{Decontaminate, Interleave, Packing, Sampling, Select, Shuffle}
+import graft.curate.Chunking
 import graft.dedup.{Dedup, SpanDedup}
 import graft.functions.GraftFunctions
 import graft.multimodal.{AudioDedup, AudioOps, ImageDedup, ImageOps, MultimodalOps, VideoOps}
@@ -1622,4 +1623,28 @@ object PipelineQueries {
       |FROM sc GROUP BY 1
       |ORDER BY score DESC, doc_id ASC
       |LIMIT 20""".stripMargin
+
+  // --------------------------------------------------------------- q110
+  /** Sliding-window chunking ([[graft.curate.Chunking]]) at window 16 /
+    * stride 8 (50% overlap) with word offsets — the RAG/context-window
+    * prep stage; one narrow explode, zero shuffles. */
+  def q110ChunkWindows(s: SparkSession, dir: String): DataFrame =
+    Chunking.slidingWindows(docs(s, dir), "doc_id", "text",
+      window = 16, stride = 8)
+      .orderBy("doc_id", "chunk_idx")
+
+  val q110ChunkWindowsSql: String =
+    s"""WITH w AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+      |b AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n FROM w),
+      |c AS (
+      |  SELECT doc_id, n, unnest(list_transform(
+      |    range(0, 1 + CAST(ceil(greatest(n - 16, 0)
+      |      / CAST(8 AS DOUBLE)) AS BIGINT)),
+      |    i -> {'idx': i, 'off': i * 8,
+      |          'chunk': array_to_string(ws[(i*8+1):(i*8+16)], ' ')})) AS e
+      |  FROM b)
+      |SELECT doc_id, n AS n_words, CAST(e.idx AS BIGINT) AS chunk_idx,
+      |  CAST(e.off AS BIGINT) AS word_offset, e.chunk AS chunk
+      |FROM c
+      |ORDER BY doc_id, chunk_idx""".stripMargin
 }
