@@ -4,13 +4,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.curate.{Decontaminate, Interleave, Packing, Sampling, Select, Shuffle}
+import graft.curate.{Decontaminate, Dsir, Interleave, Packing, Sampling, Select, Shuffle}
 import graft.curate.Chunking
 import graft.dedup.{Dedup, SpanDedup}
 import graft.functions.GraftFunctions
 import graft.multimodal.{AudioDedup, AudioOps, ImageDedup, ImageOps, MultimodalOps, VideoOps}
 import graft.sim.{Quantize, Similarity}
-import graft.text.{HashClassifier, NgramLM, Repetition, TextOps, TfIdf}
+import graft.text.{Bpe, HashClassifier, NgramLM, Repetition, Retrieval, TextOps, TfIdf}
 
 /** CORRECTNESS entries for the large-scale training-data-pipeline operator
   * families (dedup, similarity search, text analysis, multimodal), over the
@@ -1647,4 +1647,166 @@ object PipelineQueries {
       |  CAST(e.off AS BIGINT) AS word_offset, e.chunk AS chunk
       |FROM c
       |ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // --------------------------------------------------------------- q111
+  /** Hybrid retrieval ([[graft.text.Retrieval.hybridSearch]]): RRF fusion
+    * of q109's BM25 lexical ranking with the brute-cosine dense neighbors
+    * of vec 0 (both top-50 candidate lists), top-20 by fused score.
+    * Ranks are exact integers, the fused `1/(60+r)` sums exact IEEE
+    * doubles rounded at 6; absent-from-one-list docs report rank 0, never
+    * NULL, keeping the rank columns int64-stable for the driver hash. */
+  def q111HybridRrf(s: SparkSession, dir: String): DataFrame =
+    Retrieval.hybridSearch(docs(s, dir), embs(s, dir), "doc_id", "text",
+        "vec_id", "embedding", Seq("table", "query", "spark"),
+        queryVecId = 0L, kCand = 50, kConst = 60, limit = 20)
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+
+  val q111HybridRrfSql: String =
+    s"""WITH w AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+      |b AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS len, ws FROM w),
+      |t AS (SELECT doc_id, len, unnest(ws) AS term FROM b),
+      |tf AS (
+      |  SELECT doc_id, len, term, CAST(COUNT(*) AS BIGINT) AS tf
+      |  FROM t WHERE term IN ('table', 'query', 'spark')
+      |  GROUP BY 1, 2, 3),
+      |dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |st AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(len) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_len
+      |  FROM b),
+      |sc AS (
+      |  SELECT tf.doc_id,
+      |    ln(CAST(1 AS DOUBLE)
+      |      + (CAST(st.n AS DOUBLE) - CAST(dfq.df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+      |        / (CAST(dfq.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+      |    * (CAST(tf.tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+      |      / (CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+      |        * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)
+      |          * CAST(tf.len AS DOUBLE) / st.avg_len)) AS part
+      |  FROM tf JOIN dfq USING (term) CROSS JOIN st),
+      |bmtop AS (
+      |  SELECT doc_id, round(SUM(part), 6) AS score
+      |  FROM sc GROUP BY 1
+      |  ORDER BY score DESC, doc_id ASC LIMIT 50),
+      |bmrank AS (
+      |  SELECT doc_id, CAST(row_number() OVER
+      |    (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS bm25_rank
+      |  FROM bmtop),
+      |v AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+      |    sqrt(list_sum(list_transform(embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      |  FROM embeddings),
+      |ctop AS (
+      |  SELECT c.vec_id AS doc_id,
+      |    list_sum(list_transform(range(1, len(q.e) + 1),
+      |      i -> q.e[i] * c.e[i])) / (q.nrm * c.nrm) AS cosine
+      |  FROM v q JOIN v c ON q.vec_id = 0 AND c.vec_id <> 0
+      |  ORDER BY cosine DESC, c.vec_id ASC LIMIT 50),
+      |crank AS (
+      |  SELECT doc_id, CAST(row_number() OVER
+      |    (ORDER BY cosine DESC, doc_id ASC) AS BIGINT) AS cos_rank
+      |  FROM ctop),
+      |f AS (
+      |  SELECT COALESCE(bm.doc_id, cr.doc_id) AS doc_id,
+      |    COALESCE(bm.bm25_rank, 0) AS bm25_rank,
+      |    COALESCE(cr.cos_rank, 0) AS cos_rank
+      |  FROM bmrank bm FULL OUTER JOIN crank cr ON bm.doc_id = cr.doc_id)
+      |SELECT doc_id, bm25_rank, cos_rank,
+      |  round(CASE WHEN bm25_rank > 0 THEN CAST(1 AS DOUBLE)
+      |      / (CAST(60 AS DOUBLE) + CAST(bm25_rank AS DOUBLE))
+      |    ELSE CAST(0 AS DOUBLE) END
+      |  + CASE WHEN cos_rank > 0 THEN CAST(1 AS DOUBLE)
+      |      / (CAST(60 AS DOUBLE) + CAST(cos_rank AS DOUBLE))
+      |    ELSE CAST(0 AS DOUBLE) END, 6) AS rrf_score
+      |FROM f
+      |ORDER BY rrf_score DESC, doc_id ASC
+      |LIMIT 20""".stripMargin
+
+  // --------------------------------------------------------------- q112
+  /** DSIR importance weights ([[graft.curate.Dsir.importanceWeights]])
+    * against the English slice as the target distribution: 256 md5-hashed
+    * token buckets, add-1 smoothing. Counts and buckets are exact
+    * integers; the final ln-sum weight is pinned at `round(·, 6)` on both
+    * sides (the q99 transcendental contract). */
+  def q112DsirWeights(s: SparkSession, dir: String): DataFrame =
+    Dsir.importanceWeights(docs(s, dir), "doc_id", "text",
+        col("lang") === "en", buckets = 256, alpha = 1.0)
+      .withColumn("logw", round(col("logw"), 6))
+      .orderBy("doc_id")
+
+  val q112DsirWeightsSql: String =
+    s"""WITH w AS (
+      |  SELECT doc_id, (lang = 'en') AS is_target, $wordsSql AS ws
+      |  FROM documents),
+      |t AS (SELECT doc_id, is_target, unnest(ws) AS wd FROM w),
+      |tb AS (
+      |  SELECT doc_id, is_target,
+      |    CAST(('0x' || substr(md5(wd), 1, 8)) AS BIGINT) % 256 AS b,
+      |    CAST(COUNT(*) AS BIGINT) AS m
+      |  FROM t WHERE wd <> '' GROUP BY 1, 2, 3),
+      |rawc AS (SELECT b, CAST(SUM(m) AS BIGINT) AS c_raw FROM tb GROUP BY 1),
+      |tgtc AS (
+      |  SELECT b, CAST(SUM(m) AS BIGINT) AS c_tgt
+      |  FROM tb WHERE is_target GROUP BY 1),
+      |dist AS (
+      |  SELECT rawc.b, c_raw, COALESCE(c_tgt, 0) AS c_tgt
+      |  FROM rawc LEFT JOIN tgtc ON rawc.b = tgtc.b),
+      |tot AS (
+      |  SELECT CAST(SUM(c_raw) AS BIGINT) AS t_raw,
+      |    CAST(SUM(c_tgt) AS BIGINT) AS t_tgt
+      |  FROM dist),
+      |r AS (
+      |  SELECT b,
+      |    ln((CAST(c_tgt AS DOUBLE) + CAST(1 AS DOUBLE))
+      |        / (CAST(t_tgt AS DOUBLE) + CAST(256 AS DOUBLE)))
+      |    - ln((CAST(c_raw AS DOUBLE) + CAST(1 AS DOUBLE))
+      |        / (CAST(t_raw AS DOUBLE) + CAST(256 AS DOUBLE))) AS lr
+      |  FROM dist CROSS JOIN tot),
+      |sc AS (
+      |  SELECT tb.doc_id, CAST(SUM(m) AS BIGINT) AS n_tokens,
+      |    round(SUM(CAST(m AS DOUBLE) * lr), 6) AS logw
+      |  FROM tb JOIN r USING (b) GROUP BY 1)
+      |SELECT w.doc_id, w.is_target,
+      |  COALESCE(sc.n_tokens, 0) AS n_tokens,
+      |  COALESCE(sc.logw, CAST(0 AS DOUBLE)) AS logw
+      |FROM w LEFT JOIN sc ON w.doc_id = sc.doc_id
+      |ORDER BY w.doc_id""".stripMargin
+
+  // --------------------------------------------------------------- q113
+  /** BPE round-1 character pair counts ([[graft.text.Bpe.charPairCounts]])
+    * — the hash-green pin of the pair-counting machinery [[Bpe.train]]
+    * iterates on. Top-50 by (count desc, left, right): exact integer
+    * counts, fully SQL-expressible. */
+  def q113BpePairs(s: SparkSession, dir: String): DataFrame =
+    Bpe.charPairCounts(docs(s, dir), "text")
+      .orderBy(col("pair_count").desc, col("left"), col("right"))
+      .limit(50)
+
+  val q113BpePairsSql: String =
+    s"""WITH w AS (SELECT $wordsSql AS ws FROM documents),
+      |t AS (SELECT unnest(ws) AS wd FROM w),
+      |wc AS (
+      |  SELECT wd, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM t WHERE wd <> '' GROUP BY 1),
+      |ix AS (SELECT wd, n, unnest(range(1, len(wd))) AS i FROM wc),
+      |p AS (
+      |  SELECT substr(wd, CAST(i AS INT), 1) AS lft,
+      |    substr(wd, CAST(i AS INT) + 1, 1) AS rgt, n
+      |  FROM ix)
+      |SELECT lft AS "left", rgt AS "right",
+      |  CAST(SUM(n) AS BIGINT) AS pair_count
+      |FROM p GROUP BY 1, 2
+      |ORDER BY pair_count DESC, "left", "right"
+      |LIMIT 50""".stripMargin
+
+  // --------------------------------------------------------------- q114
+  /** The learned BPE merge table (16 merges, min pair count 2) —
+    * iterative training is not SQL-expressible, so the driver records
+    * rows-only; the counting machinery is pinned hash-green by q113 and
+    * the merge/apply semantics by the hand-computed BpeSpec fixtures. */
+  def q114BpeMerges(s: SparkSession, dir: String): DataFrame =
+    Bpe.trainTable(s, docs(s, dir), "text", nMerges = 16)
+      .orderBy("rank")
 }

@@ -1,0 +1,59 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.text.Bpe
+
+/** Contract of BPE training: pair counts weight by word frequency, merges
+  * follow (count desc, left, right) order, the apply step is
+  * leftmost-greedy non-overlapping, and tokenize reproduces the trained
+  * segmentation. Fixture is small enough to hand-compute every round. */
+class BpeSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  // corpus: "low" x3, "lowest" x1  (classic Sennrich-style fixture)
+  private def corpus = Seq(
+    (1L, "low low low lowest")).toDF("doc_id", "text")
+
+  test("char pair counts weight by word frequency") {
+    val pc = Bpe.charPairCounts(corpus, "text")
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+      .toMap
+    // "low"x3 + "lowest"x1: (l,o)=4, (o,w)=4, (w,e)=1, (e,s)=1, (s,t)=1
+    assert(pc(("l", "o")) == 4L && pc(("o", "w")) == 4L)
+    assert(pc(("w", "e")) == 1L && pc(("s", "t")) == 1L)
+  }
+
+  test("merges follow count-then-lexicographic order, and chain") {
+    val m = Bpe.train(corpus, "text", nMerges = 3, minPairCount = 2)
+    // round 1: (l,o)=4 ties (o,w)=4 -> (l,o) lexicographically first
+    assert(m(0).left == "l" && m(0).right == "o" && m(0).pairCount == 4L)
+    // round 2: syms now [lo,w...]: (lo,w)=4 wins
+    assert(m(1).left == "lo" && m(1).right == "w" && m(1).pairCount == 4L)
+    // round 3: nothing reaches minPairCount=2 -> early stop
+    assert(m.length == 2)
+  }
+
+  test("applyMerge is leftmost-greedy non-overlapping") {
+    val df = Seq((1L, Seq("a", "a", "a"))).toDF("id", "syms")
+    val out = df.select(Bpe.applyMerge(org.apache.spark.sql.functions
+      .col("syms"), "a", "a").as("m")).head().getSeq[String](0)
+    assert(out == Seq("aa", "a"))
+  }
+
+  test("tokenize applies the merge table in rank order per word") {
+    val m = Bpe.train(corpus, "text", nMerges = 2, minPairCount = 2)
+    val toks = Bpe.tokenize(Seq((1L, "low lowest")).toDF("id", "text"),
+      "text", m).head().getSeq[String](2)
+    // merges: (l,o) then (lo,w) -> "low" = [low]; "lowest" = [low,e,s,t]
+    assert(toks == Seq("low", "low", "e", "s", "t"))
+  }
+
+  test("trainTable round-trips the merge list as a DataFrame") {
+    val t = Bpe.trainTable(spark, corpus, "text", nMerges = 2)
+      .orderBy("rank").collect()
+    assert(t.map(_.getString(3)).toSeq == Seq("lo", "low"))
+    assert(t.map(_.getInt(0)).toSeq == Seq(1, 2))
+  }
+}
