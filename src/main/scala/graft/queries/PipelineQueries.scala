@@ -1774,6 +1774,30 @@ object PipelineQueries {
       |FROM w LEFT JOIN sc ON w.doc_id = sc.doc_id
       |ORDER BY w.doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q115
+  /** q112's DSIR weighting at ×10 rows (docs replicated with distinct
+    * ids) — driver-recorded scale evidence for the corpus-distribution
+    * pass: counts scale ×10, the bucket tables stay 256 rows, the plan
+    * shape is unchanged. */
+  def q115DsirScale10(s: SparkSession, dir: String): DataFrame = {
+    val rep = docs(s, dir)
+      .select(col("doc_id"), col("text"), col("lang"),
+        explode(sequence(lit(0L), lit(9L))).as("r"))
+      .select((col("doc_id") * 10 + col("r")).as("doc_id"), col("text"),
+        col("lang"))
+    Dsir.importanceWeights(rep, "doc_id", "text", col("lang") === "en",
+        buckets = 256, alpha = 1.0)
+      .withColumn("logw", round(col("logw"), 6))
+      .orderBy("doc_id")
+  }
+
+  val q115DsirScale10Sql: String = {
+    val rep = "rep AS (\n  SELECT doc_id * 10 + r.range AS doc_id, " +
+      "text, lang\n  FROM documents CROSS JOIN range(10) r),"
+    q112DsirWeightsSql.replace("WITH w AS (", s"WITH $rep\nw AS (")
+      .replace("FROM documents)", "FROM rep)")
+  }
+
   // --------------------------------------------------------------- q113
   /** BPE round-1 character pair counts ([[graft.text.Bpe.charPairCounts]])
     * — the hash-green pin of the pair-counting machinery [[Bpe.train]]
