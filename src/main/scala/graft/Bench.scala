@@ -60,7 +60,15 @@ object Bench {
       val ts = passes.map(_(n)).filter(_ >= 0)
       n -> (if (ts.isEmpty) -1.0 else ts.min)
     }
-    val results = shortResults ++ longQ.map(n => n -> runOne(n))
+    val results = shortResults ++ longQ.map { n =>
+      // the ×100 entries get ONE timed pass each, so heap pressure left
+      // behind by the previous one (100×-exploded shuffle blocks awaiting
+      // GC) shows up directly in the next number — seen as q94 13.7 s in
+      // a full run vs 5.2 s alone. A forced full GC between them costs
+      // ~100 ms untimed and removes that coupling.
+      System.gc()
+      n -> runOne(n)
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

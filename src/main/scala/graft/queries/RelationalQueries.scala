@@ -700,4 +700,47 @@ object RelationalQueries {
       |FROM orders
       |GROUP BY o_orderstatus
       |ORDER BY o_orderstatus""".stripMargin
+
+  // --------------------------------------------------------------- q116
+  /** Z-order layout stats ([[graft.ops.Layout]]): Morton-interleave
+    * (l_partkey, l_suppkey) and report per-z-bucket row counts and
+    * dimension bounds — the data-skipping evidence a z-ordered write
+    * yields (each bucket's (x, y) bounding box is a compact rectangle,
+    * so filters on EITHER column prune buckets). Exact integer bit
+    * arithmetic end to end; the oracle replays the same magic-number
+    * spread in SQL. */
+  def q116ZorderStats(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Layout
+    val li = t(s, dir, "lineitem")
+      .select((col("l_partkey") % 65536).as("x"),
+        (col("l_suppkey") % 65536).as("y"))
+    li.withColumn("z", Layout.zValue2(col("x"), col("y")))
+      .groupBy(shiftright(col("z"), 20).as("zbucket"))
+      .agg(count(lit(1)).as("n"), sum(col("z")).as("sum_z"),
+        min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+        min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+      .orderBy("zbucket")
+  }
+
+  private def spreadSql(v: String): String = {
+    val x = s"($v & 65535)"
+    val a = s"(($x | ($x << 8)) & 16711935)"
+    val b = s"(($a | ($a << 4)) & 252645135)"
+    val c = s"(($b | ($b << 2)) & 858993459)"
+    s"(($c | ($c << 1)) & 1431655765)"
+  }
+
+  val q116ZorderStatsSql: String = {
+    val z = s"(${spreadSql("x")} | (${spreadSql("y")} << 1))"
+    s"""WITH base AS (
+      |  SELECT l_partkey % 65536 AS x, l_suppkey % 65536 AS y
+      |  FROM lineitem),
+      |zv AS (SELECT x, y, $z AS z, ($z >> 20) AS zbucket FROM base)
+      |SELECT zbucket, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(z) AS BIGINT) AS sum_z,
+      |  MIN(x) AS x_min, MAX(x) AS x_max,
+      |  MIN(y) AS y_min, MAX(y) AS y_max
+      |FROM zv GROUP BY 1
+      |ORDER BY zbucket""".stripMargin
+  }
 }
