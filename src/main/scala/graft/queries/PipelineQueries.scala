@@ -1798,6 +1798,30 @@ object PipelineQueries {
       .replace("FROM documents)", "FROM rep)")
   }
 
+  // --------------------------------------------------------------- q117
+  /** q112's DSIR weighting at ×100 rows — the long-bench amortization
+    * datum (the pricing-quartet protocol): per-doc cost falls as the
+    * fixed plan/JVM overhead spreads over 100× the corpus while the
+    * bucket tables stay 256 rows. */
+  def q117DsirScale100(s: SparkSession, dir: String): DataFrame = {
+    val rep = docs(s, dir)
+      .select(col("doc_id"), col("text"), col("lang"),
+        explode(sequence(lit(0L), lit(99L))).as("r"))
+      .select((col("doc_id") * 100 + col("r")).as("doc_id"), col("text"),
+        col("lang"))
+    Dsir.importanceWeights(rep, "doc_id", "text", col("lang") === "en",
+        buckets = 256, alpha = 1.0)
+      .withColumn("logw", round(col("logw"), 6))
+      .orderBy("doc_id")
+  }
+
+  val q117DsirScale100Sql: String = {
+    val rep = "rep AS (\n  SELECT doc_id * 100 + r.range AS doc_id, " +
+      "text, lang\n  FROM documents CROSS JOIN range(100) r),"
+    q112DsirWeightsSql.replace("WITH w AS (", s"WITH $rep\nw AS (")
+      .replace("FROM documents)", "FROM rep)")
+  }
+
   // --------------------------------------------------------------- q113
   /** BPE round-1 character pair counts ([[graft.text.Bpe.charPairCounts]])
     * — the hash-green pin of the pair-counting machinery [[Bpe.train]]
