@@ -24,12 +24,26 @@ object CdcQueries {
 
   private val isoFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 
-  /** events + µs-precision helper columns. */
+  /** events + µs-precision helper columns.
+    *
+    * The corpus has stored `ts` under two physical types across driver
+    * vintages: INT64(TIMESTAMP(NANOS)) — surfaced as a long under
+    * `nanosAsLong`, µs = `ts div 1000` — and plain µs parquet timestamps
+    * (surfaced as TIMESTAMP_NTZ, or TIMESTAMP if marked UTC-adjusted).
+    * Dispatch on the READ schema so every vintage yields identical µs
+    * longs; the NTZ cast is wall-clock-preserving because every graft
+    * session pins `spark.sql.session.timeZone=UTC`. */
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    Tables.load(s, dir, "events")
-      .withColumn("ts_us", expr("ts div 1000"))
-      .withColumn("update_at", date_format(timestamp_micros(expr("ts div 1000")), isoFmt))
+    val raw = Tables.load(s, dir, "events")
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    val tsUs = raw.schema("ts").dataType match {
+      case LongType => expr("ts div 1000") // ns-as-long vintage
+      case TimestampNTZType => unix_micros(col("ts").cast("timestamp"))
+      case _ => unix_micros(col("ts")) // instant-typed µs vintage
+    }
+    raw.withColumn("ts_us", tsUs)
+      .withColumn("update_at", date_format(timestamp_micros(col("ts_us")), isoFmt))
   }
 
   /** The events table viewed as a CDC stream of keyed full-row images:
@@ -969,4 +983,179 @@ object CdcQueries {
       |FROM f ASOF LEFT JOIN d
       |  ON f.user_id = d.user_id AND f.ts_us >= d.ts_us
       |ORDER BY f.event_id""".stripMargin
+
+  // ---------------------------------------------------------------- q118
+  /** Lake maintenance: small-file compaction of an append-only landing
+    * zone. The upsert sink never fragments (each merge rewrites its
+    * touched partitions whole), so the table that NEEDS compaction is the
+    * K3-style landing log: six micro-batch appends drop six files into
+    * every touched partition, then [[graft.sink.Compaction.compact]]
+    * bin-packs each over-target partition back to its byte-justified file
+    * count. The in-query report asserts files really collapsed; the
+    * result is the latest-wins view of the compacted log, pinned by q20's
+    * oracle — so a lost or duplicated row in the rewrite shifts the hash. */
+  def q118Compaction(s: SparkSession, dir: String): DataFrame = {
+    val cdc = cdcView(s, dir)
+    val path = Files.createTempDirectory("graft_q118_landing").toString
+    val partCols = LakeOps.partitionCols
+    val bucket = pmod(col("event_id"), lit(6))
+    (0 until 6).foreach { b =>
+      LakeOps.derivePartitionColumns(cdc.filter(bucket === b), "create_at")
+        .coalesce(1).write.mode("append")
+        .partitionBy(partCols: _*).parquet(path)
+    }
+    val report = graft.sink.Compaction.compact(s, path, partCols)
+    require(report.filesAfter < report.filesBefore,
+      s"q118: compaction must reduce files, got $report")
+    require(report.filesAfter == report.partitionsScanned.toLong,
+      s"q118: tiny partitions must collapse to one file each, got $report")
+    // partition values normalized to the zero-padded strings the scheme is
+    // defined over (partition type inference may read them back as ints)
+    val widths = Map("create_year" -> 4).withDefaultValue(2)
+    val normalized = partCols.foldLeft(s.read.parquet(path)) { (d, c) =>
+      d.withColumn(c, lpad(col(c).cast("string"), widths(c), "0"))
+    }
+    LakeOps.latestWinsDedup(normalized, Seq("id"), "update_at",
+      tieBreak = Seq(col("event_id").desc))
+      .select(
+        col("id"), col("create_year"), col("create_month"), col("create_day"),
+        col("create_hour"), col("create_minute"), col("update_at"),
+        col("event_type"), col("value"), col("props"), col("event_id"))
+      .orderBy("id")
+  }
+
+  val q118CompactionSql: String = q20CdcMergeSql
+
+  // ---------------------------------------------------------------- q119
+  /** Lake maintenance: partition retention. Builds the q20 table, then
+    * [[graft.sink.Compaction.expireBefore]] drops every partition before
+    * 2024-01-04 — a metadata-only directory prune, no data read. The
+    * oracle filters the same cutoff on the derived day, so the dropped
+    * set must be EXACTLY the sub-cutoff partitions. */
+  def q119Retention(s: SparkSession, dir: String): DataFrame = {
+    val cdc = cdcView(s, dir)
+    val path = Files.createTempDirectory("graft_q119_lake").toString
+    val table = new KeyedLakeTable(s, LakeTableSpec(
+      path, recordKeys = Seq("id"), precombine = "update_at",
+      partitionSource = "create_at", tieBreak = Seq("event_id")))
+    val bucket = pmod(col("event_id"), lit(3))
+    table.overwrite(cdc.filter(bucket === 0))
+    table.upsert(cdc.filter(bucket === 1))
+    table.upsert(cdc.filter(bucket === 2))
+    val report = graft.sink.Compaction.expireBefore(
+      s, path, graft.ops.LakeOps.partitionCols, Seq("2024", "01", "04"))
+    require(report.partitionsDropped > 0,
+      s"q119: the cutoff must drop the 01..03 day partitions, got $report")
+    table.read().select(
+      col("id"), col("create_year"), col("create_month"), col("create_day"),
+      col("create_hour"), col("create_minute"), col("update_at"),
+      col("event_type"), col("value"), col("props"), col("event_id"))
+      .orderBy("id")
+  }
+
+  val q119RetentionSql: String =
+    s"""WITH cdc AS ($cdcViewSql),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY update_at DESC, event_id DESC) AS rn
+      |  FROM cdc)
+      |SELECT id,
+      |  substring(create_at, 1, 4) AS create_year,
+      |  substring(create_at, 6, 2) AS create_month,
+      |  substring(create_at, 9, 2) AS create_day,
+      |  substring(create_at, 12, 2) AS create_hour,
+      |  substring(create_at, 15, 2) AS create_minute,
+      |  update_at, event_type, value, props, event_id
+      |FROM ranked
+      |WHERE rn = 1 AND substring(create_at, 9, 2) >= '04'
+      |ORDER BY id""".stripMargin
+
+  // ---------------------------------------------------------------- q120
+  /** Schema evolution across CDC batches: batch 1 carries the original
+    * columns, batch 2 ADDS a `channel` column (the source database gained
+    * one), batch 3 DROPS `props` (the source lost one). The merged table
+    * must hold the union schema with nulls exactly where a row's winning
+    * version never carried the column — checked per-cell by the oracle's
+    * CASE on the winner's batch. Exercises `evolveSchema` end-to-end
+    * including the footer-merged read over mixed-schema partitions. */
+  def q120SchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val cdc = cdcView(s, dir)
+    val path = Files.createTempDirectory("graft_q120_lake").toString
+    val table = new KeyedLakeTable(s, LakeTableSpec(
+      path, recordKeys = Seq("id"), precombine = "update_at",
+      partitionSource = "create_at", tieBreak = Seq("event_id")))
+    val bucket = pmod(col("event_id"), lit(3))
+    table.overwrite(cdc.filter(bucket === 0))
+    table.upsert(cdc.filter(bucket === 1).withColumn("channel",
+      concat(lit("ch-"), pmod(col("event_id"), lit(4)).cast("string"))),
+      evolveSchema = true)
+    table.upsert(cdc.filter(bucket === 2).drop("props"), evolveSchema = true)
+    table.read().select(
+      col("id"), col("create_year"), col("create_month"), col("create_day"),
+      col("create_hour"), col("create_minute"), col("update_at"),
+      col("event_type"), col("value"), col("props"), col("event_id"),
+      col("channel"))
+      .orderBy("id")
+  }
+
+  val q120SchemaEvolutionSql: String =
+    s"""WITH cdc AS ($cdcViewSql),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY update_at DESC, event_id DESC) AS rn
+      |  FROM cdc)
+      |SELECT id,
+      |  substring(create_at, 1, 4) AS create_year,
+      |  substring(create_at, 6, 2) AS create_month,
+      |  substring(create_at, 9, 2) AS create_day,
+      |  substring(create_at, 12, 2) AS create_hour,
+      |  substring(create_at, 15, 2) AS create_minute,
+      |  update_at, event_type, value,
+      |  CASE WHEN event_id % 3 = 2 THEN NULL ELSE props END AS props,
+      |  event_id,
+      |  CASE WHEN event_id % 3 = 1
+      |    THEN 'ch-' || CAST(event_id % 4 AS VARCHAR) END AS channel
+      |FROM ranked WHERE rn = 1
+      |ORDER BY id""".stripMargin
+
+  // ---------------------------------------------------------------- q122
+  /** §2.8 ingestion dedup end-to-end: the event stream delivered THREE
+    * times (an at-least-once source re-delivering every record), split
+    * across files so duplicates land in different micro-batches, then
+    * [[graft.streaming.CdcStreamIngest.dedupedStream]] reduces it to
+    * exactly-once rows with watermark-bounded state. The oracle aggregates
+    * the ORIGINAL events table — so any duplicate that survived, or any
+    * original that was wrongly dropped, shifts a count or a sum. */
+  def q122StreamDedup(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.CdcStreamIngest
+    import org.apache.spark.sql.streaming.Trigger
+    val ev = events(s, dir).select(col("event_id"), col("user_id"),
+      col("event_type"), col("value"),
+      timestamp_micros(col("ts_us")).as("event_ts"))
+    val srcDir = Files.createTempDirectory("graft_q122_src").toString
+    ev.repartition(3).write.mode("overwrite").parquet(srcDir)
+    ev.repartition(2).write.mode("append").parquet(srcDir)
+    ev.repartition(2).write.mode("append").parquet(srcDir)
+    val deduped = CdcStreamIngest.dedupedStream(
+      s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 2).parquet(srcDir),
+      Seq("event_id"), "event_ts", watermarkDelay = "3650 days")
+    val outDir = Files.createTempDirectory("graft_q122_out").toString
+    deduped.writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_q122_ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start().awaitTermination()
+    s.read.parquet(outDir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("total_value"))
+      .orderBy("event_type")
+  }
+
+  val q122StreamDedupSql: String =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
 }

@@ -743,4 +743,59 @@ object RelationalQueries {
       |FROM zv GROUP BY 1
       |ORDER BY zbucket""".stripMargin
   }
+
+  // ---------------------------------------------------------------- q121
+  /** Data-quality expectations as a pre-publication gate: five check
+    * classes (not-null, range, regex, unique key, referential) over
+    * `customer`, all row-local ones in ONE scan. The fixture data is
+    * deliberately not all-clean: negative account balances violate the
+    * range check and non-BUILDING/AUTOMOBILE segments violate the regex,
+    * so the oracle pins real non-zero counts, not a wall of zeros. */
+  def q121Expectations(s: SparkSession, dir: String): DataFrame = {
+    import graft.oracle.Expectations
+    import graft.oracle.Expectations._
+    Expectations.run(t(s, dir, "customer"), Seq(
+      NotNull("c_name"),
+      InRange("c_acctbal", 0.0, 10000.0),
+      MatchesRegex("c_mktsegment", "^(BUILDING|AUTOMOBILE)$"),
+      Unique(Seq("c_custkey")),
+      ReferencedIn("c_nationkey", t(s, dir, "nation"), "n_nationkey")))
+  }
+
+  val q121ExpectationsSql: String =
+    """WITH total AS (SELECT COUNT(*) AS n FROM customer)
+      |SELECT * FROM (
+      |  SELECT 'in_range(c_acctbal)' AS check_name,
+      |    CAST(COALESCE(SUM(CASE WHEN c_acctbal IS NOT NULL
+      |      AND (c_acctbal < 0 OR c_acctbal > 10000) THEN 1 ELSE 0 END), 0)
+      |      AS BIGINT) AS n_violations,
+      |    (SELECT n FROM total) AS n_rows
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT 'matches_regex(c_mktsegment)',
+      |    CAST(COALESCE(SUM(CASE WHEN c_mktsegment IS NOT NULL
+      |      AND NOT regexp_matches(c_mktsegment, '^(BUILDING|AUTOMOBILE)$')
+      |      THEN 1 ELSE 0 END), 0) AS BIGINT),
+      |    (SELECT n FROM total)
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT 'not_null(c_name)',
+      |    CAST(COALESCE(SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END), 0)
+      |      AS BIGINT),
+      |    (SELECT n FROM total)
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT 'referenced_in(c_nationkey)',
+      |    CAST((SELECT COUNT(*) FROM customer
+      |      WHERE c_nationkey IS NOT NULL
+      |        AND c_nationkey NOT IN (SELECT n_nationkey FROM nation))
+      |      AS BIGINT),
+      |    (SELECT n FROM total)
+      |  UNION ALL
+      |  SELECT 'unique(c_custkey)',
+      |    CAST((SELECT COUNT(*) FROM customer) -
+      |      (SELECT COUNT(DISTINCT c_custkey) FROM customer) AS BIGINT),
+      |    (SELECT n FROM total)
+      |)
+      |ORDER BY check_name""".stripMargin
 }

@@ -90,19 +90,30 @@ final class KeyedLakeTable(spark: SparkSession, val spec: LakeTableSpec) {
 
   /** K2/J1/U1 — incremental keyed merge: update-if-exists-else-insert with
     * latest-wins precombine, ties resolved for the incoming row
-    * (`incremental.py:216-243`). */
-  def upsert(df: DataFrame): Unit = {
+    * (`incremental.py:216-243`).
+    *
+    * `evolveSchema = false` (default) requires the batch to carry exactly
+    * the table's columns — a renamed source column fails loudly instead of
+    * silently forking the schema. `evolveSchema = true` merges schemas the
+    * way a long-lived CDC table must when the source database gains or
+    * drops columns: batch-only columns join the table (existing rows read
+    * them as null), table-only columns null-fill the batch, and a SAME-NAME
+    * column whose type changed is always an error — silent coercion would
+    * corrupt every already-written row at its next merge. After an evolving
+    * write, untouched partitions still hold old-schema files, so [[read]]
+    * footer-merges schemas across files. */
+  def upsert(df: DataFrame, evolveSchema: Boolean = false): Unit = {
     // The batch feeds three actions (guard, touched-partition collect, the
     // merge write). Persist it so the batch SOURCE — possibly a remote
     // decompress-heavy read — is scanned once, not once per action; batches
     // are bounded, so the cache is batch-sized by the same argument as the
     // checkpoint below.
     val batch = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try upsertPersisted(batch)
+    try upsertPersisted(batch, evolveSchema)
     finally batch.unpersist(false)
   }
 
-  private def upsertPersisted(df: DataFrame): Unit = {
+  private def upsertPersisted(df: DataFrame, evolveSchema: Boolean): Unit = {
     // ONE guard pass over the batch (was two driver jobs in r2):
     //  - an empty batch is a legitimate no-op (CDC extractors emit empty
     //    files) and must not reach the write paths — an "overwrite" of
@@ -177,13 +188,36 @@ final class KeyedLakeTable(spark: SparkSession, val spec: LakeTableSpec) {
     val srcTie =
       if (tieBreak.isEmpty) Seq(col("__src").desc)
       else tieBreak.map(c => col(c).desc) :+ col("__src").desc
-    val cols = incoming.columns.filterNot(_ == "__src")
-    val merged = LakeOps.latestWinsDedup(
-      existing.withColumn("__src", lit(0)).select((cols :+ "__src").map(col): _*)
-        .unionByName(incoming.withColumn("__src", lit(1))
-          .select((cols :+ "__src").map(col): _*)),
-      recordKeys, precombine, srcTie)
-      .drop("__src")
+    // Same-name-different-type is an error in BOTH modes: evolution adds
+    // and omits columns, it never reinterprets one.
+    val exTypes = existing.schema.map(f => f.name -> f.dataType).toMap
+    val typeConflicts = incoming.schema
+      .filter(f => exTypes.get(f.name).exists(_ != f.dataType))
+      .map(f => s"${f.name}: table=${exTypes(f.name).sql} batch=${f.dataType.sql}")
+    require(typeConflicts.isEmpty,
+      s"KeyedLakeTable($path): column type changed between table and " +
+        s"batch — ${typeConflicts.mkString("; ")}. Schema evolution " +
+        "adds/omits columns; a type change needs an explicit migration.")
+    val merged = (if (evolveSchema) {
+      LakeOps.latestWinsDedup(
+        existing.withColumn("__src", lit(0))
+          .unionByName(incoming.withColumn("__src", lit(1)),
+            allowMissingColumns = true),
+        recordKeys, precombine, srcTie)
+    } else {
+      val missing = existing.columns.toSet.diff(incoming.columns.toSet) ++
+        incoming.columns.toSet.diff(existing.columns.toSet)
+      require(missing.isEmpty,
+        s"KeyedLakeTable($path): batch columns differ from the table's " +
+          s"(${missing.mkString(", ")}) — pass evolveSchema=true if this " +
+          "is a deliberate source schema change")
+      val cols = incoming.columns.filterNot(_ == "__src")
+      LakeOps.latestWinsDedup(
+        existing.withColumn("__src", lit(0)).select((cols :+ "__src").map(col): _*)
+          .unionByName(incoming.withColumn("__src", lit(1))
+            .select((cols :+ "__src").map(col): _*)),
+        recordKeys, precombine, srcTie)
+    }).drop("__src")
 
     // The merged frame reads from `path`; truncate lineage before the
     // dynamic partition overwrite of the same path (Spark refuses a write
@@ -217,7 +251,14 @@ final class KeyedLakeTable(spark: SparkSession, val spec: LakeTableSpec) {
     }
   }
 
-  def read(): DataFrame = normalizeParts(spark.read.parquet(path))
+  /** Footer-merged read: after a schema-evolving upsert, partitions the
+    * evolving batch never touched still hold old-schema files, and a
+    * sample-one-footer read would drop the new columns. `mergeSchema`
+    * reconciles footers in a distributed job — O(files) metadata, no data
+    * scan — which is the price of evolution until a compaction pass
+    * rewrites old partitions to the current schema. */
+  def read(): DataFrame =
+    normalizeParts(spark.read.option("mergeSchema", "true").parquet(path))
 
   /** Hive-sync analog (`initial_load.py:168-174`): make the table queryable
     * through `spark.sql` for this session. */

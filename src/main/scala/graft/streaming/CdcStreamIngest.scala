@@ -63,6 +63,24 @@ object CdcStreamIngest {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"))
 
+  /** §2.8 ingestion dedup: at-least-once upstream delivery (stream-consumer
+    * retries re-deliver records — the reference's Lambda consumer is
+    * explicitly retried on failure) reduced to exactly-once rows with
+    * BOUNDED state. A duplicate is recognized for as long as its event
+    * time is within `watermarkDelay` of the stream's max event time;
+    * older dedup state is evicted (and rows behind the watermark are
+    * dropped as late), which is what keeps the state store finite on an
+    * unbounded stream — the Spark-native `dropDuplicatesWithinWatermark`
+    * operator, surfaced here as the ingest-side twin of the sink's keyed
+    * latest-wins merge (which stays the layer that makes REPLAYED batches
+    * idempotent; this layer makes RE-DELIVERED records unique). */
+  def dedupedStream(stream: DataFrame, idCols: Seq[String], tsCol: String,
+      watermarkDelay: String): DataFrame = {
+    require(idCols.nonEmpty, "dedupedStream: need at least one id column")
+    stream.withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(idCols)
+  }
+
   /** A keyed CDC record for the stateful streaming variant. */
   final case class KeyedEvent(id: String, update_at: String, payload: String)
 

@@ -194,4 +194,72 @@ class KeyedLakeTableSpec extends AnyFunSuite with SparkSpec {
     val corrupted = table.read().limit(table.read().count().toInt - 1)
     assert(!CompareTables.compare(source, corrupted).isEqual)
   }
+
+  test("strict upsert rejects a batch whose columns differ from the table's") {
+    val log = Workload.generate(seed = 60, n = 120)
+    val table = newTable()
+    table.overwrite(log.txns.take(60).toDF())
+    val extra = log.txns.drop(60).toDF()
+      .withColumn("channel", org.apache.spark.sql.functions.lit("web"))
+    val e = intercept[IllegalArgumentException](table.upsert(extra))
+    assert(e.getMessage.contains("evolveSchema"), e.getMessage)
+  }
+
+  test("evolveSchema adds a batch-only column; old rows read it as null") {
+    val log = Workload.generate(seed = 61, n = 200)
+    val table = newTable()
+    val (first, second) = log.txns.splitAt(100)
+    table.overwrite(first.toDF())
+    val evolved = second.toDF()
+      .withColumn("channel", org.apache.spark.sql.functions.lit("web"))
+    table.upsert(evolved, evolveSchema = true)
+    val out = table.read()
+    assert(out.columns.contains("channel"))
+    val expected = Workload.expectedTxnState(log).toSet
+    assert(asState(out.drop("channel")) === expected)
+    // exactly the keys whose WINNING version came from the evolved batch
+    // carry the channel value; everything else is null
+    val secondIds = second.map(_.id).toSet
+    val winners = expected.filter(t => secondIds.contains(t.id))
+      .filter(t => second.exists(s => s.id == t.id && s.update_at == t.update_at))
+      .map(_.id)
+    val channelled = out.filter($"channel".isNotNull)
+      .select($"id").as[String].collect().toSet
+    assert(channelled === winners)
+  }
+
+  test("evolveSchema null-fills a batch missing a table column") {
+    val log = Workload.generate(seed = 62, n = 150)
+    val table = newTable()
+    val (first, second) = log.txns.splitAt(100)
+    table.overwrite(first.toDF())
+    table.upsert(second.toDF().drop("note"), evolveSchema = true)
+    val out = table.read()
+    assert(out.columns.contains("note"))
+    val expected = Workload.expectedTxnState(log).toSet
+    // winners from the evolved batch have null note; the rest keep theirs
+    val fromSecond = out.filter($"note".isNull).select($"id").as[String]
+      .collect().toSet
+    val secondWinners = expected
+      .filter(t => second.exists(s => s.id == t.id && s.update_at == t.update_at))
+      .map(_.id)
+    assert(fromSecond === secondWinners)
+    // data columns other than the evolved one are merge-correct
+    val got = out.select($"id", $"update_at", $"amount")
+      .as[(String, String, Int)].collect().toSet
+    assert(got === expected.map(t => (t.id, t.update_at, t.amount)))
+  }
+
+  test("a same-name type change is always a loud error, even when evolving") {
+    val log = Workload.generate(seed = 63, n = 80)
+    val table = newTable()
+    table.overwrite(log.txns.take(40).toDF())
+    val retyped = log.txns.drop(40).toDF()
+      .withColumn("amount", $"amount".cast("string"))
+    val e1 = intercept[IllegalArgumentException](table.upsert(retyped))
+    assert(e1.getMessage.contains("type changed"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      table.upsert(retyped, evolveSchema = true))
+    assert(e2.getMessage.contains("type changed"), e2.getMessage)
+  }
 }

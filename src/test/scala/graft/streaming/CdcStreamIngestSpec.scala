@@ -117,20 +117,26 @@ class CdcStreamIngestSpec extends AnyFunSuite with SparkSpec {
     val srcDir = tmpDir("dd-src")
     val ckpt = tmpDir("dd-ckpt")
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
-    Seq(("e1", ts("2024-01-01 10:00:00"), 1.0), ("e2", ts("2024-01-01 10:00:30"), 2.0),
-      ("e1", ts("2024-01-01 10:00:00"), 1.0)) // re-delivered duplicate
+    // file 1: originals; file 2: a re-delivery of e1 — with one file per
+    // trigger the duplicate arrives in a LATER micro-batch, so the dedup
+    // state must survive across batches to catch it
+    Seq(("e1", ts("2024-01-01 10:00:00"), 1.0), ("e2", ts("2024-01-01 10:00:30"), 2.0))
+      .toDF("id", "event_ts", "value")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    Seq(("e1", ts("2024-01-01 10:00:00"), 1.0), ("e3", ts("2024-01-01 10:01:00"), 3.0))
       .toDF("id", "event_ts", "value")
       .coalesce(1).write.mode("append").parquet(srcDir)
     val schema = Seq(("x", ts("2024-01-01 00:00:00"), 0.0))
       .toDF("id", "event_ts", "value").schema
     val got = scala.collection.mutable.ArrayBuffer.empty[String]
-    val stream = spark.readStream.schema(schema).parquet(srcDir)
-      .withWatermark("event_ts", "10 minutes")
-      .dropDuplicatesWithinWatermark("id")
+    val stream = CdcStreamIngest.dedupedStream(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir),
+      Seq("id"), "event_ts", "10 minutes")
     CdcStreamIngest.runCollect(stream, ckpt) { rows =>
       got ++= rows.map(_.getString(0))
     }
-    assert(got.sorted === Seq("e1", "e2"))
+    assert(got.sorted === Seq("e1", "e2", "e3"))
   }
 
   test("partitioned JSON-lines landing sink writes minute-partition dirs (K3)") {
