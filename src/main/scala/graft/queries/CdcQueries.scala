@@ -1158,4 +1158,99 @@ object CdcQueries {
       |FROM events
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q123
+  /** Change data feed: each keyed merge also emits its per-key changelog
+    * (insert / update / noop with before+after images,
+    * [[graft.sink.KeyedLakeTable.upsertChanges]]). The oracle re-derives
+    * every batch's classification from the raw stream — the batch winner
+    * per key compared against the best version in all EARLIER batches —
+    * so a misclassified or missing feed row shifts a count or a sum.
+    * The (precombine, tieBreak) order is flattened to one sortable string
+    * (fixed-width timestamp ++ zero-padded id) portably on both sides. */
+  def q123ChangeFeed(s: SparkSession, dir: String): DataFrame = {
+    val cdc = cdcView(s, dir)
+    val table = new KeyedLakeTable(s, LakeTableSpec(
+      Files.createTempDirectory("graft_q123_lake").toString,
+      recordKeys = Seq("id"), precombine = "update_at",
+      partitionSource = "create_at", tieBreak = Seq("event_id")))
+    val bucket = pmod(col("event_id"), lit(3))
+    (0 until 3).map { b =>
+        table.upsertChanges(cdc.filter(bucket === b))
+          .withColumn("batch", lit(b.toLong))
+      }
+      .reduce(_ unionByName _)
+      .groupBy(col("batch"), col("change_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("new_image").getField("value").cast("decimal(12,2)"))
+          .cast("double").as("new_total"))
+      .orderBy("batch", "change_type")
+  }
+
+  val q123ChangeFeedSql: String =
+    s"""WITH cdc AS ($cdcViewSql),
+      |b AS (
+      |  SELECT id, update_at, event_id, value, event_id % 3 AS batch,
+      |    update_at || '#' || lpad(CAST(event_id AS VARCHAR), 12, '0') AS ord
+      |  FROM cdc),
+      |w AS (
+      |  SELECT *, row_number() OVER (PARTITION BY id, batch ORDER BY ord DESC) AS rn
+      |  FROM b),
+      |iw AS (SELECT * FROM w WHERE rn = 1),
+      |pv AS (
+      |  SELECT i.id, i.batch, MAX(p.ord) AS pmax
+      |  FROM iw i JOIN b p ON p.id = i.id AND p.batch < i.batch
+      |  GROUP BY i.id, i.batch),
+      |cls AS (
+      |  SELECT i.batch,
+      |    CASE WHEN pv.pmax IS NULL THEN 'insert'
+      |         WHEN i.ord > pv.pmax THEN 'update'
+      |         ELSE 'noop' END AS change_type,
+      |    i.value
+      |  FROM iw i LEFT JOIN pv ON pv.id = i.id AND pv.batch = i.batch)
+      |SELECT CAST(batch AS BIGINT) AS batch, change_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS new_total
+      |FROM cls
+      |GROUP BY 1, 2
+      |ORDER BY batch, change_type""".stripMargin
+
+  // ---------------------------------------------------------------- q124
+  /** Incremental aggregate maintenance: a per-event_type SUM/COUNT state
+    * advanced batch-by-batch from the q123 change feed — the base table is
+    * never rescanned, updates RETRACT the replaced version's contribution
+    * (and can move a key between groups, since event_type changes across
+    * versions of a user). The oracle recomputes the aggregate from scratch
+    * over the final latest-wins state, so any drift in the retraction
+    * arithmetic — a missed noop, a double-applied update, a stale group
+    * row — breaks the hash. */
+  def q124IncrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    val cdc = cdcView(s, dir)
+    val table = new KeyedLakeTable(s, LakeTableSpec(
+      Files.createTempDirectory("graft_q124_lake").toString,
+      recordKeys = Seq("id"), precombine = "update_at",
+      partitionSource = "create_at", tieBreak = Seq("event_id")))
+    val bucket = pmod(col("event_id"), lit(3))
+    var state = graft.ops.IncrementalAgg.emptyState(s,
+      org.apache.spark.sql.types.StringType)
+    (0 until 3).foreach { b =>
+      val changes = table.upsertChanges(cdc.filter(bucket === b))
+      state = graft.ops.IncrementalAgg
+        .applyDelta(state, changes, "event_type", "value")
+        .localCheckpoint(true)
+    }
+    state.select(col("group").as("event_type"), col("n_rows"),
+      col("total").cast("double").as("total_value"))
+      .orderBy("event_type")
+  }
+
+  val q124IncrementalAggSql: String =
+    s"""WITH cdc AS ($cdcViewSql),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY update_at DESC, event_id DESC) AS rn
+      |  FROM cdc)
+      |SELECT event_type, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      |FROM ranked WHERE rn = 1
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
 }

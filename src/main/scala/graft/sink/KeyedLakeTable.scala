@@ -1,6 +1,6 @@
 package graft.sink
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ops.LakeOps
@@ -109,11 +109,65 @@ final class KeyedLakeTable(spark: SparkSession, val spec: LakeTableSpec) {
     // are bounded, so the cache is batch-sized by the same argument as the
     // checkpoint below.
     val batch = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try upsertPersisted(batch, evolveSchema)
+    try { upsertPersisted(batch, evolveSchema, withChanges = false); () }
     finally batch.unpersist(false)
   }
 
-  private def upsertPersisted(df: DataFrame, evolveSchema: Boolean): Unit = {
+  /** [[upsert]] that also RETURNS the merge's change feed: one row per
+    * batch key with `change_type` ∈ insert | update | noop, the replaced
+    * row as `old_image` (null on insert) and the batch's winning version
+    * as `new_image`. `noop` = the table already held a version at or past
+    * the batch's (a replayed or late batch) — the write changed nothing
+    * for that key.
+    *
+    * The feed is what downstream INCREMENTAL consumers need: an exact
+    * retraction stream (−old, +new) that maintains aggregates without
+    * rescanning the table ([[graft.ops.IncrementalAgg]]). Cost: one extra
+    * key-join of the batch against the SAME pruned touched-partition read
+    * the merge itself does — O(batch), never O(table) — and the returned
+    * frame is eagerly materialized (batch-bounded) so it stays valid after
+    * the overwrite rewrites the partitions it was computed from.
+    *
+    * Images carry the columns the table and batch SHARE (under
+    * `evolveSchema` a batch-only column is absent from `old_image`, a
+    * dropped one from `new_image`). */
+  def upsertChanges(df: DataFrame, evolveSchema: Boolean = false): DataFrame = {
+    val batch = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try upsertPersisted(batch, evolveSchema, withChanges = true).get
+    finally batch.unpersist(false)
+  }
+
+  /** Changelog of merging `incoming` (one row per key) into `existing`
+    * (one row per key; empty on bootstrap). Mirrors the merge's win rule:
+    * strictly-newer (precombine, tieBreak) wins; an exact tie goes to the
+    * incoming row only when no tieBreak is configured (the Hudi
+    * incoming-wins tie), and a tied-or-older batch version is a noop. */
+  private def changelog(existing: DataFrame, incoming: DataFrame): DataFrame = {
+    val shared = incoming.columns.filter(existing.columns.contains)
+      .filterNot(recordKeys.contains)
+    val ordCols = precombine +: tieBreak
+    def image(d: DataFrame, cols: Seq[String]) =
+      d.select(recordKeys.map(col) :+
+        struct(cols.map(col): _*).as("__img"): _*)
+    val newImgCols = incoming.columns.filterNot(recordKeys.contains)
+    val oldSide = image(existing, shared)
+      .withColumnRenamed("__img", "old_image")
+    val newSide = image(incoming, newImgCols.toSeq)
+      .withColumnRenamed("__img", "new_image")
+    def ord(img: Column) = struct(ordCols.map(c => img.getField(c)): _*)
+    val newer = ord(col("new_image")) > ord(col("old_image"))
+    val tied = ord(col("new_image")) === ord(col("old_image"))
+    newSide.join(oldSide, recordKeys.toSeq, "left")
+      .withColumn("change_type",
+        when(col("old_image").isNull, lit("insert"))
+          .when(newer || (tied && lit(tieBreak.isEmpty)), lit("update"))
+          .otherwise(lit("noop")))
+      .select(recordKeys.map(col) :+ col("change_type") :+
+        col("old_image") :+ col("new_image"): _*)
+  }
+
+  private def upsertPersisted(df: DataFrame, evolveSchema: Boolean,
+      withChanges: Boolean): Option[DataFrame] = {
     // ONE guard pass over the batch (was two driver jobs in r2):
     //  - an empty batch is a legitimate no-op (CDC extractors emit empty
     //    files) and must not reach the write paths — an "overwrite" of
@@ -131,7 +185,16 @@ final class KeyedLakeTable(spark: SparkSession, val spec: LakeTableSpec) {
       .agg(countDistinct(col(partitionSource)).as("__n"))
       .agg(count(lit(1)).as("__keys"), coalesce(max(col("__n")), lit(0L)).as("__maxn"))
       .head()
-    if (guard.getLong(0) == 0L) return // empty batch
+    // changelog for the degenerate paths: vs an empty "existing" side,
+    // every batch winner is an insert (vacuously empty for empty batches)
+    def bootstrapChanges(): Option[DataFrame] =
+      if (!withChanges) None
+      else {
+        val inc = prep(df)
+        Some(changelog(inc.limit(0), inc).localCheckpoint(true))
+      }
+
+    if (guard.getLong(0) == 0L) return bootstrapChanges() // empty batch
     if (guard.getLong(1) > 1L) {
       // failure path only: one extra pass to name a violating key in the
       // error (ADVICE r3 — the folded guard had stopped reporting it),
@@ -150,14 +213,14 @@ final class KeyedLakeTable(spark: SparkSession, val spec: LakeTableSpec) {
           "must be immutable per key")
     }
 
-    if (!exists) { overwrite(df); return }
+    if (!exists) { overwrite(df); return bootstrapChanges() }
 
     val incoming = prep(df)
 
     // Partition pruning: collect the partition tuples the batch touches
     // (bounded by batch row count; in practice a handful of minutes).
     val touched = incoming.select(partCols.map(col): _*).distinct().collect()
-    if (touched.isEmpty) return
+    if (touched.isEmpty) return bootstrapChanges()
 
     // Read only the touched partitions of the existing table. The filter
     // must reference the RAW partition columns (whatever type Spark's
@@ -219,6 +282,12 @@ final class KeyedLakeTable(spark: SparkSession, val spec: LakeTableSpec) {
         recordKeys, precombine, srcTie)
     }).drop("__src")
 
+    // The change feed must be computed (and materialized — it reads the
+    // partitions the write below replaces) BEFORE the overwrite.
+    val changes =
+      if (withChanges) Some(changelog(existing, incoming).localCheckpoint(true))
+      else None
+
     // The merged frame reads from `path`; truncate lineage before the
     // dynamic partition overwrite of the same path (Spark refuses a write
     // whose plan still scans the destination). Touched partitions are
@@ -236,6 +305,7 @@ final class KeyedLakeTable(spark: SparkSession, val spec: LakeTableSpec) {
       case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
+    changes
   }
 
   /** Normalize partition columns to the zero-padded strings the partition
