@@ -1253,4 +1253,54 @@ object CdcQueries {
       |FROM ranked WHERE rn = 1
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q125
+  /** Time travel through the commit log: three CDC batches become three
+    * immutable snapshots of a [[graft.sink.VersionedLakeTable]], and the
+    * query reads ALL of them back — version v's rows must equal the
+    * latest-wins state over the first v+1 batches, which the oracle
+    * recomputes per version from the raw stream. A merge that edited an
+    * old file, a manifest that dropped a carried-forward partition, or a
+    * wrong win-rule at any version breaks the corresponding slice. */
+  def q125TimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val cdc = cdcView(s, dir)
+    val table = new graft.sink.VersionedLakeTable(s, LakeTableSpec(
+      Files.createTempDirectory("graft_q125_lake").toString,
+      recordKeys = Seq("id"), precombine = "update_at",
+      partitionSource = "create_at", tieBreak = Seq("event_id")))
+    val bucket = pmod(col("event_id"), lit(3))
+    (0 until 3).foreach(b => table.upsert(cdc.filter(bucket === b)))
+    (0 until 3).map { v =>
+        table.read(Some(v)).withColumn("version", lit(v.toLong))
+      }
+      .reduce(_ unionByName _)
+      .select(
+        col("version"), col("id"), col("create_year"), col("create_month"),
+        col("create_day"), col("create_hour"), col("create_minute"),
+        col("update_at"), col("event_type"), col("value"), col("props"),
+        col("event_id"))
+      .orderBy("version", "id")
+  }
+
+  val q125TimeTravelSql: String = {
+    def slice(v: Int): String =
+      s"""SELECT CAST($v AS BIGINT) AS version, id,
+        |  substring(create_at, 1, 4) AS create_year,
+        |  substring(create_at, 6, 2) AS create_month,
+        |  substring(create_at, 9, 2) AS create_day,
+        |  substring(create_at, 12, 2) AS create_hour,
+        |  substring(create_at, 15, 2) AS create_minute,
+        |  update_at, event_type, value, props, event_id
+        |FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY update_at DESC, event_id DESC) AS rn
+        |  FROM cdc WHERE event_id % 3 <= $v)
+        |WHERE rn = 1""".stripMargin
+    s"""WITH cdc AS ($cdcViewSql)
+      |${slice(0)}
+      |UNION ALL
+      |${slice(1)}
+      |UNION ALL
+      |${slice(2)}
+      |ORDER BY version, id""".stripMargin
+  }
 }
