@@ -214,6 +214,27 @@ final class VersionedLakeTable(spark: SparkSession, val spec: LakeTableSpec) {
       target.partitions))
   }
 
+  /** Rewrite the CURRENT snapshot wholesale under one fresh version dir
+    * and commit it. A long-lived table's snapshot comes to span many
+    * version dirs (one parquet scan each at read time — the documented
+    * plan-growth caveat) and many small files; this collapses both to one
+    * scan and one file per partition. Old snapshots stay readable until
+    * vacuumed; a vacuum AFTER a compaction reclaims everything the
+    * compacted snapshot superseded. Cost: one full read+write of the
+    * LIVE table — the same pay-once economics as [[Compaction.compact]],
+    * but driven by the manifest, so it is also the schema-current rewrite
+    * that retires old-schema files. */
+  def compactSnapshot(): Int = {
+    val cur = latestVersion.getOrElse(throw new IllegalStateException(
+      s"VersionedLakeTable($path): nothing to compact — no commits"))
+    val nextV = cur + 1
+    val outDir = s"$path/data/$nextV"
+    read(Some(cur)).repartition(partCols.map(col): _*)
+      .write.partitionBy(partCols: _*).parquet(outDir)
+    val written = listWritten(Paths.get(outDir), nextV)
+    commit(CommitManifest(nextV, java.time.Instant.now().toString, written))
+  }
+
   /** Drop snapshots before `keepFrom` and delete every data file no
     * remaining snapshot references. Returns deleted file count. */
   def vacuumBefore(keepFrom: Int): Int = {

@@ -63,6 +63,26 @@ object CdcStreamIngest {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"))
 
+  /** Drain the stream into a VERSIONED lake table: each non-empty
+    * micro-batch commits one snapshot, so the stream's whole history is
+    * time-travelable ([[graft.sink.VersionedLakeTable.read]] at any batch
+    * boundary) and a bad deployment window is one `rollback` away —
+    * the commit timeline the reference gets from Hudi under its streaming
+    * writers. Idempotence note: replaying a checkpointed micro-batch
+    * re-runs the same latest-wins merge (a no-change merge still commits
+    * a version, which is harmless and vacuumable). */
+  def toVersionedTable(stream: DataFrame, table: graft.sink.VersionedLakeTable,
+      checkpointDir: String): Unit = {
+    val query = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) { table.upsert(batch); () }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+  }
+
   /** §2.8 ingestion dedup: at-least-once upstream delivery (stream-consumer
     * retries re-deliver records — the reference's Lambda consumer is
     * explicitly retried on failure) reduced to exactly-once rows with

@@ -80,6 +80,25 @@ class VersionedLakeTableSpec extends AnyFunSuite with SparkSpec {
     intercept[IllegalArgumentException](table.vacuumBefore(99))
   }
 
+  test("compactSnapshot collapses the snapshot to one version dir, state intact") {
+    val log = Workload.generate(seed = 36, n = 300)
+    val table = newTable()
+    log.txns.grouped(100).foreach(b => table.upsert(b.toDF()))
+    val before = state(table.read())
+    val v = table.compactSnapshot()
+    assert(v === 3)
+    assert(state(table.read()) === before)
+    // the compacted snapshot references ONLY data/3 files
+    val manifestText = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(table.spec.path, "_commits", "00000003.json"))
+    assert(!manifestText.contains("data/0/") &&
+      !manifestText.contains("data/1/") && !manifestText.contains("data/2/"))
+    // vacuum after compaction reclaims every superseded file, table intact
+    val deleted = table.vacuumBefore(3)
+    assert(deleted > 0)
+    assert(state(table.read()) === before)
+  }
+
   test("empty batch commits nothing; bootstrap requires rows") {
     val table = newTable()
     intercept[IllegalStateException](

@@ -139,6 +139,26 @@ class CdcStreamIngestSpec extends AnyFunSuite with SparkSpec {
     assert(got.sorted === Seq("e1", "e2", "e3"))
   }
 
+  test("streamed micro-batches commit a time-travelable version history") {
+    val log = Workload.generate(seed = 63, n = 300)
+    val srcDir = tmpDir("vstream-src")
+    val df = log.txns.toDF()
+    df.repartition(3).write.mode("overwrite").parquet(srcDir)
+    val table = new graft.sink.VersionedLakeTable(spark, graft.sink.LakeTableSpec(
+      tmpDir("vstream-lake"), recordKeys = Seq("id"), precombine = "update_at",
+      partitionSource = "create_at"))
+    val stream = CdcStreamIngest.fileStream(spark, srcDir, df.schema,
+      maxFilesPerTrigger = 1)
+    CdcStreamIngest.toVersionedTable(stream, table, tmpDir("vstream-ckpt"))
+    // one commit per micro-batch, final state == one-shot merge state
+    assert(table.versions.length === 3)
+    val got = LakeOps.normalizeForCompare(table.read())
+      .as[Workload.Txn].collect().toSet
+    assert(got === Workload.expectedTxnState(log).toSet)
+    // and every intermediate snapshot is still readable
+    assert(table.read(Some(0)).count() > 0)
+  }
+
   test("partitioned JSON-lines landing sink writes minute-partition dirs (K3)") {
     val srcDir = tmpDir("json-src")
     val outDir = tmpDir("json-out")
