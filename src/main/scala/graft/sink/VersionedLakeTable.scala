@@ -91,15 +91,35 @@ final class VersionedLakeTable(spark: SparkSession, val spec: LakeTableSpec) {
     * the manifest; each referenced version dir is one parquet scan with
     * its own basePath (partition columns come from the dir names), unioned
     * and normalized. */
-  def read(version: Option[Int] = None): DataFrame = {
+  def read(version: Option[Int] = None): DataFrame =
+    readWhere(version, _ => true)
+
+  /** [[read]] with MANIFEST-LEVEL partition pruning: `keep` sees each
+    * partition's column→value map (zero-padded directory strings) and only
+    * the surviving partitions' files reach the scan at all. This is the
+    * pruning a manifest exists to give — a predicate Spark could only
+    * apply after listing every referenced file is applied here to
+    * O(partitions) metadata, so a one-day read of a year-long table builds
+    * a one-day file list. Predicates over non-partition columns still
+    * belong in a normal `.filter` on the result. */
+  def readWhere(version: Option[Int],
+      keep: Map[String, String] => Boolean): DataFrame = {
     val v = version.orElse(latestVersion).getOrElse(
       throw new IllegalStateException(
         s"VersionedLakeTable($path): no commits yet"))
     val m = manifest(v)
-    val byVersionDir = m.partitions.values.flatten.toSeq
+    val kept = m.partitions.filter { case (rel, _) =>
+      keep(rel.split('/').map { seg =>
+        val Array(c, value) = seg.split("=", 2)
+        c -> value
+      }.toMap)
+    }
+    require(kept.nonEmpty,
+      s"VersionedLakeTable($path): partition predicate pruned commit $v " +
+        "to nothing — an empty snapshot slice is almost always a predicate " +
+        "bug (values are the zero-padded partition strings)")
+    val byVersionDir = kept.values.flatten.toSeq
       .groupBy(f => f.split('/').take(2).mkString("/")) // data/<n>
-    require(byVersionDir.nonEmpty,
-      s"VersionedLakeTable($path): commit $v references no files")
     byVersionDir.toSeq.sortBy(_._1)
       .map { case (vdir, files) =>
         spark.read.option("basePath", s"$path/$vdir")

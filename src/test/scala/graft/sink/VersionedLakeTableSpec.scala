@@ -80,6 +80,31 @@ class VersionedLakeTableSpec extends AnyFunSuite with SparkSpec {
     intercept[IllegalArgumentException](table.vacuumBefore(99))
   }
 
+  test("readWhere prunes at the manifest: only kept partitions' files are scanned") {
+    val log = Workload.generate(seed = 37, n = 300)
+    val table = newTable()
+    log.txns.grouped(150).foreach(b => table.upsert(b.toDF()))
+    val minutes = table.read().select($"create_minute").distinct()
+      .as[String].collect().sorted
+    assert(minutes.length > 1)
+    val pick = minutes.head
+    val pruned = table.readWhere(None, p => p("create_minute") == pick)
+    // row-correct vs the post-scan filter…
+    val expected = state(table.read().filter($"create_minute" === pick))
+    assert(state(pruned) === expected)
+    // …and the SCAN itself only lists the kept partition's files: every
+    // input file path carries the picked minute dir
+    val inputs = pruned.queryExecution.executedPlan.collectLeaves()
+      .flatMap(_.toString.linesIterator).mkString("\n")
+    val scanned = pruned.inputFiles
+    assert(scanned.nonEmpty)
+    assert(scanned.forall(_.contains(s"create_minute=$pick")),
+      s"scan listed foreign partitions:\n${scanned.mkString("\n")}\n$inputs")
+    // a predicate that prunes everything fails loudly, not silently-empty
+    intercept[IllegalArgumentException](
+      table.readWhere(None, _ => false))
+  }
+
   test("compactSnapshot collapses the snapshot to one version dir, state intact") {
     val log = Workload.generate(seed = 36, n = 300)
     val table = newTable()
