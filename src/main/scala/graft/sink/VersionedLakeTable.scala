@@ -284,6 +284,11 @@ final class VersionedLakeTable(spark: SparkSession, val spec: LakeTableSpec) {
     deleted
   }
 
+  /** Hive-sync analog for a snapshot: expose `read(version)` through
+    * `spark.sql` for this session — `AS OF` queries by view name. */
+  def registerAs(name: String, version: Option[Int] = None): Unit =
+    read(version).createOrReplaceTempView(name)
+
   private def normalizeParts(df: DataFrame): DataFrame = {
     val widths = Map("create_year" -> 4).withDefaultValue(2)
     partCols.foldLeft(df) { (d, c) =>

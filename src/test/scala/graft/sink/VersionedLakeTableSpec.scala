@@ -37,6 +37,13 @@ class VersionedLakeTableSpec extends AnyFunSuite with SparkSpec {
     }
     // default read = latest
     assert(state(table.read()) === expectedAfter(log, 100, 3))
+    // SQL surface: a snapshot registers as a queryable view (AS OF analog)
+    table.registerAs("txns_v0", Some(0))
+    table.registerAs("txns_latest")
+    assert(spark.sql("SELECT COUNT(*) FROM txns_v0").head().getLong(0) ===
+      expectedAfter(log, 100, 1).size.toLong)
+    assert(spark.sql("SELECT COUNT(*) FROM txns_latest").head().getLong(0) ===
+      expectedAfter(log, 100, 3).size.toLong)
   }
 
   test("a merge writes only touched partitions; old files are shared forward") {
