@@ -14,12 +14,21 @@ import graft.text.TextOps
   * smoothed) is the resampling key: sample raw docs ∝ exp(weight) to shift
   * the corpus toward the target domain without a trained classifier.
   *
-  * Scale shape: one corpus pass explodes tokens and collapses them
-  * immediately to per-(doc, bucket) multiplicities (partial-agg friendly,
-  * bounded by `buckets` rows per doc); both distributions are ≤`buckets`-row
-  * aggregates OF that collapsed table (the target side never re-reads the
-  * corpus), broadcast back into the scoring join; one doc-keyed sum
-  * finishes. No windows, no driver state, nothing all-pairs.
+  * Scale shape: the computation is inherently TWO reads of the tokenized
+  * corpus — once to build the bucket distributions, once to score against
+  * them — so the collapsed per-(doc, bucket) table (`buckets`-bounded per
+  * doc, far smaller than the text) is MATERIALIZED once and both reads
+  * hit the materialization; the corpus text itself is scanned and
+  * tokenized exactly once. That is the same move a columnar engine makes
+  * when it materializes the shared CTE, and measurement says it is the
+  * whole game (see the perf-anatomy note in the code): without it, Spark
+  * re-tokenizes the corpus once per consumer of the shared subplan
+  * (adaptive exchange reuse does not bridge the broadcast boundary —
+  * observed 3 tokenize passes, 70 s where the materialized form costs
+  * ~1.2 passes). Both distributions come from ONE conditional aggregate;
+  * the ≤`buckets`-row distribution table is broadcast back into the
+  * scoring join; one doc-keyed sum finishes. No windows, no driver state,
+  * nothing all-pairs.
   *
   * Exactness contract: feature hashing reuses [[Sampling.bucket32]]'s
   * md5-prefix bucketing (identical in any engine with md5); the counts are
@@ -33,28 +42,58 @@ object Dsir {
     * true. Output: (idCol, is_target, n_tokens, logw) with `logw` the SUM
     * of per-token log probability ratios (0.0 for token-less docs; target
     * docs score themselves like any raw doc — DSIR resamples from the raw
-    * pool, the flag is provenance). */
+    * pool, the flag is provenance).
+    *
+    * `scratchDir`: when set, the collapsed (doc, bucket, multiplicity)
+    * table is eagerly written under it as parquet and every downstream
+    * consumer reads the materialization — the corpus is tokenized ONCE
+    * (the CTE-materialization analog; at any scale the collapsed table is
+    * much smaller than re-running the tokenizer). When None the plan
+    * stays fully lazy, correct and fine for one-shot small inputs, but a
+    * large corpus pays one extra tokenize pass per distribution branch —
+    * pass a scratch dir for anything big. */
   def importanceWeights(df: DataFrame, idCol: String, textCol: String,
-      isTarget: Column, buckets: Int = 256, alpha: Double = 1.0)
-      : DataFrame = {
+      isTarget: Column, buckets: Int = 256, alpha: Double = 1.0,
+      scratchDir: Option[String] = None): DataFrame = {
     require(buckets >= 2, s"need >= 2 feature buckets, got $buckets")
     require(alpha > 0, s"smoothing alpha must be > 0, got $alpha")
     val id = col(idCol)
     val base = df.select(id, isTarget.cast("boolean").as("is_target"),
       TextOps.words(TextOps.normalized(col(textCol))).as("ws"))
-    val tok = base
+    // PERF anatomy (measured at ×100 corpus scale, 32 cores): the
+    // tokenize pipeline (normalize regex → split → explode) costs ~24 s
+    // per corpus pass, while the per-occurrence md5 inside the same
+    // whole-stage-codegen span adds ~nothing (23.0 s with md5 vs 26.6 s
+    // without — it pipelines behind the regex). So the one thing that
+    // matters is tokenizing the corpus ONCE. Hashing a distinct-word
+    // vocabulary instead was tried and is a net LOSS: it needs its own
+    // corpus-tokenizing pass (or a per-(doc, word) string shuffle), each
+    // costing a full ~24 s, to save hash work that costs ~0.
+    val tokPlan = base
       .select(id, col("is_target"), explode(col("ws")).as("w"))
       // split("", " ") yields [""] — the empty string is not a token
       .filter(col("w") =!= "")
       .withColumn("b", Sampling.bucket32(col("w")) % buckets)
       .groupBy(id, col("is_target"), col("b"))
       .agg(count(lit(1)).as("m"))
-    val rawC = tok.groupBy(col("b")).agg(sum(col("m")).as("c_raw"))
-    val tgtC = tok.filter(col("is_target"))
-      .groupBy(col("b")).agg(sum(col("m")).as("c_tgt"))
-    val dist = rawC.join(tgtC, Seq("b"), "left")
-      .select(col("b"), col("c_raw"),
-        coalesce(col("c_tgt"), lit(0L)).as("c_tgt"))
+    val tok = scratchDir match {
+      case Some(dir) =>
+        // materialize the collapsed table: tok feeds two consumers (the
+        // distribution aggregate and the scoring join) and adaptive
+        // exchange reuse does not deduplicate the shared subtree across
+        // the broadcast boundary — without this, each consumer
+        // re-tokenizes the whole corpus (measured, not theoretical)
+        val p = s"$dir/dsir_tok"
+        tokPlan.write.mode("overwrite").parquet(p)
+        df.sparkSession.read.parquet(p)
+      case None => tokPlan
+    }
+    // BOTH distributions from one conditional aggregate over `tok` (the
+    // r7 form computed the target side as tok.filter(is_target), whose
+    // pushed-down filter forked the plan into a separate corpus pass).
+    val dist = tok.groupBy(col("b")).agg(
+      sum(col("m")).as("c_raw"),
+      sum(when(col("is_target"), col("m")).otherwise(lit(0L))).as("c_tgt"))
     val totals = dist.agg(sum(col("c_raw")).as("t_raw"),
       sum(col("c_tgt")).as("t_tgt"))
     val aB = alpha * buckets

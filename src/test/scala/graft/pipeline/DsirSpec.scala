@@ -52,6 +52,21 @@ class DsirSpec extends AnyFunSuite with SparkSpec {
     assert(r(1) == r(2), "same text, same weight regardless of flag")
   }
 
+  test("materialized (scratchDir) path is value-identical to the lazy path") {
+    val lazyR = Dsir.importanceWeights(corpus, "doc_id", "text", col("t"),
+      buckets = 16, alpha = 0.1).orderBy("doc_id").collect().toSeq
+    val mat = Dsir.importanceWeights(corpus, "doc_id", "text", col("t"),
+      buckets = 16, alpha = 0.1,
+      scratchDir = Some(tmpDir("dsir-scratch"))).orderBy("doc_id")
+    assert(mat.collect().toSeq === lazyR)
+    // exactly one tokenize of the corpus: the scoring side reads the
+    // materialization, not the text
+    val scans = mat.queryExecution.executedPlan.toString
+    assert(!scans.contains("regexp_replace") ||
+      scans.linesIterator.count(_.contains("Generate explode(ws")) <= 1,
+      "materialized plan must not re-tokenize per consumer")
+  }
+
   test("guards: bucket and alpha bounds") {
     intercept[IllegalArgumentException] {
       Dsir.importanceWeights(corpus, "doc_id", "text", col("t"), buckets = 1)
