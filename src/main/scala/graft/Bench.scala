@@ -7,8 +7,16 @@ import java.nio.file.{Files, Paths}
   * (JVM/codegen/file-index warmup), then three timed passes, reporting the
   * per-query MINIMUM (the host shows up to 7× run-to-run CPU variance; min
   * is the standard noise-robust estimator) — and the tens-of-seconds ×100
-  * scale entries once on the warmed JVM
-  * ([[SparkEntry.longBenchQueries]]: noise is <2% of their runtime).
+  * scale entries each on a FRESH SparkSession with two timed passes
+  * (min-of-2). Sharing one JVM-long session across the ×100 entries let
+  * heap + shuffle-block pressure accumulate monotonically along the
+  * sequence (q94 recorded 31 s in round 7's full run vs 4.6–6.3 s
+  * isolated; a System.gc() between entries was not enough under load), so
+  * each long entry now stops the previous SparkContext — dropping its
+  * shuffle files and block-manager state — builds a fresh one, re-runs its
+  * untimed `prepare`, and records the min of two timed passes. Codegen
+  * caches are JVM-global, so the warmup from the short-query phase
+  * carries over; min-of-2 absorbs the per-session file-index re-listing.
   * Emits a single JSON line on stdout (plus `bench_out.json` in cwd for
   * robustness against log interleaving). Queries are fully materialized
   * through the `noop` datasource so column pruning cannot fake a win.
@@ -17,20 +25,24 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .withExtensions(new graft.functions.GraftExtensions)
-      // experiment knob only — AQE stays ON by default (coalescing and
-      // skew-join matter more at real scale than its per-query planning
-      // cost at bench scale)
-      .config("spark.sql.adaptive.enabled",
-        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    def makeSession(): SparkSession = {
+      val s = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .withExtensions(new graft.functions.GraftExtensions)
+        // experiment knob only — AQE stays ON by default (coalescing and
+        // skew-join matter more at real scale than its per-query planning
+        // cost at bench scale)
+        .config("spark.sql.adaptive.enabled",
+          sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s
+    }
+    var spark = makeSession()
 
     // SPARK_GRAFT_BENCH_ONLY=q75_scale100_pricing,... — local iteration
     // filter mirroring Verify's; the driver never sets it.
@@ -46,10 +58,6 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
-    // The ×100 scale entries run tens of seconds each — scheduling noise
-    // is <2% of their runtime and they amortize their own warmup, so they
-    // get ONE timed pass (after the short-query warmup has warmed the JVM)
-    // instead of 4 runs that would quadruple the bench's wall clock.
     val (longQ, shortQ) = names.partition(SparkEntry.longBenchQueries.contains)
     // untimed ingest-side setup (e.g. bucketed table writes) so recorded
     // numbers are the steady-state read path
@@ -60,15 +68,37 @@ object Bench {
       val ts = passes.map(_(n)).filter(_ >= 0)
       n -> (if (ts.isEmpty) -1.0 else ts.min)
     }
-    val results = shortResults ++ longQ.map { n =>
-      // the ×100 entries get ONE timed pass each, so heap pressure left
-      // behind by the previous one (100×-exploded shuffle blocks awaiting
-      // GC) shows up directly in the next number — seen as q94 13.7 s in
-      // a full run vs 5.2 s alone. A forced full GC between them costs
-      // ~100 ms untimed and removes that coupling.
+    val longResults = longQ.map { n =>
+      // Isolate each ×100 entry: a fresh SparkContext drops every shuffle
+      // block and cached broadcast the previous entry left behind, and the
+      // explicit GC releases the old context's heap before timing starts.
+      spark.stop()
       System.gc()
-      n -> runOne(n)
+      spark = makeSession()
+      SparkEntry.prepare.get(n).foreach(_(spark, sfDir))
+      val ts = Seq(runOne(n), runOne(n)).filter(_ >= 0)
+      n -> (if (ts.isEmpty) -1.0 else ts.min)
     }
+    // Maintenance (write-side) entries: absolute seconds, min of two
+    // passes, each pass on a FRESH fixture (untimed build) so the timed
+    // thunk is pure maintenance work.
+    val maintResults = graft.bench.MaintenanceBench.entries
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, mk) =>
+        val ts = (1 to 2).flatMap { _ =>
+          try {
+            val thunk = mk(spark, sfDir)
+            val t0 = System.nanoTime()
+            thunk()
+            Some((System.nanoTime() - t0) / 1e9)
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            None
+          }
+        }
+        name -> (if (ts.isEmpty) -1.0 else ts.min)
+      }
+    val results = shortResults ++ longResults ++ maintResults
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

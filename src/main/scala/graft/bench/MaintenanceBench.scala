@@ -1,0 +1,137 @@
+package graft.bench
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.queries.CdcQueries
+import graft.sink.{Compaction, LakeTableSpec, VersionedLakeTable}
+
+/** Write-side maintenance benchmarks. q118–q125 pin these operators'
+  * CORRECTNESS against DuckDB oracles; the entries here record their COST
+  * as absolute seconds, in knob PAIRS so the asserted asymptotics are
+  * measured rather than argued:
+  *
+  *  - `m_compact_files_4k` vs `m_compact_files_400`: same total bytes, 10×
+  *    the file count — compaction's claim is O(compacted bytes) plus a
+  *    per-file open constant, so 10× files must cost far less than 10×.
+  *  - `m_vmerge_3x_base72` vs `m_vmerge_3x_base720`: the same three
+  *    1-partition merge batches against a 10×-more-partitions table — the
+  *    merge's claim is O(touched partitions), so the pair must be ~flat.
+  *  - `m_vread_pruned_p72` vs `m_vread_pruned_p720` (vs `m_vread_full_p720`
+  *    for contrast): a manifest-pruned 1-partition read of a 10×-bigger
+  *    table — the manifest's claim is that pruned-read cost follows the
+  *    DATA READ, not the table's partition count, so the pair must be
+  *    ~flat while the full read is not.
+  *
+  * Each entry's `(SparkSession, sfDir) => () => Unit` does its fixture
+  * build when CALLED (untimed) and returns the thunk the bench times. */
+object MaintenanceBench {
+
+  /** Synthetic keyed CDC batch spread over exactly `partitions` partition
+    * tuples: key = event id (unique), partition = key % partitions mapped
+    * onto (day, hour, minute) — constant per key, the merge contract. */
+  private def cdcRows(s: SparkSession, dir: String, partitions: Int)
+      : DataFrame = {
+    require(partitions <= 43200, s"partition scheme caps at 30d of minutes")
+    val idx = pmod(col("event_id"), lit(partitions))
+    CdcQueries.events(s, dir).select(
+      concat(lit("k-"), col("event_id").cast("string")).as("id"),
+      format_string("2024-01-%02d %02d:%02d:00.000000",
+        (idx / 1440).cast("int") + 1,
+        pmod((idx / 60).cast("int"), lit(24)),
+        pmod(idx, lit(60)).cast("int")).as("create_at"),
+      col("update_at"), col("value"))
+  }
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  /** A landing zone of `nParts` partitions holding ~`filesPerPart` files
+    * each (driven by maxRecordsPerFile over a per-partition-clustered
+    * write), with total bytes independent of the file count. */
+  private def buildZone(s: SparkSession, dir: String, nParts: Int,
+      filesPerPart: Int): String = {
+    val path = tmp(s"graft_mbench_zone_${nParts}x$filesPerPart")
+    val ev = CdcQueries.events(s, dir)
+    val rows = ev.count()
+    val rowsPerFile = math.max(1L, rows / nParts / filesPerPart)
+    ev.select(lpad(pmod(col("event_id"), lit(nParts)).cast("string"), 4, "0")
+        .as("p"),
+        col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .repartition(col("p"))
+      .write.option("maxRecordsPerFile", rowsPerFile)
+      .partitionBy("p").parquet(path)
+    path
+  }
+
+  private def vtable(s: SparkSession, path: String): VersionedLakeTable =
+    new VersionedLakeTable(s, LakeTableSpec(
+      path, recordKeys = Seq("id"), precombine = "update_at",
+      partitionSource = "create_at"))
+
+  /** Bootstrapped versioned table over `partitions` partitions; returns
+    * (table, the 1-partition update batches for the merge cycle). */
+  private def buildVersioned(s: SparkSession, dir: String, partitions: Int)
+      : (VersionedLakeTable, Seq[DataFrame]) = {
+    val table = vtable(s, tmp(s"graft_mbench_vlake_p$partitions"))
+    val base = cdcRows(s, dir, partitions)
+    table.upsert(base)
+    // three strictly-newer versions of partition 0's keys (batch = one
+    // touched partition; years bump so precombine strictly advances)
+    val batches = (2025 to 2027).map { y =>
+      base.filter(pmod(col("event_id"), lit(partitions)) === 0)
+        .withColumn("update_at",
+          concat(lit(s"$y"), substring(col("update_at"), 5, 26)))
+        .withColumn("value", col("value") + 1)
+    }
+    (table, batches)
+  }
+
+  def entries: Seq[(String, (SparkSession, String) => () => Unit)] = Seq(
+    "m_compact_files_400" -> ((s, dir) => {
+      val path = buildZone(s, dir, nParts = 40, filesPerPart = 10)
+      () => {
+        val r = Compaction.compact(s, path, Seq("p"), targetBytes = 1L << 30)
+        require(r.partitionsCompacted == 40 && r.filesAfter == 40,
+          s"zone must compact to 1 file/partition, got $r")
+      }
+    }),
+    "m_compact_files_4k" -> ((s, dir) => {
+      val path = buildZone(s, dir, nParts = 40, filesPerPart = 100)
+      () => {
+        val r = Compaction.compact(s, path, Seq("p"), targetBytes = 1L << 30)
+        require(r.partitionsCompacted == 40 && r.filesAfter == 40,
+          s"zone must compact to 1 file/partition, got $r")
+      }
+    }),
+    "m_vmerge_3x_base72" -> ((s, dir) => {
+      val (table, batches) = buildVersioned(s, dir, partitions = 72)
+      () => batches.foreach(b => table.upsert(b))
+    }),
+    "m_vmerge_3x_base720" -> ((s, dir) => {
+      val (table, batches) = buildVersioned(s, dir, partitions = 720)
+      () => batches.foreach(b => table.upsert(b))
+    }),
+    "m_vread_pruned_p72" -> ((s, dir) => {
+      val (table, _) = buildVersioned(s, dir, partitions = 72)
+      () => table
+        .readWhere(None, p => p("create_day") == "01" &&
+          p("create_hour") == "00" && p("create_minute") == "00")
+        .write.mode("overwrite").format("noop").save()
+    }),
+    "m_vread_pruned_p720" -> ((s, dir) => {
+      val (table, _) = buildVersioned(s, dir, partitions = 720)
+      () => table
+        .readWhere(None, p => p("create_day") == "01" &&
+          p("create_hour") == "00" && p("create_minute") == "00")
+        .write.mode("overwrite").format("noop").save()
+    }),
+    "m_vread_full_p720" -> ((s, dir) => {
+      val (table, _) = buildVersioned(s, dir, partitions = 720)
+      () => table.read()
+        .write.mode("overwrite").format("noop").save()
+    }),
+  )
+}
