@@ -9,13 +9,20 @@ import org.json4s.jackson.{JsonMethods, Serialization}
 
 import graft.ops.LakeOps
 
-/** One committed snapshot: the FULL partition→files map of the table at
-  * `version` (file paths relative to the table root, so the table moves
-  * wholesale). Untouched partitions carry their entries forward, so any
-  * manifest alone describes a complete, immediately-readable snapshot —
-  * no log replay. */
+/** One commit. Two kinds:
+  *  - FULL (`delta` absent/false): `partitions` is the complete
+  *    partition→files map of the snapshot — self-contained, no replay.
+  *  - DELTA (`delta = Some(true)`): `partitions` holds ONLY the
+  *    partitions this commit rewrote; each entry REPLACES that
+  *    partition's file list in the predecessor's resolved state.
+  * File paths are relative to the table root, so the table moves
+  * wholesale. Version 0, rollbacks, snapshot compactions, and every
+  * `checkpointEvery`-th commit are full checkpoints, so a reader resolves
+  * any snapshot from at most `checkpointEvery` manifest reads. */
 final case class CommitManifest(version: Int, committedAt: String,
-    partitions: Map[String, Seq[String]])
+    partitions: Map[String, Seq[String]], delta: Option[Boolean] = None) {
+  def isDelta: Boolean = delta.contains(true)
+}
 
 /** Multi-version keyed lake table: the [[KeyedLakeTable]] merge semantics
   * under a commit log, giving snapshot reads (time travel), rollback, and
@@ -32,16 +39,26 @@ final case class CommitManifest(version: Int, committedAt: String,
   * 100 TB that replaces the O(files) directory walk with an O(touched)
   * metadata read, which is precisely why real table formats exist.
   *
-  * Scale notes: a snapshot's manifest is O(partitions) JSON — far past
-  * ~10⁷ partitions you'd split it hierarchically (documented bound). A
-  * long-lived table's snapshot spans many version dirs; [[read]] issues
-  * one parquet scan per referenced version dir and unions them (plan size
-  * grows with distinct versions touched — periodic compaction through
+  * Scale notes: an upsert commits an O(touched-partitions) DELTA
+  * manifest; every `checkpointEvery`-th commit (and v0 / rollback /
+  * compaction) writes a full O(partitions) checkpoint, so at the
+  * reference's 5-level minute partitioning a year of minute-cadence
+  * commits writes ~525k-entry JSON once per `checkpointEvery` commits
+  * instead of on every one, while readers still resolve any snapshot
+  * from ≤ `checkpointEvery` manifest reads (nearest checkpoint + bounded
+  * replay). Far past ~10⁷ partitions you'd split the checkpoint
+  * hierarchically (documented bound). A long-lived table's snapshot
+  * spans many version dirs; [[read]] issues one parquet scan per
+  * referenced version dir and unions them (plan size grows with distinct
+  * versions touched — periodic compaction through
   * [[graft.sink.Compaction]]-style rewrite of old partitions into a fresh
   * commit collapses it). Manifest renames are atomic on POSIX/HDFS;
   * object stores need a conditional-put primitive instead (documented).
   */
-final class VersionedLakeTable(spark: SparkSession, val spec: LakeTableSpec) {
+final class VersionedLakeTable(spark: SparkSession, val spec: LakeTableSpec,
+    checkpointEvery: Int = 10) {
+  require(checkpointEvery >= 1,
+    s"checkpointEvery must be >= 1, got $checkpointEvery")
   import spec._
 
   private implicit val formats: Formats = DefaultFormats
@@ -76,13 +93,38 @@ final class VersionedLakeTable(spark: SparkSession, val spec: LakeTableSpec) {
     JsonMethods.parse(JFiles.readString(p)).extract[CommitManifest]
   }
 
-  private def commit(m: CommitManifest): Int = {
+  private def commit(m: CommitManifest, replace: Boolean = false): Int = {
     JFiles.createDirectories(commitsDir)
     val tmp = commitsDir.resolve(f".${m.version}%08d.json.tmp")
     JFiles.writeString(tmp, Serialization.writePretty(m))
-    JFiles.move(tmp, commitsDir.resolve(f"${m.version}%08d.json"),
-      StandardCopyOption.ATOMIC_MOVE)
+    val opts: Seq[StandardCopyOption] =
+      if (replace) Seq(StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+      else Seq(StandardCopyOption.ATOMIC_MOVE)
+    JFiles.move(tmp, commitsDir.resolve(f"${m.version}%08d.json"), opts: _*)
     m.version
+  }
+
+  /** The complete partition→files map at `v`: walk back to the nearest
+    * full checkpoint (≤ `checkpointEvery` manifest reads by construction),
+    * then replay the deltas forward — each delta entry replaces its
+    * partition's file list. */
+  private def resolved(v: Int): Map[String, Seq[String]] = {
+    val below = versions.filter(_ <= v).reverse
+    require(below.headOption.contains(v),
+      s"VersionedLakeTable($path): no commit $v — available: " +
+        s"${versions.mkString(", ")}")
+    val chain = scala.collection.mutable.ArrayBuffer.empty[CommitManifest]
+    var full = false
+    val it = below.iterator
+    while (!full && it.hasNext) {
+      val m = manifest(it.next())
+      chain += m
+      full = !m.isDelta
+    }
+    require(full, s"VersionedLakeTable($path): commit $v resolves through " +
+      "deltas with no full checkpoint beneath — corrupt or over-vacuumed log")
+    chain.reverse.foldLeft(Map.empty[String, Seq[String]])(_ ++ _.partitions)
   }
 
   // ------------------------------------------------------------ read side
@@ -107,8 +149,7 @@ final class VersionedLakeTable(spark: SparkSession, val spec: LakeTableSpec) {
     val v = version.orElse(latestVersion).getOrElse(
       throw new IllegalStateException(
         s"VersionedLakeTable($path): no commits yet"))
-    val m = manifest(v)
-    val kept = m.partitions.filter { case (rel, _) =>
+    val kept = resolved(v).filter { case (rel, _) =>
       keep(rel.split('/').map { seg =>
         val Array(c, value) = seg.split("=", 2)
         c -> value
@@ -140,12 +181,36 @@ final class VersionedLakeTable(spark: SparkSession, val spec: LakeTableSpec) {
     val guarded = df.withColumn(partitionSource,
       coalesce(col(partitionSource), raise_error(lit(
         s"VersionedLakeTable($path): null $partitionSource in batch"))))
-    val incoming = LakeOps.latestWinsDedup(
-      LakeOps.derivePartitionColumns(LakeOps.dropOp(guarded), partitionSource),
-      recordKeys, precombine, tieBreak.map(c => col(c).desc))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try upsertPrepped(incoming)
-    finally incoming.unpersist(false)
+    try {
+      // The pruned merge is only correct if a key's partitionSource never
+      // changes (same contract as KeyedLakeTable). Without this guard the
+      // in-batch dedup would SILENTLY collapse a key carrying two
+      // partition values, and a cross-batch change would leave the old
+      // row carried forward in an untouched partition — a duplicate key
+      // in every later snapshot. Enforce the checkable half (within one
+      // batch) loudly, at batch cost; cross-batch stays a documented
+      // contract, exactly as in [[KeyedLakeTable]].
+      val offender = guarded
+        .groupBy(recordKeys.map(col): _*)
+        .agg(countDistinct(col(partitionSource)).as("__n"))
+        .filter(col("__n") > 1)
+        .limit(1).collect().headOption
+      offender.foreach { r =>
+        val key = recordKeys.zipWithIndex
+          .map { case (k, i) => s"$k=${r.get(i)}" }.mkString(", ")
+        throw new IllegalArgumentException(
+          s"VersionedLakeTable($path): key ($key) carries multiple " +
+            s"$partitionSource values in one batch — a key's partition " +
+            "must be immutable (README.rst:124 contract)")
+      }
+      val incoming = LakeOps.latestWinsDedup(
+        LakeOps.derivePartitionColumns(LakeOps.dropOp(guarded), partitionSource),
+        recordKeys, precombine, tieBreak.map(c => col(c).desc))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try upsertPrepped(incoming)
+      finally incoming.unpersist(false)
+    } finally guarded.unpersist(false)
   }
 
   private def partitionRelPath(r: org.apache.spark.sql.Row): String =
@@ -155,17 +220,18 @@ final class VersionedLakeTable(spark: SparkSession, val spec: LakeTableSpec) {
   private def upsertPrepped(incoming: DataFrame): Int = {
     val touched = incoming.select(partCols.map(col): _*).distinct().collect()
       .map(partitionRelPath).toSet
-    val current = latestVersion.map(manifest)
-    val nextV = current.map(_.version + 1).getOrElse(0)
+    val curV = latestVersion
+    val nextV = curV.map(_ + 1).getOrElse(0)
     if (touched.isEmpty) // empty batch: no new version, nothing written
-      return current.map(_.version).getOrElse(
+      return curV.getOrElse(
         throw new IllegalStateException(
           s"VersionedLakeTable($path): empty bootstrap batch"))
+    val current = curV.map(resolved)
 
     val merged = current match {
       case None => incoming
-      case Some(m) =>
-        val files = m.partitions.filter { case (p, _) => touched(p) }
+      case Some(parts) =>
+        val files = parts.filter { case (p, _) => touched(p) }
           .values.flatten.toSeq
         if (files.isEmpty) incoming
         else {
@@ -192,7 +258,7 @@ final class VersionedLakeTable(spark: SparkSession, val spec: LakeTableSpec) {
     }
 
     // immutable-file contract: new state lands under data/<nextV> only
-    val outDir = s"$path/data/$nextV"
+    val outDir = prepareVersionDir(nextV)
     merged.repartition(partCols.map(col): _*)
       .write.partitionBy(partCols: _*).parquet(outDir)
 
@@ -201,9 +267,36 @@ final class VersionedLakeTable(spark: SparkSession, val spec: LakeTableSpec) {
     require(written.keySet == touched,
       s"VersionedLakeTable($path): wrote partitions ${written.keySet} " +
         s"but batch touched $touched")
-    val merged2 = current.map(_.partitions).getOrElse(Map.empty) ++ written
-    commit(CommitManifest(nextV,
-      java.time.Instant.now().toString, merged2))
+    // O(touched) delta commit; full checkpoint at v0 and every
+    // checkpointEvery-th version so reads stay bounded-replay.
+    if (current.isEmpty || nextV % checkpointEvery == 0)
+      commit(CommitManifest(nextV, java.time.Instant.now().toString,
+        current.getOrElse(Map.empty) ++ written))
+    else
+      commit(CommitManifest(nextV, java.time.Instant.now().toString,
+        written, delta = Some(true)))
+  }
+
+  /** Crash recovery for the write→commit window: a `data/<v>` dir with no
+    * `_commits/<v>.json` is debris from an attempt that died after writing
+    * data but before its atomic manifest commit — no snapshot references
+    * it, so delete it rather than wedging the next writer on
+    * path-already-exists. Returns the dir path. */
+  private def prepareVersionDir(v: Int): String = {
+    val out = Paths.get(path, "data", v.toString)
+    if (JFiles.exists(out) &&
+        !JFiles.exists(commitsDir.resolve(f"$v%08d.json"))) {
+      val s = JFiles.walk(out)
+      val doomed =
+        try {
+          val buf = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+          val it = s.iterator()
+          while (it.hasNext) buf += it.next()
+          buf.sortBy(-_.getNameCount)
+        } finally s.close()
+      doomed.foreach(JFiles.delete)
+    }
+    out.toString
   }
 
   private def listWritten(dir: java.nio.file.Path, v: Int): Map[String, Seq[String]] = {
@@ -228,10 +321,9 @@ final class VersionedLakeTable(spark: SparkSession, val spec: LakeTableSpec) {
   /** Restore the table to snapshot `v` as a NEW commit (history preserved:
     * the bad commits stay readable until vacuumed). */
   def rollback(v: Int): Int = {
-    val target = manifest(v)
+    val target = resolved(v) // full checkpoint: a rollback restarts history
     val nextV = latestVersion.get + 1
-    commit(CommitManifest(nextV, java.time.Instant.now().toString,
-      target.partitions))
+    commit(CommitManifest(nextV, java.time.Instant.now().toString, target))
   }
 
   /** Rewrite the CURRENT snapshot wholesale under one fresh version dir
@@ -248,7 +340,7 @@ final class VersionedLakeTable(spark: SparkSession, val spec: LakeTableSpec) {
     val cur = latestVersion.getOrElse(throw new IllegalStateException(
       s"VersionedLakeTable($path): nothing to compact — no commits"))
     val nextV = cur + 1
-    val outDir = s"$path/data/$nextV"
+    val outDir = prepareVersionDir(nextV)
     read(Some(cur)).repartition(partCols.map(col): _*)
       .write.partitionBy(partCols: _*).parquet(outDir)
     val written = listWritten(Paths.get(outDir), nextV)
@@ -262,7 +354,25 @@ final class VersionedLakeTable(spark: SparkSession, val spec: LakeTableSpec) {
     require(keep.nonEmpty,
       s"VersionedLakeTable($path): vacuumBefore($keepFrom) would drop " +
         "every commit")
-    val live = keep.flatMap(v => manifest(v).partitions.values.flatten).toSet
+    // A kept delta must not resolve through a manifest about to be
+    // dropped: first rewrite the oldest kept commit as a self-contained
+    // FULL checkpoint (same version, same data files — a metadata-only
+    // atomic replace). Later kept versions resolve through it unchanged.
+    val oldest = keep.head
+    if (manifest(oldest).isDelta)
+      commit(CommitManifest(oldest, manifest(oldest).committedAt,
+        resolved(oldest)), replace = true)
+    // resolve every kept snapshot with ONE forward replay over the log
+    // (delta manifests only list touched partitions — the carried-forward
+    // files of untouched partitions are just as live)
+    var running = Map.empty[String, Seq[String]]
+    val liveB = scala.collection.mutable.Set.empty[String]
+    versions.foreach { v =>
+      val m = manifest(v)
+      running = if (m.isDelta) running ++ m.partitions else m.partitions
+      if (v >= keepFrom) liveB ++= running.values.flatten
+    }
+    val live: Set[String] = liveB.toSet
     var deleted = 0
     val dataDir = Paths.get(path, "data")
     if (JFiles.isDirectory(dataDir)) {

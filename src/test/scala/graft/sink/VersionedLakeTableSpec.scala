@@ -131,6 +131,93 @@ class VersionedLakeTableSpec extends AnyFunSuite with SparkSpec {
     assert(state(table.read()) === before)
   }
 
+  private def manifestJson(table: VersionedLakeTable, v: Int): String =
+    java.nio.file.Files.readString(java.nio.file.Paths.get(
+      table.spec.path, "_commits", f"$v%08d.json"))
+
+  test("a 1-partition commit writes an O(1) delta manifest, not O(partitions)") {
+    val table = newTable()
+    // bootstrap spanning 40 distinct minute partitions, one key each
+    val boot = (0 until 40).map { i =>
+      val t = f"2024-01-01T00:$i%02d:01.000000+0000"
+      Workload.Txn(s"k$i", "a1", t, t, "fuel", i, 0, "v1")
+    }
+    table.upsert(boot.toDF()) // v0: full checkpoint
+    def partitionEntries(v: Int): List[(String, org.json4s.JValue)] =
+      (org.json4s.jackson.JsonMethods.parse(manifestJson(table, v))
+        \ "partitions").asInstanceOf[org.json4s.JObject].obj
+    assert(partitionEntries(0).size === 40, "bootstrap must span 40 partitions")
+    // one brand-new key in ONE partition (a fresh create_at minute)
+    table.upsert(Seq(Workload.Txn("solo-key", "a1",
+      "2024-01-01T00:41:01.000000+0000", "2024-01-01T00:41:01.000000+0000",
+      "fuel", 5, 0, "v1")).toDF())
+    val delta = manifestJson(table, 1)
+    assert(delta.contains("\"delta\""), "second commit must be a delta")
+    assert(partitionEntries(1).size === 1,
+      "1-partition commit must list exactly its touched partition — " +
+        s"got ${partitionEntries(1).map(_._1)}")
+    assert(delta.length < manifestJson(table, 0).length / 4,
+      "delta manifest bytes must not scale with table partitions")
+    // and the delta-resolved snapshot is complete: old + new rows
+    assert(state(table.read()).size === 41)
+  }
+
+  test("checkpoint cadence: every Nth commit is full, reads resolve everywhere") {
+    val log = Workload.generate(seed = 42, n = 500)
+    val table = new VersionedLakeTable(spark, LakeTableSpec(
+      path = tmpDir("vlake-ckpt"), recordKeys = Seq("id"),
+      precombine = "update_at", partitionSource = "create_at"),
+      checkpointEvery = 3)
+    val batches = log.txns.grouped(100).toSeq
+    batches.foreach(b => table.upsert(b.toDF()))
+    assert(manifestJson(table, 1).contains("\"delta\""), "v1 must be a delta")
+    assert(manifestJson(table, 3).contains("\"delta\"") === false,
+      "v3 (3 % checkpointEvery == 0) must be a full checkpoint")
+    assert(manifestJson(table, 4).contains("\"delta\""), "v4 must be a delta")
+    (1 to 5).foreach { k =>
+      assert(state(table.read(Some(k - 1))) === expectedAfter(log, 100, k),
+        s"snapshot ${k - 1}")
+    }
+  }
+
+  test("an orphan data dir from a crashed commit is cleared, not a wedge") {
+    val log = Workload.generate(seed = 43, n = 120)
+    val table = newTable()
+    table.upsert(log.txns.take(60).toDF())
+    // simulate a writer that died between data write and manifest commit
+    val orphan = java.nio.file.Paths.get(table.spec.path, "data", "1",
+      "create_year=2024")
+    java.nio.file.Files.createDirectories(orphan)
+    java.nio.file.Files.writeString(orphan.resolve("part-junk.parquet"), "junk")
+    val v = table.upsert(log.txns.drop(60).toDF()) // must not wedge
+    assert(v === 1)
+    assert(state(table.read()) === expectedAfter(log, 60, 2))
+  }
+
+  test("a key carrying two partitionSource values in one batch fails loudly") {
+    val table = newTable()
+    val ex = intercept[IllegalArgumentException](table.upsert(Seq(
+      Workload.Txn("k1", "a1", "2024-01-01T00:00:01.000000+0000",
+        "2024-01-01T00:00:01.000000+0000", "fuel", 5, 0, "v1"),
+      Workload.Txn("k1", "a1", "2024-01-02T00:00:01.000000+0000",
+        "2024-01-02T00:00:02.000000+0000", "fuel", 6, 0, "v2")).toDF()))
+    assert(ex.getMessage.contains("k1"))
+  }
+
+  test("vacuum keeps delta chains readable by checkpointing the oldest survivor") {
+    val log = Workload.generate(seed = 44, n = 400)
+    val table = newTable() // checkpointEvery = 10: v1..v3 are all deltas
+    log.txns.grouped(100).foreach(b => table.upsert(b.toDF()))
+    val at2 = state(table.read(Some(2)))
+    val at3 = state(table.read(Some(3)))
+    table.vacuumBefore(2) // drops v0 (the only full checkpoint) and v1
+    assert(table.versions === Seq(2, 3))
+    // v2 was rewritten as a self-contained checkpoint; v3 resolves through it
+    assert(manifestJson(table, 2).contains("\"delta\"") === false)
+    assert(state(table.read(Some(2))) === at2)
+    assert(state(table.read(Some(3))) === at3)
+  }
+
   test("empty batch commits nothing; bootstrap requires rows") {
     val table = newTable()
     intercept[IllegalStateException](
