@@ -137,6 +137,9 @@ object SparkEntry {
     "q123_change_feed"     -> (CdcQueries.q123ChangeFeed _),
     "q124_incremental_agg" -> (CdcQueries.q124IncrementalAgg _),
     "q125_time_travel"     -> (CdcQueries.q125TimeTravel _),
+    "q126_asof_hot"        -> (CdcQueries.q126AsofHot _),
+    "q127_asof_uniform"    -> (CdcQueries.q127AsofUniform _),
+    "q128_banded_capped"   -> (PipelineQueries.q128BandedCapped _),
   )
 
   /** Untimed per-query setup the bench runs before timing (ingest-side
@@ -165,7 +168,8 @@ object SparkEntry {
     "q98_span_dedup", "q99_lm_score", "q100_spandedup_scale10",
     "q104_asof_state", "q105_range_incidents", "q107_asof_scale10",
     "q111_hybrid_rrf", "q112_dsir_weights", "q114_bpe_merges",
-    "q115_dsir_scale10", "q117_dsir_scale100")
+    "q115_dsir_scale10", "q117_dsir_scale100",
+    "q126_asof_hot", "q127_asof_uniform")
 
   /** Bench entries long enough (tens of seconds — the ×100 scale pass)
     * that scheduling noise is <2% of runtime: they get one timed pass
@@ -298,5 +302,34 @@ object SparkEntry {
     "q91_curriculum_interleave" -> PipelineQueries.q91CurriculumInterleaveSql,
     "q92_image_neardup"    -> PipelineQueries.q92ImageNeardupSql,
     "q93_audio_neardup"    -> PipelineQueries.q93AudioNeardupSql,
+    "q126_asof_hot"        -> CdcQueries.q126AsofHotSql,
+    "q127_asof_uniform"    -> CdcQueries.q127AsofUniformSql,
+    "q128_banded_capped"   -> PipelineQueries.q128BandedCappedSql,
+  )
+
+  /** DECLARED oracle-less entries: queries whose semantics are not
+    * ANSI-SQL-expressible in DuckDB, each with the reason and the
+    * hash-green companion entry (or test suite) that pins its math. The
+    * driver's correctness artifact marks these `no_oracle`; this map is
+    * the machine-readable declaration that the gap is intentional, not a
+    * broken oracle — Verify dumps it as `no_oracle.json` next to
+    * `oracle_sql.json`. Every [[queries]] key must appear in exactly one
+    * of [[oracleSql]] / this map (spec-enforced). */
+  def noOracle: Map[String, String] = Map(
+    "q45_simsearch_ivf" ->
+      ("IVF ANN recall depends on trained centroids (engine-specific " +
+        "float iteration order); exactness pinned by hash-green q71 " +
+        "(recall vs the q44 brute-force oracle) and SimilaritySpec"),
+    "q50_simhash" ->
+      ("64-bit SimHash signatures hinge on engine-specific string-hash " +
+        "bit mixing; pinned by hash-green q72 (Hamming-distance " +
+        "properties vs exact Jaccard) and SimHash64Spec"),
+    "q55_simhash_neardup" ->
+      ("near-dup pairs derived from the q50 signatures (same " +
+        "engine-specific hash); pinned by hash-green q72 and DedupSpec"),
+    "q114_bpe_merges" ->
+      ("iterative BPE training (argmax + re-pair per round) is not " +
+        "single-query SQL; round-1 pair counts pinned by hash-green " +
+        "q113, full merge sequence by BpeSpec"),
   )
 }

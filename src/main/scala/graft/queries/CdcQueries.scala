@@ -33,7 +33,7 @@ object CdcQueries {
     * Dispatch on the READ schema so every vintage yields identical µs
     * longs; the NTZ cast is wall-clock-preserving because every graft
     * session pins `spark.sql.session.timeZone=UTC`. */
-  private def events(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = Tables.load(s, dir, "events")
     import org.apache.spark.sql.types.{LongType, TimestampNTZType}
@@ -1030,8 +1030,10 @@ object CdcQueries {
   /** Lake maintenance: partition retention. Builds the q20 table, then
     * [[graft.sink.Compaction.expireBefore]] drops every partition before
     * 2024-01-04 — a metadata-only directory prune, no data read. The
-    * oracle filters the same cutoff on the derived day, so the dropped
-    * set must be EXACTLY the sub-cutoff partitions. */
+    * oracle filters the same cutoff on the full (year, month, day) date
+    * prefix — matching expireBefore's lexicographic tuple exactly even if
+    * a future corpus spans multiple months — so the dropped set must be
+    * EXACTLY the sub-cutoff partitions. */
   def q119Retention(s: SparkSession, dir: String): DataFrame = {
     val cdc = cdcView(s, dir)
     val path = Files.createTempDirectory("graft_q119_lake").toString
@@ -1066,7 +1068,7 @@ object CdcQueries {
       |  substring(create_at, 15, 2) AS create_minute,
       |  update_at, event_type, value, props, event_id
       |FROM ranked
-      |WHERE rn = 1 AND substring(create_at, 9, 2) >= '04'
+      |WHERE rn = 1 AND substring(create_at, 1, 10) >= '2024-01-04'
       |ORDER BY id""".stripMargin
 
   // ---------------------------------------------------------------- q120
@@ -1303,4 +1305,75 @@ object CdcQueries {
       |${slice(2)}
       |ORDER BY version, id""".stripMargin
   }
+
+  // ------------------------------------------------------------ q126/q127
+  /** Hot-key as-of join stress ([[graft.operators.AsofJoin.asofBucketed]]):
+    * every even user collapses onto ONE key, so that key holds ~half of
+    * all dim versions (~100k at the ×10 replication) — the skewed
+    * dimension-history regime where the plain key-partitioned as-of would
+    * serialize the hot key onto one task. The bucketed variant splits the
+    * 30-day timeline into 6-hour buckets (~120 of them) with per-bucket
+    * carry-in, so the hot key spreads across ~120 tasks. q127 is the
+    * UNIFORM companion — identical data volume and code path without the
+    * hot collapse — so the bench pair exposes the skew penalty directly
+    * (the q66/q67 protocol). Replicas get `ts + r` µs offsets so the
+    * hot key's version count really multiplies (same-ts versions would
+    * collapse in the per-(key, ts) dedup). */
+  private def asofSkewQuery(s: SparkSession, dir: String, hot: Boolean)
+      : DataFrame = {
+    val key =
+      if (hot) when(pmod(col("user_id"), lit(2)) === 0, lit(-1L))
+        .otherwise(col("user_id"))
+      else col("user_id")
+    val ev = events(s, dir)
+      .select(col("event_id"), col("ts_us"), col("user_id"),
+        col("event_type"), col("value"),
+        explode(sequence(lit(0L), lit(9L))).as("r"))
+      .select((col("event_id") * 10 + col("r")).as("event_id"),
+        (col("ts_us") + col("r")).as("ts_us"), key.as("user_id"),
+        col("event_type"), col("value"))
+    val facts = ev.where(col("event_type") === "click")
+      .select(col("event_id"), col("ts_us"), col("user_id"), col("value"))
+    val dims = ev.where(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts_us"))
+      .agg(max(struct(col("event_id"), col("value"))).as("m"))
+      .select(col("user_id"), col("ts_us"),
+        col("m.event_id").as("state_id"), col("m.value").as("state_value"))
+    graft.operators.AsofJoin
+      .asofBucketed(facts, dims, "user_id", "ts_us",
+        Seq("state_id", "state_value"),
+        ts => floor(ts / lit(21600000000L))) // 6-hour buckets over the 30-day span
+      .orderBy("event_id")
+  }
+
+  def q126AsofHot(s: SparkSession, dir: String): DataFrame =
+    asofSkewQuery(s, dir, hot = true)
+
+  def q127AsofUniform(s: SparkSession, dir: String): DataFrame =
+    asofSkewQuery(s, dir, hot = false)
+
+  private def asofSkewSql(keyExpr: String): String =
+    s"""WITH rep AS (
+      |  SELECT event_id * 10 + r.range AS event_id,
+      |    epoch_us(ts) + r.range AS ts_us,
+      |    $keyExpr AS user_id, event_type, value
+      |  FROM events CROSS JOIN range(10) r),
+      |f AS (
+      |  SELECT event_id, ts_us, user_id, value
+      |  FROM rep WHERE event_type = 'click'),
+      |d AS (
+      |  SELECT user_id, ts_us, MAX(event_id) AS state_id,
+      |    max_by(value, event_id) AS state_value
+      |  FROM rep WHERE event_type = 'purchase'
+      |  GROUP BY 1, 2)
+      |SELECT f.event_id, f.ts_us, f.user_id, f.value,
+      |  d.state_id, d.state_value
+      |FROM f ASOF LEFT JOIN d
+      |  ON f.user_id = d.user_id AND f.ts_us >= d.ts_us
+      |ORDER BY f.event_id""".stripMargin
+
+  val q126AsofHotSql: String =
+    asofSkewSql("CASE WHEN user_id % 2 = 0 THEN -1 ELSE user_id END")
+
+  val q127AsofUniformSql: String = asofSkewSql("user_id")
 }

@@ -2,6 +2,8 @@ package graft.operators
 
 import org.scalatest.funsuite.AnyFunSuite
 
+import org.apache.spark.sql.functions.floor
+
 import graft.SparkSpec
 
 /** Contract of the as-of join: latest at-or-before state per key, equal
@@ -46,6 +48,51 @@ class AsofJoinSpec extends AnyFunSuite with SparkSpec {
   test("a fact stream never leaks into another key's history") {
     // key 2's w1 (ts 15) must not serve key 1's fact at ts 19
     assert(out(102L).contains("v1"))
+  }
+
+  test("bucketed as-of matches plain as-of on the contract cases") {
+    val got = AsofJoin
+      .asofBucketed(facts, dims, "k", "ts", Seq("state"),
+        ts => floor(ts / 7)) // arbitrary width, misaligned on purpose
+      .orderBy("fid").collect()
+      .map(r => (r.getLong(0), Option(r.getString(3)))).toMap
+    assert(got === out)
+  }
+
+  test("bucketed as-of: carry-in crosses empty buckets; boundary ties hold") {
+    val d = Seq((1L, 0L, "v0"), (1L, 70L, "v7")).toDF("k", "ts", "state")
+    val f = Seq(
+      (1L, 1L, 35L),  // bucket 3 (width 10): key's dims live in buckets 0/7
+      (2L, 1L, 70L),  // equal ts at a bucket boundary -> at-or-before = v7
+      (3L, 1L, 69L),  // last row of bucket 6 -> still v0
+      (4L, 1L, 0L))   // equal ts in the very first bucket -> v0
+      .toDF("fid", "k", "ts")
+    val got = AsofJoin
+      .asofBucketed(f, d, "k", "ts", Seq("state"), ts => floor(ts / 10))
+      .collect().map(r => (r.getLong(0), r.getString(3))).toMap
+    assert(got === Map(1L -> "v0", 2L -> "v7", 3L -> "v0", 4L -> "v0"))
+  }
+
+  test("seeded fuzz: bucketed as-of equals plain as-of, hot key included") {
+    val rnd = new scala.util.Random(23)
+    // one HOT key (0) holds half of all dim versions — the regime the
+    // bucketed variant exists for
+    val dimRows = ((0L until 400L).map(i => (0L, i * 3 + 1, s"hot-$i")) ++
+      (1L to 8L).flatMap(k =>
+        rnd.shuffle((0L until 200L).toList).take(50)
+          .map(ts => (k, ts, s"s$k-$ts")))).toList
+    val factRows = (0 until 600).map { i =>
+      val k = if (i % 2 == 0) 0L else 1L + rnd.nextInt(9).toLong
+      (i.toLong, k, rnd.nextInt(1300).toLong)
+    }
+    val fDf = factRows.toDF("fid", "k", "ts")
+    val dDf = dimRows.toDF("k", "ts", "state")
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), Option(r.getString(3)))).toMap
+    val plain = toMap(AsofJoin.asof(fDf, dDf, "k", "ts", Seq("state")))
+    val bucketed = toMap(AsofJoin.asofBucketed(fDf, dDf, "k", "ts",
+      Seq("state"), ts => floor(ts / 37)))
+    assert(bucketed === plain)
   }
 
   test("seeded fuzz: distributed as-of equals the in-memory reference") {
