@@ -1,5 +1,7 @@
 package graft
 
+import java.util.concurrent.ConcurrentHashMap
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Loader for the driver-provided parquet corpus (TESTDATA.md). */
@@ -8,8 +10,19 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  // Memoized per (session, path): a corpus table's logical relation is
+  // immutable, but spark.read.parquet re-lists the directory and re-reads
+  // footers for schema on EVERY call — a driver-side Spark job per query
+  // CONSTRUCTION. Verify builds 100+ queries per run and most touch the
+  // same handful of tables, so the repeated listing is pure waste; the
+  // memo also keeps query construction jobless after first touch (the
+  // LazyConstructionSpec contract).
+  private val cache =
+    new ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    cache.computeIfAbsent((spark, s"$dir/$name.parquet"),
+      { case (s, p) => s.read.parquet(p) })
 
   /** Register every corpus table as a temp view for the `spark.sql` surface
     * (analog of the reference's Glue-catalog registration,

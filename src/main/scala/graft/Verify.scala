@@ -46,6 +46,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Machine-readable declaration that the oracle-less entries are
+    // INTENTIONAL (name -> reason + the hash-green companion pinning the
+    // math), so the artifact distinguishes declared-no-oracle from broken.
+    val declared = SparkEntry.noOracle
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/no_oracle.json"), declared)
     spark.stop()
   }
 }

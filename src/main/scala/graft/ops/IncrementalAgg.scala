@@ -52,8 +52,12 @@ object IncrementalAgg {
       .groupBy(col("group"))
       .agg(sum(col("__m")).cast("decimal(22,2)").as("d_total"),
         sum(col("__sign")).as("d_n"))
-    state.join(delta, Seq("group"), "full_outer")
-      .select(col("group"),
+    // Null-safe join key: the grouping field is nullable in the images, and
+    // a plain equi-join would never match NULL to itself — the null group
+    // would accumulate a fresh state row every batch instead of merging.
+    state.as("s").join(delta.as("d"),
+        col("s.group") <=> col("d.group"), "full_outer")
+      .select(coalesce(col("d.group"), col("s.group")).as("group"),
         (coalesce(col("n_rows"), lit(0L)) + coalesce(col("d_n"), lit(0L)))
           .as("n_rows"),
         (coalesce(col("total"), lit(0).cast("decimal(22,2)")) +

@@ -8,7 +8,7 @@ import graft.curate.{Decontaminate, Dsir, Interleave, Packing, Sampling, Select,
 import graft.curate.Chunking
 import graft.dedup.{Dedup, SpanDedup}
 import graft.functions.GraftFunctions
-import graft.multimodal.{AudioDedup, AudioOps, ImageDedup, ImageOps, MultimodalOps, VideoOps}
+import graft.multimodal.{AudioDedup, AudioOps, Banded64, ImageDedup, ImageOps, MultimodalOps, VideoOps}
 import graft.sim.{Quantize, Similarity}
 import graft.text.{Bpe, HashClassifier, NgramLM, Repetition, Retrieval, TextOps, TfIdf}
 
@@ -32,7 +32,23 @@ object PipelineQueries {
     * added where it would hurt. */
   private def parallel(s: SparkSession, df: DataFrame): DataFrame = {
     val target = s.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // Estimate the scan's parallelism from file metadata alone: building
+    // the physical RDD here (df.rdd.getNumPartitions) would force eager
+    // plan materialization at query-CONSTRUCTION time — surprising from a
+    // pure constructor. inputFiles reads the analyzed plan's file index
+    // (no job, no physical plan); the split estimate mirrors Spark's
+    // bytes/maxPartitionBytes packing closely enough for the one decision
+    // made here (tiny single-file table vs already-parallel scan).
+    val files = df.inputFiles
+    if (files.isEmpty) return df
+    val conf = s.sessionState.newHadoopConf()
+    val bytes = files.iterator.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(conf).getFileStatus(p).getLen
+    }.sum
+    val maxPB = s.sessionState.conf.filesMaxPartitionBytes
+    val estParts = math.max(files.length.toLong, (bytes + maxPB - 1) / maxPB)
+    if (estParts < target) df.repartition(target) else df
   }
 
   private def docs(s: SparkSession, dir: String): DataFrame =
@@ -898,10 +914,15 @@ object PipelineQueries {
     * engines) and the scan-speed projection are what's under test. */
   def q86Redact(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
+    // The third salt is a USERINFO url (user:pw@host): it contains an
+    // email-shaped substring, so it pins redact's URL-before-email order
+    // in the driver oracle (one <URL>, zero extra emails) — the ADVICE r6
+    // ordering bug would double-count it.
     val salted = d.select(col("doc_id"),
       concat(col("text"), lit(" contact user"), col("doc_id"),
         lit("@example.com or https://site"), col("doc_id"),
-        lit(".example/path")).as("t"))
+        lit(".example/path or http://u"), col("doc_id"),
+        lit(":pw@h"), col("doc_id"), lit(".example/q")).as("t"))
     salted.select(
       col("doc_id"),
       TextOps.emailCount(col("t")).as("n_emails"),
@@ -934,6 +955,38 @@ object PipelineQueries {
       |  CAST(b.doc_id - a.doc_id AS INT) AS hamming
       |FROM documents a JOIN documents b
       |  ON a.doc_id // 4 = b.doc_id // 4 AND a.doc_id < b.doc_id
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // ---------------------------------------------------------------- q128
+  /** The hot-band bucket cap's failure mode, ORACLE-EXERCISED (the suite
+    * already pins strict mode's loud throw; this entry pins the drop
+    * semantics in the driver artifact). Fingerprints are constructed so
+    * that every doc pair is a Hamming-1 twin, but only half the pairs
+    * share a band bucket that stays UNDER the cap: (4k, 4k+1) twins share
+    * a size-2 band-2 bucket and must be found; (4k+2, 4k+3) twins differ
+    * inside band 3 and share only the degenerate all-docs buckets (bands
+    * 0/1/2 constant across the corpus), which exceed `maxBucket` and are
+    * dropped — so those pairs are REPORTED LOST by construction. The
+    * oracle asserts exactly the surviving half, making the cap's
+    * recall trade visible and pinned rather than silent. */
+  def q128BandedCapped(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = docs(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val pair = id / 2 + 1 // >= 1 so band-2 sigs never hit the 0 bucket
+        val fp =
+          if (id % 4 < 2) (pair << 32) | (id % 2) // findable via band 2
+          else (pair << 48) | ((id % 2) << 63)    // only over-cap bands shared
+        (id, fp)
+      }).toDF("media_id", "fp")
+    Banded64.pairs(media, maxHamming = 3, maxBucket = 8)
+      .orderBy("id_a", "id_b")
+  }
+
+  val q128BandedCappedSql: String =
+    """SELECT a.doc_id AS id_a, a.doc_id + 1 AS id_b, CAST(1 AS INT) AS hamming
+      |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      |WHERE a.doc_id % 4 = 0
       |ORDER BY id_a, id_b""".stripMargin
 
   // ---------------------------------------------------------------- q93
@@ -1125,7 +1178,8 @@ object PipelineQueries {
     s"""WITH salted AS (
       |  SELECT doc_id,
       |    text || ' contact user' || doc_id || '@example.com or https://site'
-      |      || doc_id || '.example/path' AS t
+      |      || doc_id || '.example/path or http://u' || doc_id || ':pw@h'
+      |      || doc_id || '.example/q' AS t
       |  FROM documents),
       |u AS (
       |  SELECT doc_id, t,
@@ -1786,7 +1840,9 @@ object PipelineQueries {
       .select((col("doc_id") * 10 + col("r")).as("doc_id"), col("text"),
         col("lang"))
     Dsir.importanceWeights(rep, "doc_id", "text", col("lang") === "en",
-        buckets = 256, alpha = 1.0)
+        buckets = 256, alpha = 1.0,
+        scratchDir = Some(java.nio.file.Files
+          .createTempDirectory("graft_q115_dsir").toString))
       .withColumn("logw", round(col("logw"), 6))
       .orderBy("doc_id")
   }
@@ -1810,7 +1866,9 @@ object PipelineQueries {
       .select((col("doc_id") * 100 + col("r")).as("doc_id"), col("text"),
         col("lang"))
     Dsir.importanceWeights(rep, "doc_id", "text", col("lang") === "en",
-        buckets = 256, alpha = 1.0)
+        buckets = 256, alpha = 1.0,
+        scratchDir = Some(java.nio.file.Files
+          .createTempDirectory("graft_q117_dsir").toString))
       .withColumn("logw", round(col("logw"), 6))
       .orderBy("doc_id")
   }

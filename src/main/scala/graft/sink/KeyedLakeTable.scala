@@ -138,10 +138,14 @@ final class KeyedLakeTable(spark: SparkSession, val spec: LakeTableSpec) {
   }
 
   /** Changelog of merging `incoming` (one row per key) into `existing`
-    * (one row per key; empty on bootstrap). Mirrors the merge's win rule:
-    * strictly-newer (precombine, tieBreak) wins; an exact tie goes to the
-    * incoming row only when no tieBreak is configured (the Hudi
-    * incoming-wins tie), and a tied-or-older batch version is a noop. */
+    * (one row per key; empty on bootstrap). Mirrors the merge's win rule
+    * exactly: strictly-newer (precombine, tieBreak) wins, and an exact tie
+    * ALSO goes to the incoming row — the merge's ordering ends with
+    * `__src desc` in both tieBreak configurations, so the incoming row
+    * replaces the table row on a full ordering tie (classifying it `noop`
+    * would let downstream [[graft.ops.IncrementalAgg]] state drift from
+    * the table when tied versions carry different payloads). Only a
+    * strictly-older batch version is a noop. */
   private def changelog(existing: DataFrame, incoming: DataFrame): DataFrame = {
     val shared = incoming.columns.filter(existing.columns.contains)
       .filterNot(recordKeys.contains)
@@ -160,7 +164,7 @@ final class KeyedLakeTable(spark: SparkSession, val spec: LakeTableSpec) {
     newSide.join(oldSide, recordKeys.toSeq, "left")
       .withColumn("change_type",
         when(col("old_image").isNull, lit("insert"))
-          .when(newer || (tied && lit(tieBreak.isEmpty)), lit("update"))
+          .when(newer || tied, lit("update"))
           .otherwise(lit("noop")))
       .select(recordKeys.map(col) :+ col("change_type") :+
         col("old_image") :+ col("new_image"): _*)

@@ -52,6 +52,44 @@ class IncrementalAggSpec extends AnyFunSuite with SparkSpec {
     assert(amounts === Seq(20))
   }
 
+  test("changelog matches the merge on a full ordering tie with tieBreak") {
+    // The merge's ordering ends with __src desc in BOTH tieBreak
+    // configurations, so an exact (precombine, tieBreak) tie replaces the
+    // table row with the incoming one. The changelog must say 'update' —
+    // 'noop' would let IncrementalAgg state drift from the table when the
+    // tied versions carry different payloads (ADVICE r7).
+    val table = new KeyedLakeTable(spark, LakeTableSpec(
+      path = tmpDir("ivm-tie"), recordKeys = Seq("id"),
+      precombine = "update_at", partitionSource = "create_at",
+      tieBreak = Seq("amount")))
+    table.upsert(Seq(Txn("k1", "a1", t(1), t(1), "fuel", 5, 0, "v1")).toDF())
+    val c = table.upsertChanges(Seq(
+      Txn("k1", "a1", t(1), t(1), "fuel", 5, 0, "v2-different-payload")).toDF())
+    assert(c.select($"change_type").as[String].collect().toSeq === Seq("update"))
+    // and the table really does hold the incoming payload
+    assert(table.read().filter($"id" === "k1")
+      .select($"note").as[String].collect().toSeq === Seq("v2-different-payload"))
+  }
+
+  test("a NULL grouping value merges with itself instead of accreting rows") {
+    val table = newTable()
+    var state = IncrementalAgg.emptyState(spark,
+      org.apache.spark.sql.types.StringType)
+    state = IncrementalAgg.applyDelta(state,
+      table.upsertChanges(Seq(
+        Txn("k1", "a1", t(1), t(1), null, 10, 0, "v1")).toDF()),
+      "entity", "amount")
+    state = IncrementalAgg.applyDelta(state,
+      table.upsertChanges(Seq(
+        Txn("k2", "a1", t(2), t(2), null, 7, 0, "v1")).toDF()),
+      "entity", "amount")
+    val rows = state.select($"group", $"n_rows",
+      $"total".cast("double")).collect()
+    assert(rows.length === 1, s"null group must merge, got ${rows.toSeq}")
+    assert(rows.head.isNullAt(0) && rows.head.getLong(1) === 2L &&
+      rows.head.getDouble(2) === 17.0)
+  }
+
   test("retraction stream moves a key's contribution between groups") {
     val table = newTable()
     var state = IncrementalAgg.emptyState(spark,

@@ -33,6 +33,18 @@ class PlanLintSpec extends AnyFunSuite with SparkSpec {
     walk(plan)
   }
 
+  test("every query declares exactly one of: an oracle, or a no-oracle reason") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    val n = SparkEntry.noOracle.keySet
+    assert((o intersect n).isEmpty,
+      s"both oracle and no-oracle: ${(o intersect n).mkString(", ")}")
+    assert((q diff (o union n)).isEmpty,
+      s"undeclared queries: ${(q diff (o union n)).mkString(", ")}")
+    assert(((o union n) diff q).isEmpty,
+      s"declarations without a query: ${((o union n) diff q).mkString(", ")}")
+  }
+
   // Queries with real write side effects are planned here too — planning
   // only forces analysis/physical planning, and at sf0.001 any action a
   // query runs eagerly while building is cheap.

@@ -112,9 +112,20 @@ def main(out_dir: str, sf_dir: str, only: str = "") -> int:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
                 f"read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    try:  # declared oracle-less entries (name -> reason): report, not FAIL
+        declared = json.load(open(f"{out_dir}/no_oracle.json"))
+    except FileNotFoundError:
+        declared = {}
     if only:  # local iteration filter, mirrors Verify's SPARK_GRAFT_ONLY
         keep = {q.strip() for q in only.split(",")}
         oracle = {k: v for k, v in oracle.items() if k in keep}
+        declared = {k: v for k, v in declared.items() if k in keep}
+    for name, reason in sorted(declared.items()):
+        try:
+            rows = len(pd.read_parquet(f"{out_dir}/{name}"))
+            print(f"decl {name}: declared no_oracle, rows={rows} ({reason})")
+        except Exception as e:
+            print(f"decl {name}: declared no_oracle, NO SPARK RESULT ({e})")
     n_bad = 0
     for name, sql in sorted(oracle.items()):
         try:
