@@ -53,7 +53,9 @@ object MaintenanceBench {
     * write), with total bytes independent of the file count. */
   private def buildZone(s: SparkSession, dir: String, nParts: Int,
       filesPerPart: Int): String = {
-    val path = tmp(s"graft_mbench_zone_${nParts}x$filesPerPart")
+    // subdir: createTempDirectory creates the dir itself, and the parquet
+    // writer refuses an existing path
+    val path = tmp(s"graft_mbench_zone_${nParts}x$filesPerPart") + "/zone"
     val ev = CdcQueries.events(s, dir)
     val rows = ev.count()
     val rowsPerFile = math.max(1L, rows / nParts / filesPerPart)
