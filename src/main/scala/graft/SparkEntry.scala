@@ -140,6 +140,8 @@ object SparkEntry {
     "q126_asof_hot"        -> (CdcQueries.q126AsofHot _),
     "q127_asof_uniform"    -> (CdcQueries.q127AsofUniform _),
     "q128_banded_capped"   -> (PipelineQueries.q128BandedCapped _),
+    "q129_stats_pruned"    -> (CdcQueries.q129StatsPrunedRead _),
+    "q130_bloom_lookup"    -> (CdcQueries.q130BloomLookup _),
   )
 
   /** Untimed per-query setup the bench runs before timing (ingest-side
@@ -305,6 +307,8 @@ object SparkEntry {
     "q126_asof_hot"        -> CdcQueries.q126AsofHotSql,
     "q127_asof_uniform"    -> CdcQueries.q127AsofUniformSql,
     "q128_banded_capped"   -> PipelineQueries.q128BandedCappedSql,
+    "q129_stats_pruned"    -> CdcQueries.q129StatsPrunedReadSql,
+    "q130_bloom_lookup"    -> CdcQueries.q130BloomLookupSql,
   )
 
   /** DECLARED oracle-less entries: queries whose semantics are not

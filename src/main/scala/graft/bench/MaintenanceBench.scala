@@ -31,18 +31,28 @@ object MaintenanceBench {
 
   /** Synthetic keyed CDC batch spread over exactly `partitions` partition
     * tuples: key = event id (unique), partition = key % partitions mapped
-    * onto (day, hour, minute) — constant per key, the merge contract. */
-  private def cdcRows(s: SparkSession, dir: String, partitions: Int)
-      : DataFrame = {
+    * onto (day, hour, minute) — constant per key, the merge contract.
+    * `contiguous = true` instead CLUSTERS by event_id (partition = id
+    * range slice), the layout where per-file min/max ranges are disjoint
+    * and stats skipping should collapse a range predicate to ~one file. */
+  private def cdcRows(s: SparkSession, dir: String, partitions: Int,
+      contiguous: Boolean = false): DataFrame = {
     require(partitions <= 43200, s"partition scheme caps at 30d of minutes")
-    val idx = pmod(col("event_id"), lit(partitions))
-    CdcQueries.events(s, dir).select(
+    val ev = CdcQueries.events(s, dir)
+    val idx =
+      if (!contiguous) pmod(col("event_id"), lit(partitions))
+      else {
+        val rows = ev.count()
+        least(col("event_id") * partitions / lit(rows),
+          lit(partitions - 1)).cast("int")
+      }
+    ev.select(
       concat(lit("k-"), col("event_id").cast("string")).as("id"),
       format_string("2024-01-%02d %02d:%02d:00.000000",
         (idx / 1440).cast("int") + 1,
         pmod((idx / 60).cast("int"), lit(24)),
         pmod(idx, lit(60)).cast("int")).as("create_at"),
-      col("update_at"), col("value"))
+      col("update_at"), col("value"), col("event_id"))
   }
 
   private def tmp(prefix: String): String =
@@ -91,7 +101,51 @@ object MaintenanceBench {
     (table, batches)
   }
 
+  /** Versioned table with file-level stats + key Bloom indexing, one file
+    * per partition, event_id-clustered so per-file min/max are disjoint —
+    * the fixture for the data-skipping read entries. Returns (table,
+    * total rows). */
+  private def buildIndexed(s: SparkSession, dir: String, partitions: Int)
+      : (VersionedLakeTable, Long) = {
+    val table = new VersionedLakeTable(s, LakeTableSpec(
+      tmp(s"graft_mbench_vidx_p$partitions"), recordKeys = Seq("id"),
+      precombine = "update_at", partitionSource = "create_at"),
+      statsCols = Seq("event_id"), keyBloomBits = 1 << 14)
+    val rows = CdcQueries.events(s, dir).count()
+    table.upsert(cdcRows(s, dir, partitions, contiguous = true))
+    (table, rows)
+  }
+
+  private def noop(df: org.apache.spark.sql.DataFrame): Unit =
+    df.write.mode("overwrite").format("noop").save()
+
   def entries: Seq[(String, (SparkSession, String) => () => Unit)] = Seq(
+    // -------- file-level data skipping: the knob is files ELIMINATED.
+    // Stats-pruned range read opens ~1 of 400 files; the contrast entry
+    // answers the same query by scanning the snapshot. Bloom point lookup
+    // opens <= keys+fp of 400 files; contrast scans + filters.
+    "m_vread_statsprune_f400" -> ((s, dir) => {
+      val (table, rows) = buildIndexed(s, dir, partitions = 400)
+      val (lo, hi) = (rows / 2, rows / 2 + rows / 800)
+      () => noop(table.readWhereStats(None, keepFile =
+          graft.sink.FileStatsIndex.range("event_id", Some(lo), Some(hi)))
+        .filter(col("event_id").between(lo, hi)))
+    }),
+    "m_vread_scanall_f400" -> ((s, dir) => {
+      val (table, rows) = buildIndexed(s, dir, partitions = 400)
+      val (lo, hi) = (rows / 2, rows / 2 + rows / 800)
+      () => noop(table.read().filter(col("event_id").between(lo, hi)))
+    }),
+    "m_vlookup_bloom_f400" -> ((s, dir) => {
+      val (table, rows) = buildIndexed(s, dir, partitions = 400)
+      val keys = (1 to 5).map(i => Seq(s"k-${i * (rows / 7)}": Any))
+      () => noop(table.lookupKeys(keys))
+    }),
+    "m_vlookup_scan_f400" -> ((s, dir) => {
+      val (table, rows) = buildIndexed(s, dir, partitions = 400)
+      val ids = (1 to 5).map(i => s"k-${i * (rows / 7)}")
+      () => noop(table.read().filter(col("id").isin(ids: _*)))
+    }),
     "m_compact_files_400" -> ((s, dir) => {
       val path = buildZone(s, dir, nParts = 40, filesPerPart = 10)
       () => {

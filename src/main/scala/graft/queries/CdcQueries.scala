@@ -1376,4 +1376,104 @@ object CdcQueries {
     asofSkewSql("CASE WHEN user_id % 2 = 0 THEN -1 ELSE user_id END")
 
   val q127AsofUniformSql: String = asofSkewSql("user_id")
+
+  // ------------------------------------------------------------ q129/q130
+  /** Shared fixture for the file-index entries: the full CDC stream merged
+    * in three batches into a [[graft.sink.VersionedLakeTable]] with
+    * file-level stats + key Bloom indexing on ([[graft.sink
+    * .FileStatsIndex]]). Every write path here runs INDEXED — including
+    * the Bloom-pruned merge (files provably holding no batch key carry
+    * forward unrewritten) — so the oracles below pin the indexed write
+    * path end to end, not just the read-side pruning. */
+  private def indexedTable(s: SparkSession, dir: String, tag: String)
+      : graft.sink.VersionedLakeTable = {
+    val cdc = cdcView(s, dir)
+    val table = new graft.sink.VersionedLakeTable(s, LakeTableSpec(
+      Files.createTempDirectory(s"graft_${tag}_lake").toString,
+      recordKeys = Seq("id"), precombine = "update_at",
+      partitionSource = "create_at", tieBreak = Seq("event_id")),
+      statsCols = Seq("event_id", "event_type"), keyBloomBits = 1 << 14)
+    val bucket = pmod(col("event_id"), lit(3))
+    (0 until 3).foreach(b => table.upsert(cdc.filter(bucket === b)))
+    table
+  }
+
+  private val snapshotCols = Seq("id", "create_year", "create_month",
+    "create_day", "create_hour", "create_minute", "update_at", "event_type",
+    "value", "props", "event_id")
+
+  /** File-level data skipping on a NON-partition column: the same
+    * `event_id` range predicate runs once against the per-file min/max
+    * index (only overlapping files are opened) and once exactly as a
+    * residual filter — file granularity keeps rows the filter then drops,
+    * so the result must equal a plain filtered scan of the latest
+    * snapshot. Bounds derive from MAX(event_id), so the entry is
+    * scale-free across sf dirs. */
+  def q129StatsPrunedRead(s: SparkSession, dir: String): DataFrame = {
+    val table = indexedTable(s, dir, "q129")
+    // latest-wins keeps each key's FINAL event_id, so the live ids cluster
+    // near MAX(event_id): a top-decile window is the scale-free range that
+    // actually selects rows at every sf
+    val maxId = events(s, dir).agg(max(col("event_id"))).head().getLong(0)
+    val (lo, hi) = (maxId - maxId / 10, maxId)
+    table.readWhereStats(None, keepFile =
+        graft.sink.FileStatsIndex.range("event_id", Some(lo), Some(hi)))
+      .filter(col("event_id").between(lo, hi))
+      .select(snapshotCols.map(col): _*)
+      .orderBy("id")
+  }
+
+  val q129StatsPrunedReadSql: String =
+    s"""WITH cdc AS ($cdcViewSql),
+      |m AS (SELECT CAST(MAX(event_id) - MAX(event_id) // 10 AS BIGINT) AS lo,
+      |             CAST(MAX(event_id) AS BIGINT) AS hi
+      |      FROM events),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY update_at DESC, event_id DESC) AS rn
+      |  FROM cdc)
+      |SELECT id,
+      |  substring(create_at, 1, 4) AS create_year,
+      |  substring(create_at, 6, 2) AS create_month,
+      |  substring(create_at, 9, 2) AS create_day,
+      |  substring(create_at, 12, 2) AS create_hour,
+      |  substring(create_at, 15, 2) AS create_minute,
+      |  update_at, event_type, value, props, event_id
+      |FROM r, m
+      |WHERE rn = 1 AND event_id BETWEEN m.lo AND m.hi
+      |ORDER BY id""".stripMargin
+
+  /** Point lookups through the per-file key Bloom index (the Hudi
+    * bloom-index role): a deterministic key sample (every 37th user) is
+    * fetched via [[graft.sink.VersionedLakeTable.lookupKeys]] — only files
+    * whose Bloom may hold a requested key are opened, then the exact
+    * key predicate re-filters, so false positives cost a read, never a
+    * row. The oracle recomputes the same keys' latest-wins rows from the
+    * raw stream. */
+  def q130BloomLookup(s: SparkSession, dir: String): DataFrame = {
+    val table = indexedTable(s, dir, "q130")
+    val users = events(s, dir)
+      .filter(pmod(col("user_id"), lit(37)) === 0)
+      .select(col("user_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted // bounded: |users| / 37
+    val keys = users.map(u => Seq(f"user-$u%06d": Any)).toSeq
+    table.lookupKeys(keys)
+      .select(snapshotCols.map(col): _*)
+      .orderBy("id")
+  }
+
+  val q130BloomLookupSql: String =
+    s"""WITH cdc AS ($cdcViewSql),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY update_at DESC, event_id DESC) AS rn
+      |  FROM cdc)
+      |SELECT id,
+      |  substring(create_at, 1, 4) AS create_year,
+      |  substring(create_at, 6, 2) AS create_month,
+      |  substring(create_at, 9, 2) AS create_day,
+      |  substring(create_at, 12, 2) AS create_hour,
+      |  substring(create_at, 15, 2) AS create_minute,
+      |  update_at, event_type, value, props, event_id
+      |FROM r
+      |WHERE rn = 1 AND CAST(substring(id, 6) AS BIGINT) % 37 = 0
+      |ORDER BY id""".stripMargin
 }

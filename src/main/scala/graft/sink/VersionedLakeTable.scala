@@ -56,10 +56,19 @@ final case class CommitManifest(version: Int, committedAt: String,
   * object stores need a conditional-put primitive instead (documented).
   */
 final class VersionedLakeTable(spark: SparkSession, val spec: LakeTableSpec,
-    checkpointEvery: Int = 10) {
+    checkpointEvery: Int = 10,
+    statsCols: Seq[String] = Nil,
+    keyBloomBits: Int = 0,
+    maxRecordsPerFile: Long = 0,
+    clusterBy: Seq[String] = Nil) {
   require(checkpointEvery >= 1,
     s"checkpointEvery must be >= 1, got $checkpointEvery")
+  require(keyBloomBits == 0 ||
+      (keyBloomBits >= 64 && (keyBloomBits & (keyBloomBits - 1)) == 0),
+    s"keyBloomBits must be 0 (off) or a power of two >= 64, got $keyBloomBits")
   import spec._
+
+  private def indexed: Boolean = statsCols.nonEmpty || keyBloomBits > 0
 
   private implicit val formats: Formats = DefaultFormats
   private val partCols = LakeOps.partitionCols
@@ -145,7 +154,23 @@ final class VersionedLakeTable(spark: SparkSession, val spec: LakeTableSpec,
     * a one-day file list. Predicates over non-partition columns still
     * belong in a normal `.filter` on the result. */
   def readWhere(version: Option[Int],
-      keep: Map[String, String] => Boolean): DataFrame = {
+      keep: Map[String, String] => Boolean): DataFrame =
+    readWhereStats(version, keep)
+
+  /** [[readWhere]] plus FILE-LEVEL data skipping: after partition pruning,
+    * each surviving file's [[FileStats]] (min/max/nulls for `statsCols`,
+    * key Bloom — from the `_stats/` sidecars, O(referenced files) of
+    * driver metadata) is offered to `keepFile`, and only files it keeps
+    * are opened at all. A file written before indexing was enabled has no
+    * stats and is ALWAYS kept — pruning is an optimization, never a
+    * correctness gate — so `keepFile` must express a predicate the caller
+    * re-applies exactly with a normal `.filter` on the result (file
+    * granularity keeps rows the filter then drops). Unlike partition
+    * pruning, pruning every FILE away is a legitimate outcome (a point
+    * lookup of an absent key): the result is the empty table slice. */
+  def readWhereStats(version: Option[Int],
+      keep: Map[String, String] => Boolean = _ => true,
+      keepFile: FileStats => Boolean = _ => true): DataFrame = {
     val v = version.orElse(latestVersion).getOrElse(
       throw new IllegalStateException(
         s"VersionedLakeTable($path): no commits yet"))
@@ -159,15 +184,86 @@ final class VersionedLakeTable(spark: SparkSession, val spec: LakeTableSpec,
       s"VersionedLakeTable($path): partition predicate pruned commit $v " +
         "to nothing — an empty snapshot slice is almost always a predicate " +
         "bug (values are the zero-padded partition strings)")
-    val byVersionDir = kept.values.flatten.toSeq
+    val partKept = kept.values.flatten.toSeq
+    val (files, emptied) = {
+      val stats = statsFor(partKept)
+      val f = partKept.filter(p => stats.get(p).forall(keepFile))
+      if (f.nonEmpty) (f, false) else (partKept.take(1), true)
+    }
+    val byVersionDir = files
       .groupBy(f => f.split('/').take(2).mkString("/")) // data/<n>
-    byVersionDir.toSeq.sortBy(_._1)
-      .map { case (vdir, files) =>
+    val df = byVersionDir.toSeq.sortBy(_._1)
+      .map { case (vdir, fs) =>
         spark.read.option("basePath", s"$path/$vdir")
-          .parquet(files.map(f => s"$path/$f"): _*)
+          .parquet(fs.map(f => s"$path/$f"): _*)
       }
       .reduce(_ unionByName _)
       .transform(normalizeParts)
+    // all files pruned: keep the slice's schema, emit zero rows
+    if (emptied) df.filter(lit(false)) else df
+  }
+
+  /** Stats entries (where indexed) for the given manifest-relative files:
+    * loads one sidecar per referenced version dir. */
+  private def statsFor(files: Seq[String]): Map[String, FileStats] = {
+    if (!indexed) return Map.empty
+    files.map(_.split('/')(1).toInt).distinct
+      .flatMap(v => FileStatsIndex.readSidecar(path, v))
+      .flatMap(_.files)
+      .toMap
+  }
+
+  /** How many of snapshot `v`'s files survive `keepFile` — the skipping
+    * ratio, for specs and benchmarks: (kept, total). */
+  def pruneReport(version: Option[Int],
+      keepFile: FileStats => Boolean): (Int, Int) = {
+    val v = version.orElse(latestVersion).get
+    val all = resolved(v).values.flatten.toSeq
+    val stats = statsFor(all)
+    (all.count(p => stats.get(p).forall(keepFile)), all.size)
+  }
+
+  /** Exact row count of a snapshot in O(metadata): indexed files answer
+    * from their sidecar `rows` (files are immutable, so the written count
+    * stays exact forever); only files committed before indexing are
+    * counted by actually scanning them. On a fully-indexed table this
+    * runs ZERO Spark jobs — the count of a 100 TB snapshot is a driver-
+    * side sum over its manifest. */
+  def countRows(version: Option[Int] = None): Long = {
+    val v = version.orElse(latestVersion).getOrElse(
+      throw new IllegalStateException(
+        s"VersionedLakeTable($path): no commits yet"))
+    val files = resolved(v).values.flatten.toSeq
+    val stats = statsFor(files)
+    val (have, missing) = files.partition(stats.contains)
+    val metaCount = have.iterator.map(stats(_).rows).sum
+    val scanCount =
+      if (missing.isEmpty) 0L
+      else missing.groupBy(_.split('/').take(2).mkString("/")).toSeq
+        .map { case (vdir, fs) =>
+          spark.read.option("basePath", s"$path/$vdir")
+            .parquet(fs.map(f => s"$path/$f"): _*).count()
+        }.sum
+    metaCount + scanCount
+  }
+
+  /** Point lookup through the per-file key Bloom index (the Hudi
+    * bloom-index role): each `keys` entry is the record-key tuple in
+    * `spec.recordKeys` order; only files whose Bloom may contain SOME
+    * requested key are read, then the exact predicate re-filters — false
+    * positives cost a file read, never a wrong row. */
+  def lookupKeys(keys: Seq[Seq[Any]], version: Option[Int] = None): DataFrame = {
+    require(keyBloomBits > 0,
+      s"VersionedLakeTable($path): lookupKeys needs keyBloomBits > 0")
+    require(keys.nonEmpty && keys.forall(_.length == recordKeys.length),
+      s"each key tuple must match recordKeys $recordKeys")
+    val hashes = keys.map(FileStatsIndex.keyHash)
+    val pruned = readWhereStats(version, keepFile = fs => hashes.exists(h =>
+      fs.mayContainHash(keyBloomBits, FileStatsIndex.DefaultBloomK, h)))
+    val keyTuple = concat_ws("\u0000",
+      recordKeys.map(c => col(c).cast("string")): _*)
+    val wanted = keys.map(_.map(String.valueOf).mkString("\u0000"))
+    pruned.filter(keyTuple.isin(wanted: _*))
   }
 
   // ----------------------------------------------------------- write side
@@ -228,11 +324,36 @@ final class VersionedLakeTable(spark: SparkSession, val spec: LakeTableSpec,
           s"VersionedLakeTable($path): empty bootstrap batch"))
     val current = curV.map(resolved)
 
+    // File-slice pruning through the key Bloom index (the Hudi bloom-index
+    // role, `incremental.py`'s upsert-target location): among the touched
+    // partitions' files, one whose Bloom proves it holds NO batch key
+    // cannot contribute a merge loser — it carries forward FILE-INTACT in
+    // the new manifest, neither read nor rewritten. Merge cost drops from
+    // O(touched-partition bytes) to O(files actually holding batch keys);
+    // a Bloom false positive only re-writes a file unnecessarily. Files
+    // without an index entry (pre-indexing commits) always merge.
+    val touchedFiles: Map[String, Seq[String]] = current match {
+      case None        => Map.empty
+      case Some(parts) => parts.filter { case (p, _) => touched(p) }
+    }
+    val carried: Map[String, Seq[String]] =
+      if (keyBloomBits == 0 || touchedFiles.isEmpty) Map.empty
+      else batchKeyHashes(incoming) match {
+        case None => Map.empty // over the probe cap: read everything
+        case Some(hs) =>
+          val stats = statsFor(touchedFiles.values.flatten.toSeq)
+          touchedFiles.map { case (p, fs) =>
+            p -> fs.filter(f => stats.get(f).exists(st => !hs.exists(h =>
+              st.mayContainHash(keyBloomBits, FileStatsIndex.DefaultBloomK, h))))
+          }.filter(_._2.nonEmpty)
+      }
+    val carriedSet: Set[String] = carried.values.flatten.toSet
+
     val merged = current match {
       case None => incoming
       case Some(parts) =>
-        val files = parts.filter { case (p, _) => touched(p) }
-          .values.flatten.toSeq
+        val files = touchedFiles.values.flatten.toSeq
+          .filterNot(carriedSet)
         if (files.isEmpty) incoming
         else {
           val byVersionDir = files.groupBy(_.split('/').take(2).mkString("/"))
@@ -259,23 +380,62 @@ final class VersionedLakeTable(spark: SparkSession, val spec: LakeTableSpec,
 
     // immutable-file contract: new state lands under data/<nextV> only
     val outDir = prepareVersionDir(nextV)
-    merged.repartition(partCols.map(col): _*)
-      .write.partitionBy(partCols: _*).parquet(outDir)
+    clustered(merged.repartition(partCols.map(col): _*))
+      .write.option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partCols: _*).parquet(outDir)
 
     // manifest entries for what was just written (walk data/<nextV>)
     val written = listWritten(Paths.get(outDir), nextV)
     require(written.keySet == touched,
       s"VersionedLakeTable($path): wrote partitions ${written.keySet} " +
         s"but batch touched $touched")
+    // a touched partition's new entry = its rewritten files plus any
+    // Bloom-carried old files (disjoint keys by no-false-negatives)
+    val entries: Map[String, Seq[String]] = written.map { case (p, fs) =>
+      p -> (fs ++ carried.getOrElse(p, Nil)).sorted
+    }
+    // stats sidecar BEFORE the manifest commit: a committed version always
+    // has its index; an orphan sidecar is overwritten on retry
+    if (indexed) FileStatsIndex.writeSidecar(
+      spark, path, nextV, statsCols, recordKeys, keyBloomBits)
     // O(touched) delta commit; full checkpoint at v0 and every
     // checkpointEvery-th version so reads stay bounded-replay.
     if (current.isEmpty || nextV % checkpointEvery == 0)
       commit(CommitManifest(nextV, java.time.Instant.now().toString,
-        current.getOrElse(Map.empty) ++ written))
+        current.getOrElse(Map.empty) ++ entries))
     else
       commit(CommitManifest(nextV, java.time.Instant.now().toString,
-        written, delta = Some(true)))
+        entries, delta = Some(true)))
   }
+
+  /** Distinct seed-42 xxhash64 key hashes of the batch, or None past the
+    * probe cap (then every touched file merges — correct, just unpruned).
+    * The batch is already persisted by [[upsert]], so this is one cheap
+    * distinct over cached rows; the cap bounds BOTH the driver collect and
+    * the O(files × keys) Bloom probing. */
+  private def batchKeyHashes(incoming: DataFrame,
+      cap: Int = 10000): Option[Array[Long]] = {
+    val hs = incoming.select(
+      xxhash64(concat_ws("\u0000",
+        recordKeys.map(c => col(c).cast("string")): _*)).as("__h"))
+      .distinct().limit(cap + 1).collect().map(_.getLong(0))
+    if (hs.length > cap) None else Some(hs)
+  }
+
+  /** Sort-within-partitions on `clusterBy` before writing: with
+    * `maxRecordsPerFile` splitting a partition into slices, sorted rows
+    * make consecutive slices DISJOINT in the cluster key, so the file
+    * min/max index prunes a range predicate to ~one slice even inside a
+    * big partition (and parquet row-group stats tighten for free). Costs
+    * one in-task sort per write — no extra shuffle: sortWithinPartitions
+    * is narrow. */
+  private def clustered(df: DataFrame): DataFrame =
+    if (clusterBy.isEmpty) df
+    // partition columns FIRST: FileFormatWriter requires an ordering on
+    // the partition columns and would insert its own full sort (losing
+    // the cluster order) unless the incoming ordering already satisfies
+    // that prefix
+    else df.sortWithinPartitions((partCols ++ clusterBy).map(col): _*)
 
   /** Crash recovery for the write→commit window: a `data/<v>` dir with no
     * `_commits/<v>.json` is debris from an attempt that died after writing
@@ -341,9 +501,12 @@ final class VersionedLakeTable(spark: SparkSession, val spec: LakeTableSpec,
       s"VersionedLakeTable($path): nothing to compact — no commits"))
     val nextV = cur + 1
     val outDir = prepareVersionDir(nextV)
-    read(Some(cur)).repartition(partCols.map(col): _*)
-      .write.partitionBy(partCols: _*).parquet(outDir)
+    clustered(read(Some(cur)).repartition(partCols.map(col): _*))
+      .write.option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partCols: _*).parquet(outDir)
     val written = listWritten(Paths.get(outDir), nextV)
+    if (indexed) FileStatsIndex.writeSidecar(
+      spark, path, nextV, statsCols, recordKeys, keyBloomBits)
     commit(CommitManifest(nextV, java.time.Instant.now().toString, written))
   }
 
