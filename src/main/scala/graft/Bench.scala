@@ -82,7 +82,8 @@ object Bench {
     // Maintenance (write-side) entries: absolute seconds, min of two
     // passes, each pass on a FRESH fixture (untimed build) so the timed
     // thunk is pure maintenance work.
-    val maintResults = graft.bench.MaintenanceBench.entries
+    val maintResults = (graft.bench.MaintenanceBench.entries ++
+        graft.bench.ScaleBench.entries)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, mk) =>
         val ts = (1 to 2).flatMap { _ =>

@@ -142,6 +142,10 @@ object SparkEntry {
     "q128_banded_capped"   -> (PipelineQueries.q128BandedCapped _),
     "q129_stats_pruned"    -> (CdcQueries.q129StatsPrunedRead _),
     "q130_bloom_lookup"    -> (CdcQueries.q130BloomLookup _),
+    "q131_heavy_hitters"   -> (PipelineQueries.q131HeavyHitters _),
+    "q132_ccnet_buckets"   -> (PipelineQueries.q132PerplexityBuckets _),
+    "q133_token_budget"    -> (PipelineQueries.q133TokenBudget _),
+    "q134_pq_recall"       -> (PipelineQueries.q134PqRecall _),
   )
 
   /** Untimed per-query setup the bench runs before timing (ingest-side
@@ -171,7 +175,8 @@ object SparkEntry {
     "q104_asof_state", "q105_range_incidents", "q107_asof_scale10",
     "q111_hybrid_rrf", "q112_dsir_weights", "q114_bpe_merges",
     "q115_dsir_scale10", "q117_dsir_scale100",
-    "q126_asof_hot", "q127_asof_uniform")
+    "q126_asof_hot", "q127_asof_uniform",
+    "q131_heavy_hitters", "q132_ccnet_buckets")
 
   /** Bench entries long enough (tens of seconds — the ×100 scale pass)
     * that scheduling noise is <2% of runtime: they get one timed pass
@@ -309,6 +314,10 @@ object SparkEntry {
     "q128_banded_capped"   -> PipelineQueries.q128BandedCappedSql,
     "q129_stats_pruned"    -> CdcQueries.q129StatsPrunedReadSql,
     "q130_bloom_lookup"    -> CdcQueries.q130BloomLookupSql,
+    "q131_heavy_hitters"   -> PipelineQueries.q131HeavyHittersSql,
+    "q132_ccnet_buckets"   -> PipelineQueries.q132PerplexityBucketsSql,
+    "q133_token_budget"    -> PipelineQueries.q133TokenBudgetSql,
+    "q134_pq_recall"       -> PipelineQueries.q134PqRecallSql,
   )
 
   /** DECLARED oracle-less entries: queries whose semantics are not

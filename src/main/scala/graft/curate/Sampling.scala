@@ -89,6 +89,41 @@ object Sampling {
     * from it and broadcast back — the corpus stream itself is filtered
     * map-side and never shuffles. Deterministic md5 buckets make the
     * rebalanced corpus reproducible run-over-run and engine-over-engine. */
+  /** Downsample each domain to a TOKEN budget (not a row budget): with a
+    * total budget of `budgetFrac` × corpus tokens split across domains in
+    * proportion to `weight` (any per-domain expression — must be constant
+    * within a domain), each domain keeps a deterministic
+    * `min(1, budget·w_d / (Σw · tokens_d))` fraction of its documents.
+    * Training mixtures are specified in TOKENS (a domain of long documents
+    * must sample harder than one with the same row count of tweets);
+    * [[rebalanceToMixture]] is the row-count analog.
+    *
+    * Plan shape at 100 TB: one partial-agg token sum per domain (the only
+    * corpus shuffle, cardinality = |domains|), a 1-row total aggregated
+    * from that bounded frame, thresholds broadcast back — the corpus
+    * stream itself is filtered map-side by its md5 bucket and never
+    * shuffles. Note the kept fraction is of each domain's DOCUMENTS;
+    * kept tokens track the budget exactly in expectation, with per-domain
+    * deviation bounded by document-length variance (exact-token packing is
+    * [[graft.curate.Packing]]'s job downstream). */
+  def sampleToTokenBudget(df: DataFrame, domainCol: String, tokensCol: Column,
+      key: Column, budgetFrac: Double, weight: Column): DataFrame = {
+    require(budgetFrac > 0 && budgetFrac <= 1,
+      s"sampleToTokenBudget: budgetFrac must be in (0,1], got $budgetFrac")
+    val stats = df.groupBy(col(domainCol).as("__domain"))
+      .agg(sum(tokensCol).as("__toks"), max(weight.cast("double")).as("__w"))
+    val totals = stats.agg(sum(col("__toks")).cast("double").as("__tt"),
+      sum(col("__w")).as("__sw"))
+    val thresholds = stats.crossJoin(broadcast(totals))
+      .select(col("__domain"),
+        floor(least(lit(1.0),
+          lit(budgetFrac) * col("__tt") * col("__w") / col("__sw")
+            / col("__toks")) * Buckets).cast("long").as("__thr"))
+    df.join(broadcast(thresholds), col(domainCol) === col("__domain"))
+      .filter(bucket(key) < col("__thr"))
+      .drop("__domain", "__thr")
+  }
+
   def rebalanceToMixture(df: DataFrame, stratumCol: String, key: Column,
       targets: Map[String, Double]): DataFrame = {
     require(targets.nonEmpty, "rebalanceToMixture: empty target mixture")

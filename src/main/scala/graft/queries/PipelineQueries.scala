@@ -9,8 +9,8 @@ import graft.curate.Chunking
 import graft.dedup.{Dedup, SpanDedup}
 import graft.functions.GraftFunctions
 import graft.multimodal.{AudioDedup, AudioOps, Banded64, ImageDedup, ImageOps, MultimodalOps, VideoOps}
-import graft.sim.{Quantize, Similarity}
-import graft.text.{Bpe, HashClassifier, NgramLM, Repetition, Retrieval, TextOps, TfIdf}
+import graft.sim.{ProductQuantize, Quantize, Similarity}
+import graft.text.{Bpe, HashClassifier, HeavyHitters, NgramLM, Repetition, Retrieval, TextOps, TfIdf}
 
 /** CORRECTNESS entries for the large-scale training-data-pipeline operator
   * families (dedup, similarity search, text analysis, multimodal), over the
@@ -1915,4 +1915,162 @@ object PipelineQueries {
   def q114BpeMerges(s: SparkSession, dir: String): DataFrame =
     Bpe.trainTable(s, docs(s, dir), "text", nMerges = 16)
       .orderBy("rank")
+
+  // --------------------------------------------------------------- q131
+  /** Exact vocabulary heavy hitters WITHOUT a vocabulary-sized shuffle
+    * ([[graft.text.HeavyHitters]]): per-partition Misra–Gries candidates
+    * (bounded memory, guaranteed superset of everything above N/k), then
+    * one recount scan of only the candidates. q85's full `GROUP BY token`
+    * shuffles the whole vocabulary — billions of distinct strings on web
+    * text; this answers the frequent-token question with shuffles bounded
+    * by k·partitions. The oracle recomputes the same `count·k > N` set the
+    * slow way, pinning that no approximation leaks into the output. */
+  def q131HeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .select(explode(TextOps.words(TextOps.normalized(col("text"))))
+        .as("token"))
+      .filter(col("token") =!= "")
+    HeavyHitters.exact(toks, k = 200)
+      .orderBy(col("n").desc, col("token").asc)
+  }
+
+  val q131HeavyHittersSql: String =
+    s"""WITH toks AS (SELECT unnest($wordsSql) AS token FROM documents),
+      |t AS (SELECT token FROM toks WHERE token <> '')
+      |SELECT token, COUNT(*) AS n
+      |FROM t
+      |GROUP BY token
+      |HAVING COUNT(*) * 200 > (SELECT COUNT(*) FROM t)
+      |ORDER BY n DESC, token ASC""".stripMargin
+
+  // --------------------------------------------------------------- q132
+  /** CCNet-style perplexity bucketing
+    * ([[graft.text.NgramLM.perplexityBuckets]]): self-score the corpus
+    * under its own bigram LM (the q99 machinery), then label head/middle/
+    * tail at the exact interpolated 33rd/67th score percentiles — cutoffs
+    * via one bounded aggregate broadcast back, NOT an ntile global sort.
+    * Scores round to 6 decimals before the percentile and the compare, so
+    * the cutoff arithmetic and bucket tests are bit-identical across
+    * engines (the `ln` ulp rule q99 established). */
+  def q132PerplexityBuckets(s: SparkSession, dir: String): DataFrame =
+    NgramLM.perplexityBuckets(docs(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  val q132PerplexityBucketsSql: String =
+    s"""WITH w AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+      |p0 AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+      |    i -> {'w1': ws[i], 'w2': ws[i+1]})) AS p
+      |  FROM w),
+      |p2 AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM p0),
+      |bc AS (SELECT w1, w2, CAST(COUNT(*) AS DOUBLE) AS cb
+      |       FROM p2 GROUP BY 1, 2),
+      |cc AS (SELECT w1, CAST(COUNT(*) AS DOUBLE) AS cw FROM p2 GROUP BY 1),
+      |v AS (SELECT CAST(COUNT(DISTINCT word) AS DOUBLE) AS v
+      |      FROM (SELECT unnest(ws) AS word FROM w)),
+      |sc AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |    avg(-ln((cb + CAST(1 AS DOUBLE)) / (cw + v))) AS score
+      |  FROM p2 JOIN bc USING (w1, w2) JOIN cc USING (w1) CROSS JOIN v
+      |  GROUP BY 1),
+      |scored AS (
+      |  SELECT w.doc_id, CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+      |    round(COALESCE(score, CAST(0 AS DOUBLE)), 6) AS score
+      |  FROM w LEFT JOIN sc ON w.doc_id = sc.doc_id),
+      |cuts AS (SELECT quantile_cont(score, 0.33) AS lo,
+      |                quantile_cont(score, 0.67) AS hi
+      |         FROM scored)
+      |SELECT doc_id, n_bigrams, score,
+      |  CASE WHEN score <= lo THEN 'head'
+      |       WHEN score <= hi THEN 'middle'
+      |       ELSE 'tail' END AS bucket
+      |FROM scored CROSS JOIN cuts
+      |ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------- q133
+  /** Token-budget mixture sampling
+    * ([[graft.curate.Sampling.sampleToTokenBudget]]): 40% of the corpus's
+    * tokens, split across sources with weights 1 + (source# mod 3) — the
+    * "n epochs of domain d under a total token budget" allocator every
+    * training-mixture spec reduces to, with the keep decision per-document
+    * md5-deterministic. Output is the per-source survivor summary (all
+    * integer columns); the oracle replays the whole allocation — domain
+    * token sums, weight normalization, floor-quantized thresholds, bucket
+    * filter — in SQL. */
+  def q133TokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+      .withColumn("__tok", size(split(trim(col("text")), "\\s+")))
+    val weight = lit(1) + substring(col("source"), 4, 10).cast("int") % 3
+    Sampling.sampleToTokenBudget(d, "source", col("__tok"), col("doc_id"),
+        budgetFrac = 0.4, weight = weight)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs_kept"), sum(col("__tok")).as("toks_kept"))
+      .orderBy("source")
+  }
+
+  // --------------------------------------------------------------- q134
+  /** Product-quantization ANN quality gate
+    * ([[graft.sim.ProductQuantize]]), the q71 pattern: PQ codes are
+    * engine-specific (hash-seeded k-means codebooks), but the defining
+    * property is not — the ADC-shortlist + exact-re-rank pipeline over
+    * 8-byte codes (32× in-memory index compression; m=8 × ksub=16 over
+    * the 64-dim corpus) must recover the exact brute-force cosine
+    * neighborhood. For each of 8 query vectors, compare PQ top-10
+    * (shortlist 100, exact re-rank) against exact top-10 and pin the
+    * recall floors the oracle asserts TRUE. Calibration: observed
+    * per-query min 8/10 and total 71/80 (89%) on the corpus embeddings;
+    * pinned floors 4/10 and 60% leave margin for corpus regeneration.
+    * ADC WITHOUT re-rank measures 30–46% here — the corpus's cosine gaps
+    * sit below 8-byte quantization error, which is exactly why the
+    * production pipeline re-ranks (see [[ProductQuantize.adcTopKRerank]]). */
+  def q134PqRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val queries = e.filter(col("vec_id") < 8)
+    val model = ProductQuantize.train(e, "vec_id", "embedding", dim = 64,
+      m = 8, ksub = 16)
+    val enc = ProductQuantize.encode(e, "vec_id", "embedding", model)
+    val pq = ProductQuantize.adcTopKRerank(e, enc, queries, "vec_id",
+      "embedding", model, k = 10, shortlist = 100)
+      .select(col("q_id"), col("n_id"))
+    val brute = Similarity.bruteForceTopK(e, queries, "vec_id", "embedding",
+      k = 10).select(col("q_id"), col("n_id"))
+    val hits = brute.join(pq, Seq("q_id", "n_id"), "left_semi")
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))
+    brute.select(col("q_id")).distinct()
+      .join(hits, Seq("q_id"), "left")
+      .agg(
+        count(lit(1)).as("n_queries"),
+        (min(coalesce(col("n_hits"), lit(0L))) >= 4L).as("each_query_ok"),
+        (sum(coalesce(col("n_hits"), lit(0L))) >=
+          ceil(count(lit(1)) * 10 * 0.6)).as("total_recall_ok"))
+  }
+
+  val q134PqRecallSql: String =
+    """SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_queries,
+      |  TRUE AS each_query_ok, TRUE AS total_recall_ok
+      |FROM embeddings WHERE vec_id < 8""".stripMargin
+
+  val q133TokenBudgetSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |    len(regexp_split_to_array(trim(text), '\s+')) AS tok,
+      |    CAST(1 + CAST(substr(source, 4) AS INT) % 3 AS DOUBLE) AS w
+      |  FROM documents),
+      |stats AS (
+      |  SELECT source, CAST(SUM(tok) AS BIGINT) AS dtoks, MAX(w) AS w
+      |  FROM t GROUP BY source),
+      |tot AS (SELECT CAST(SUM(dtoks) AS DOUBLE) AS tt, SUM(w) AS sw
+      |        FROM stats),
+      |thr AS (
+      |  SELECT source,
+      |    CAST(floor(least(1.0, 0.4 * tt * w / sw / dtoks) * 10000)
+      |      AS BIGINT) AS thr
+      |  FROM stats CROSS JOIN tot),
+      |kept AS (
+      |  SELECT t.source, t.tok FROM t JOIN thr USING (source)
+      |  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+      |    AS BIGINT) % 10000 < thr)
+      |SELECT source, COUNT(*) AS docs_kept, CAST(SUM(tok) AS BIGINT) AS toks_kept
+      |FROM kept GROUP BY source
+      |ORDER BY source""".stripMargin
 }

@@ -110,6 +110,39 @@ object NgramLM {
         coalesce(col("score"), lit(0.0)).as("score"))
   }
 
+  /** CCNet-style corpus partition by LM score: self-score every document
+    * ([[bigramScore]]), then split the corpus into `head` / `middle` /
+    * `tail` at the `loFrac`/`hiFrac` exact interpolated percentiles of the
+    * per-doc score (lower score = more fluent = head — the bucket CCNet
+    * trains on first). Wenzek et al., *CCNet* (LREC 2020) partition by
+    * thirds of LM perplexity; this is that operator with the LM itself
+    * relational.
+    *
+    * Scale shape: the two cutoffs are ONE bounded aggregate over the
+    * scored frame, broadcast back as a 1-row frame — no global sort, no
+    * window, no ntile. The scored subtree feeds both the cutoff aggregate
+    * and the labeling projection; its exchanges canonicalize identically
+    * on both paths, so ReuseExchange evaluates the scoring pipeline once.
+    *
+    * Cross-engine contract: scores are rounded to 6 decimals BEFORE the
+    * percentile/compare (the `ln` ulp rule above), so the cutoffs and the
+    * `<=` bucket tests run on bit-identical doubles in any engine. */
+  def perplexityBuckets(df: DataFrame, idCol: String, textCol: String,
+      loFrac: Double = 0.33, hiFrac: Double = 0.67): DataFrame = {
+    require(0 < loFrac && loFrac < hiFrac && hiFrac < 1,
+      s"perplexityBuckets: need 0 < loFrac < hiFrac < 1, got $loFrac/$hiFrac")
+    val scored = bigramScore(df, idCol, textCol)
+      .withColumn("score", round(col("score"), 6))
+    val cuts = scored.agg(
+      expr(s"percentile(score, $loFrac)").as("__lo"),
+      expr(s"percentile(score, $hiFrac)").as("__hi"))
+    scored.crossJoin(broadcast(cuts))
+      .select(col(idCol), col("n_bigrams"), col("score"),
+        when(col("score") <= col("__lo"), lit("head"))
+          .when(col("score") <= col("__hi"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
   /** Self-scoring: train on `df` and score `df` (the q99 oracle form —
     * every bigram/context is in-model, so the left-join backoff never
     * fires and the result equals the original inner-join spelling). The

@@ -67,6 +67,26 @@ class NgramLMSpec extends AnyFunSuite with SparkSpec {
       && out(2).getDouble(2) < out(1).getDouble(2))
   }
 
+  test("perplexityBuckets: thirds partition, lower score = head, " +
+    "cutoffs are the exact interpolated percentiles") {
+    // 9 docs with strictly increasing atypicality → strictly increasing
+    // score; thirds must land 3/3/3 with the most fluent docs in head.
+    val corpus = (1L to 9L).map { i =>
+      // doc i: the common phrase repeated (9-i) times, then i rare words
+      val common = Seq.fill(9 - i.toInt + 1)("a b").mkString(" ")
+      val rare = (1 to i.toInt).map(j => s"r${i}x$j").mkString(" ")
+      (i, s"$common $rare")
+    }.toDF("doc_id", "text")
+    val out = NgramLM.perplexityBuckets(corpus, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val scores = out.map(_.getDouble(2))
+    assert(scores.sliding(2).forall(p => p(0) < p(1)),
+      s"scores must increase with atypicality: ${scores.mkString(",")}")
+    val buckets = out.map(_.getString(3)).toSeq
+    assert(buckets == Seq("head", "head", "head", "middle", "middle",
+      "middle", "tail", "tail", "tail"), buckets.toString)
+  }
+
   test("alpha scales smoothing: larger alpha flattens the model") {
     val flat = NgramLM.bigramScore(docs, "doc_id", "text", alpha = 1e6)
       .orderBy("doc_id").collect()

@@ -1,0 +1,121 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.sim.{ProductQuantize, Similarity}
+
+/** Product quantization: planted-cluster encode/search behavior, the
+  * compression contract, and agreement with exact brute-force on
+  * structured data. */
+class ProductQuantizeSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private val dim = 16
+
+  /** nClusters planted centers, `per` noisy members each: member v of
+    * cluster c = unit bump at (c mod dim) plus a small deterministic
+    * per-member perturbation elsewhere — clusters are far apart, members
+    * close. */
+  private def planted(nClusters: Int, per: Int) = {
+    val rows = for (c <- 0 until nClusters; v <- 0 until per) yield {
+      val emb = Array.fill(dim)(0.05f)
+      emb(c % dim) = 1.0f
+      emb((c * 3 + v + 1) % dim) += 0.02f * ((v % 3) + 1)
+      ((c * per + v).toLong, emb.toSeq, c)
+    }
+    rows.toDF("vec_id", "embedding", "cluster")
+  }
+
+  test("encode: m codes per vector, all in [0, ksub); same planted " +
+    "cluster ⇒ same codes") {
+    val df = planted(4, 8)
+    val model = ProductQuantize.train(df, "vec_id", "embedding", dim,
+      m = 4, ksub = 4)
+    val enc = ProductQuantize.encode(df, "vec_id", "embedding", model)
+      .join(df.select(col("vec_id"), col("cluster")), "vec_id")
+      .select(col("vec_id"), col("codes"), col("cluster"))
+      .as[(Long, Seq[Long], Int)].collect()
+    assert(enc.forall(_._2.length == 4))
+    assert(enc.forall(_._2.forall(c => c >= 0 && c < 4)))
+    // within a planted cluster the dominant coordinate is shared; the
+    // subspace containing it must assign every member the same code (the
+    // small per-member perturbations may fragment OTHER subspaces — that
+    // is PQ's independence property, not an error)
+    val subDim = dim / 4
+    enc.groupBy(_._3).foreach { case (c, members) =>
+      val domSub = (c % dim) / subDim
+      val domCodes = members.map(_._2(domSub)).toSet
+      assert(domCodes.size == 1,
+        s"cluster $c fragmented in its dominant subspace: $domCodes")
+    }
+  }
+
+  test("adcTopK on planted clusters recovers the brute-force neighborhood") {
+    val df = planted(4, 8)
+    val model = ProductQuantize.train(df, "vec_id", "embedding", dim,
+      m = 4, ksub = 8)
+    val queries = df.filter(col("vec_id") % 8 === 0)
+    val enc = ProductQuantize.encode(df, "vec_id", "embedding", model)
+    val pq = ProductQuantize.adcTopK(enc, queries, "vec_id", "embedding",
+      model, k = 7)
+    val brute = Similarity.bruteForceTopK(df, queries, "vec_id", "embedding",
+      k = 7)
+    // top-7 of a query = the 7 other members of its planted cluster;
+    // PQ must recover a large majority of each query's true set
+    val hits = brute.select(col("q_id"), col("n_id"))
+      .join(pq.select(col("q_id"), col("n_id")), Seq("q_id", "n_id"),
+        "left_semi")
+      .groupBy("q_id").count().as[(Long, Long)].collect().toMap
+    assert(hits.size == 4)
+    hits.foreach { case (q, h) =>
+      assert(h >= 5, s"query $q recovered only $h of 7 true neighbors")
+    }
+  }
+
+  test("adcTopKRerank: exact re-rank restores exact order within the " +
+    "shortlist (rank-1 neighbor == brute-force rank-1)") {
+    val df = planted(4, 8)
+    val model = ProductQuantize.train(df, "vec_id", "embedding", dim,
+      m = 4, ksub = 8)
+    val queries = df.filter(col("vec_id") % 8 === 0)
+    val enc = ProductQuantize.encode(df, "vec_id", "embedding", model)
+    val pq = ProductQuantize.adcTopKRerank(df, enc, queries, "vec_id",
+      "embedding", model, k = 3, shortlist = 16)
+    val brute = Similarity.bruteForceTopK(df, queries, "vec_id", "embedding",
+      k = 3)
+    val top1 = pq.filter(col("rank") === 1)
+      .select(col("q_id"), col("n_id"), col("cosine"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (q, n, c) => q -> (n, c) }.toMap
+    val bruteTop1 = brute.filter(col("rank") === 1)
+      .select(col("q_id"), col("n_id"), col("cosine"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (q, n, c) => q -> (n, c) }.toMap
+    assert(top1.keySet == bruteTop1.keySet)
+    top1.foreach { case (q, (n, c)) =>
+      assert(bruteTop1(q)._1 == n, s"query $q top-1 mismatch")
+      assert(math.abs(bruteTop1(q)._2 - c) < 1e-12,
+        "re-ranked cosine must be the EXACT cosine")
+    }
+  }
+
+  test("train fails loudly on a dim/m mismatch") {
+    val df = planted(2, 2)
+    intercept[IllegalArgumentException] {
+      ProductQuantize.train(df, "vec_id", "embedding", dim, m = 5, ksub = 2)
+    }
+  }
+
+  test("codes are deterministic across runs (hash-seeded k-means)") {
+    val df = planted(3, 5)
+    def run() = {
+      val model = ProductQuantize.train(df, "vec_id", "embedding", dim,
+        m = 2, ksub = 4)
+      ProductQuantize.encode(df, "vec_id", "embedding", model)
+        .orderBy("vec_id").as[(Long, Seq[Long])].collect().toSeq
+    }
+    assert(run() == run())
+  }
+}

@@ -81,6 +81,44 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
       Sampling.rebalanceToMixture(df, "lang", col("id"), Map("lang0" -> -1.0)))
   }
 
+  test("token-budget sampling: rates track token mass, clamp at 1, " +
+    "and the kept set is the md5 bucket set") {
+    // dom A: 100 docs × 100 tokens = 10000; dom B: 100 docs × 10 = 1000.
+    // budgetFrac=0.5, equal weights → budget 5500, per-domain 2750:
+    // rate_A = 0.275, rate_B = 1.0 (clamped from 2.75).
+    val df = (0 until 200).map(i =>
+      (i.toLong, if (i < 100) "A" else "B", if (i < 100) 100 else 10))
+      .toDF("id", "dom", "tok")
+    val kept = Sampling.sampleToTokenBudget(df, "dom", col("tok"), col("id"),
+      budgetFrac = 0.5, weight = lit(1.0))
+    val byDom = kept.groupBy("dom").count().as[(String, Long)]
+      .collect().toMap
+    assert(byDom("B") == 100, "under-budget domain must keep everything")
+    // A keeps exactly the ids whose md5 bucket < floor(0.275*10000) = 2750
+    val thr = 2750L
+    val wantA = df.filter(col("dom") === "A")
+      .filter(Sampling.bucket(col("id")) < thr)
+      .select("id").as[Long].collect().sorted
+    val gotA = kept.filter(col("dom") === "A").select("id").as[Long]
+      .collect().sorted
+    assert(gotA.sameElements(wantA) && gotA.nonEmpty && gotA.length < 100)
+  }
+
+  test("token-budget sampling: weights shift the split between domains") {
+    val df = (0 until 200).map(i =>
+      (i.toLong, if (i < 100) "A" else "B", 50)).toDF("id", "dom", "tok")
+    // weight 3 vs 1 at budgetFrac 0.5: budget = 5000, A gets 3750 of
+    // 5000 domain tokens (rate .75), B gets 1250 (rate .25)
+    val kept = Sampling.sampleToTokenBudget(df, "dom", col("tok"), col("id"),
+      budgetFrac = 0.5, weight = when(col("dom") === "A", 3.0).otherwise(1.0))
+    val byDom = kept.groupBy("dom").count().as[(String, Long)]
+      .collect().toMap
+    val a = byDom.getOrElse("A", 0L).toDouble / 100
+    val b = byDom.getOrElse("B", 0L).toDouble / 100
+    assert(a > b, s"weighted domain must keep more (a=$a, b=$b)")
+    assert(math.abs(a - 0.75) < 0.15 && math.abs(b - 0.25) < 0.15)
+  }
+
   test("flat and stratified sampling plan zero exchanges; rebalance broadcasts") {
     val df = corpus(100)
     val flat = Sampling.sample(df, col("id"), 0.5)
