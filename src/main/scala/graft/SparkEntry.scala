@@ -146,6 +146,7 @@ object SparkEntry {
     "q132_ccnet_buckets"   -> (PipelineQueries.q132PerplexityBuckets _),
     "q133_token_budget"    -> (PipelineQueries.q133TokenBudget _),
     "q134_pq_recall"       -> (PipelineQueries.q134PqRecall _),
+    "q135_hll_incremental" -> (CdcQueries.q135HllIncremental _),
   )
 
   /** Untimed per-query setup the bench runs before timing (ingest-side
@@ -318,6 +319,7 @@ object SparkEntry {
     "q132_ccnet_buckets"   -> PipelineQueries.q132PerplexityBucketsSql,
     "q133_token_budget"    -> PipelineQueries.q133TokenBudgetSql,
     "q134_pq_recall"       -> PipelineQueries.q134PqRecallSql,
+    "q135_hll_incremental" -> CdcQueries.q135HllIncrementalSql,
   )
 
   /** DECLARED oracle-less entries: queries whose semantics are not

@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable per-group DISTINCT-COUNT state — the sketch-valued member of
+  * the incremental-maintenance family ([[IncrementalAgg]] maintains
+  * sum/count/min/max by signed retraction, but COUNT(DISTINCT) is not
+  * retraction-maintainable: you cannot know a removed value was the last
+  * occurrence without keeping the whole value set). The standard scale
+  * answer is a mergeable sketch: keep one HyperLogLog sketch per group as
+  * state, fold each new batch in by sketch UNION, and estimate on read.
+  * Union is associative/commutative and lossless over sketches of the
+  * same config — incremental maintenance gives BIT-IDENTICAL state to
+  * re-sketching the whole history, so the estimate never drifts with
+  * batch count or arrival order.
+  *
+  * Built on Spark's Apache DataSketches HLL built-ins (`hll_sketch_agg` /
+  * `hll_union_agg` / `hll_sketch_estimate`, codegen'd aggregates with
+  * map-side partial merge). State is one binary column per group — plain
+  * parquet, like [[IncrementalAgg]]'s state and [[graft.text.BigramModel]].
+  * At 100 TB: each batch pass shuffles |groups| sketches (≤ ~1.5 KiB each
+  * at the default lgK=12, fixed regardless of cardinality), the history is
+  * never rescanned, and a billion-key distinct count costs kilobytes of
+  * state per group with ~1.6% standard error (exact below ~512 distincts,
+  * where the sketch stays in sparse mode). */
+object SketchState {
+
+  /** One batch's per-group sketch state: (groupCol, `sketch` binary). */
+  def batchState(df: DataFrame, groupCol: String, valueCol: Column,
+      lgK: Int = 12): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(hll_sketch_agg(valueCol, lit(lgK)).as("sketch"))
+
+  /** Fold any number of per-group state frames into one by sketch union
+    * (null-group rows merge by null-safe grouping like any other group —
+    * the groupBy key equality is Spark's, which groups nulls together).
+    * Mixed-lgK states fail loudly (allowDifferentLgConfigK=false): a
+    * silent downgrade to the coarser sketch would quietly change the
+    * error bound mid-history. */
+  def merge(states: Seq[DataFrame]): DataFrame = {
+    require(states.nonEmpty, "SketchState.merge: no states")
+    states.reduce(_ unionByName _)
+      .groupBy(states.head.columns.head)
+      .agg(hll_union_agg(col("sketch"), lit(false)).as("sketch"))
+  }
+
+  /** Read side: per-group distinct estimate from the state. */
+  def estimate(state: DataFrame): DataFrame =
+    state.select(col(state.columns.head),
+      hll_sketch_estimate(col("sketch")).as("n_approx"))
+}

@@ -1476,4 +1476,41 @@ object CdcQueries {
       |FROM r
       |WHERE rn = 1 AND CAST(substring(id, 6) AS BIGINT) % 37 = 0
       |ORDER BY id""".stripMargin
+
+  // --------------------------------------------------------------- q135
+  /** Mergeable distinct-count sketch state ([[graft.ops.SketchState]]) —
+    * COUNT(DISTINCT) maintained incrementally where [[q124IncrementalAgg]]'s
+    * signed retraction cannot reach: the event stream arrives as three
+    * batches, each folds one HLL sketch per event_type into the state, and
+    * the read-side estimate must (a) equal the one-shot sketch of the full
+    * stream EXACTLY — union-merge is lossless, state never drifts with
+    * batch count — and (b) sit within 5% of the true distinct count
+    * (sparse-mode HLL is exact at this cardinality; the margin covers
+    * corpus growth). The oracle pins the exact count and both booleans. */
+  def q135HllIncremental(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.SketchState
+    val ev = events(s, dir)
+    val states = (0 to 2).map(i =>
+      SketchState.batchState(ev.filter(pmod(col("event_id"), lit(3)) === i),
+        "event_type", col("user_id")))
+    val merged = SketchState.estimate(SketchState.merge(states))
+    val oneShot = SketchState
+      .estimate(SketchState.batchState(ev, "event_type", col("user_id")))
+      .withColumnRenamed("n_approx", "n_oneshot")
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    exact.join(merged, "event_type").join(oneShot, "event_type")
+      .select(col("event_type"), col("n_exact"),
+        (col("n_approx") === col("n_oneshot")).as("merge_lossless"),
+        (abs(col("n_approx") - col("n_exact")) <=
+          col("n_exact").cast("double") * 0.05).as("err_ok"))
+      .orderBy("event_type")
+  }
+
+  val q135HllIncrementalSql: String =
+    """SELECT event_type, COUNT(DISTINCT user_id) AS n_exact,
+      |  TRUE AS merge_lossless, TRUE AS err_ok
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
 }

@@ -68,6 +68,22 @@ object HeavyHitters {
     }.toDF("token").distinct()
   }
 
+  /** The recount aggregation pre-checkpoint — exposed so the spec can
+    * plan-assert its shape (candidates broadcast into a LeftOuter
+    * BroadcastHashJoin; the token stream itself NEVER shuffles on token;
+    * the only token-stream exchange carries ≤ k·partitions + 1 partial
+    * groups): candidate tokens keep their identity, every other token
+    * folds into the null group, so one aggregation yields the exact
+    * candidate counts AND the exact stream total N (sum over all
+    * groups). */
+  private[graft] def recount(tokens: DataFrame, cands: DataFrame,
+      k: Int): DataFrame =
+    tokens
+      .join(broadcast(cands.withColumn("__cand", lit(true))),
+        Seq("token"), "left")
+      .groupBy(when(col("__cand"), col("token")).as("token"))
+      .agg(count(lit(1)).as("n"))
+
   /** Exact counts of every token whose global count strictly exceeds
     * `N / k` (integer-exact: `count * k > N`), as `(token, n)`.
     *
@@ -77,18 +93,10 @@ object HeavyHitters {
     val spark = tokens.sparkSession
     import spark.implicits._
     val cands = candidates(tokens.select(col("token")).as[String], k)
-    // One recount scan: candidate tokens keep their identity, every other
-    // token folds into the null group — so the same aggregation yields the
-    // exact candidate counts AND the exact stream total N (sum over all
-    // groups), with ≤ k·partitions + 1 groups in the shuffle. The counted
-    // frame is bounded and feeds two consumers (the total and the filter),
-    // so it is eagerly checkpointed — the AggOps pattern — instead of
-    // re-running the recount scan per consumer.
-    val counted = tokens
-      .join(broadcast(cands.withColumn("__cand", lit(true))),
-        Seq("token"), "left")
-      .groupBy(when(col("__cand"), col("token")).as("token"))
-      .agg(count(lit(1)).as("n"))
+    // The counted frame is bounded and feeds two consumers (the total and
+    // the filter), so it is eagerly checkpointed — the AggOps pattern —
+    // instead of re-running the recount scan per consumer.
+    val counted = recount(tokens, cands, k)
       .localCheckpoint(true)
     val total = counted.groupBy().agg(sum(col("n")).as("__total"))
     counted

@@ -44,6 +44,31 @@ class HeavyHittersSpec extends AnyFunSuite with SparkSpec {
     assert(heavy.subsetOf(cands), s"missing: ${heavy -- cands}")
   }
 
+  test("recount plans a LeftOuter BroadcastHashJoin — the token stream " +
+    "never shuffles on token") {
+    val toks = spark.createDataset(zipfy(50)).repartition(6).toDF("token")
+    val cands = HeavyHitters.candidates(toks.as[String], 10)
+    val counted = HeavyHitters.recount(toks, cands, 10)
+    counted.collect()
+    // keep only the AQE final-plan section: toString repeats the tree
+    // under "== Initial Plan ==", which would double-count exchanges
+    val p = counted.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      s"candidates must broadcast:\n$p")
+    // exactly ONE exchange partitions on a token column: the candidate
+    // set's own distinct (bounded at k·partitions rows). A second one
+    // would mean the raw token stream itself is shuffling on token — the
+    // full-vocabulary shuffle this operator exists to avoid. The recount
+    // aggregation's exchange must be on the folded CASE key instead.
+    val tokenShuffles =
+      "hashpartitioning\\(token".r.findAllIn(p).size
+    assert(tokenShuffles <= 1,
+      s"raw token stream shuffled on token ($tokenShuffles):\n$p")
+    assert(p.contains("hashpartitioning(_groupingexpression"),
+      s"recount must aggregate on the folded candidate key:\n$p")
+  }
+
   test("one heavy token in a sea of uniques is found with tiny k") {
     // 500×hot + 2000 uniques: N = 2500. k=6 → 3000 > 2500 (heavy);
     // k=4 → 2000 < 2500 (below threshold, exact filter drops it).
