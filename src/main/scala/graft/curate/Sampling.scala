@@ -75,20 +75,6 @@ object Sampling {
     df.filter(bucket(key) < thrCol)
   }
 
-  /** Rebalance the corpus to target mixture proportions by downsampling
-    * every stratum proportionally as far as possible without upsampling:
-    * with normalized weights `w_s`, the largest total `T` satisfying
-    * `T * w_s <= count_s` for every stratum is `T = min(count_s / w_s)`,
-    * giving per-stratum rates `w_s * T / count_s <= 1`. Strata absent
-    * from `targets` are dropped (rate 0) — rebalancing defines the
-    * mixture, so an unlisted source is excluded, loudly visible in the
-    * result counts.
-    *
-    * Plan shape at 100 TB: one partial-agg count per stratum (the only
-    * shuffle, cardinality = |strata|), a tiny threshold table derived
-    * from it and broadcast back — the corpus stream itself is filtered
-    * map-side and never shuffles. Deterministic md5 buckets make the
-    * rebalanced corpus reproducible run-over-run and engine-over-engine. */
   /** Downsample each domain to a TOKEN budget (not a row budget): with a
     * total budget of `budgetFrac` × corpus tokens split across domains in
     * proportion to `weight` (any per-domain expression — must be constant
@@ -105,12 +91,21 @@ object Sampling {
     * shuffles. Note the kept fraction is of each domain's DOCUMENTS;
     * kept tokens track the budget exactly in expectation, with per-domain
     * deviation bounded by document-length variance (exact-token packing is
-    * [[graft.curate.Packing]]'s job downstream). */
+    * [[graft.curate.Packing]]'s job downstream).
+    *
+    * A NULL domain raises, for the same reason [[bucket32]] raises on a
+    * NULL key: the budget join would otherwise silently drop the row
+    * (inner-join on a null key never matches), and a document with no
+    * domain is corrupt input to quarantine upstream, not a sampling
+    * decision. */
   def sampleToTokenBudget(df: DataFrame, domainCol: String, tokensCol: Column,
       key: Column, budgetFrac: Double, weight: Column): DataFrame = {
     require(budgetFrac > 0 && budgetFrac <= 1,
       s"sampleToTokenBudget: budgetFrac must be in (0,1], got $budgetFrac")
-    val stats = df.groupBy(col(domainCol).as("__domain"))
+    val guarded = df.withColumn(domainCol, coalesce(col(domainCol),
+      raise_error(lit("Sampling: NULL domain — domainless documents must " +
+        "be quarantined before budget sampling, not silently dropped"))))
+    val stats = guarded.groupBy(col(domainCol).as("__domain"))
       .agg(sum(tokensCol).as("__toks"), max(weight.cast("double")).as("__w"))
     val totals = stats.agg(sum(col("__toks")).cast("double").as("__tt"),
       sum(col("__w")).as("__sw"))
@@ -119,11 +114,26 @@ object Sampling {
         floor(least(lit(1.0),
           lit(budgetFrac) * col("__tt") * col("__w") / col("__sw")
             / col("__toks")) * Buckets).cast("long").as("__thr"))
-    df.join(broadcast(thresholds), col(domainCol) === col("__domain"))
+    guarded.join(broadcast(thresholds), col(domainCol) === col("__domain"))
       .filter(bucket(key) < col("__thr"))
       .drop("__domain", "__thr")
   }
 
+  /** Rebalance the corpus to target mixture proportions by downsampling
+    * every stratum proportionally as far as possible without upsampling:
+    * with normalized weights `w_s`, the largest total `T` satisfying
+    * `T * w_s <= count_s` for every stratum is `T = min(count_s / w_s)`,
+    * giving per-stratum rates `w_s * T / count_s <= 1`. Strata absent
+    * from `targets` are dropped (rate 0) — rebalancing defines the
+    * mixture, so an unlisted source is excluded, loudly visible in the
+    * result counts (a NULL stratum falls in the same bucket: it matches
+    * no target, so its rows are excluded like any other unlisted source).
+    *
+    * Plan shape at 100 TB: one partial-agg count per stratum (the only
+    * shuffle, cardinality = |strata|), a tiny threshold table derived
+    * from it and broadcast back — the corpus stream itself is filtered
+    * map-side and never shuffles. Deterministic md5 buckets make the
+    * rebalanced corpus reproducible run-over-run and engine-over-engine. */
   def rebalanceToMixture(df: DataFrame, stratumCol: String, key: Column,
       targets: Map[String, Double]): DataFrame = {
     require(targets.nonEmpty, "rebalanceToMixture: empty target mixture")

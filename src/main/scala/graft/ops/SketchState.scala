@@ -5,9 +5,12 @@ import org.apache.spark.sql.functions._
 
 /** Mergeable per-group DISTINCT-COUNT state — the sketch-valued member of
   * the incremental-maintenance family ([[IncrementalAgg]] maintains
-  * sum/count/min/max by signed retraction, but COUNT(DISTINCT) is not
-  * retraction-maintainable: you cannot know a removed value was the last
-  * occurrence without keeping the whole value set). The standard scale
+  * SUM/COUNT by signed retraction; MIN/MAX is already outside that family —
+  * retracting the current extremum needs either a bounded per-group top-k
+  * state or a rescan, and upsert-only CDC cannot even see the displaced
+  * value — and COUNT(DISTINCT) is further out still: you cannot know a
+  * removed value was the last occurrence without keeping the whole value
+  * set). The standard scale
   * answer is a mergeable sketch: keep one HyperLogLog sketch per group as
   * state, fold each new batch in by sketch UNION, and estimate on read.
   * Union is associative/commutative and lossless over sketches of the

@@ -1499,7 +1499,16 @@ object CdcQueries {
       .withColumnRenamed("n_approx", "n_oneshot")
     val exact = ev.groupBy(col("event_type"))
       .agg(countDistinct(col("user_id")).as("n_exact"))
-    exact.join(merged, "event_type").join(oneShot, "event_type")
+    // null-safe join keys: SketchState.merge explicitly supports a null
+    // group (groupBy groups nulls together), so an equi-join here would
+    // silently drop it — `<=>` keeps the comparison aligned with the
+    // groupBy semantics (latent on this fixture, which has no null
+    // event_type, but the query should not contradict the operator).
+    exact
+      .join(merged.withColumnRenamed("event_type", "__et_m"),
+        col("event_type") <=> col("__et_m"))
+      .join(oneShot.withColumnRenamed("event_type", "__et_o"),
+        col("event_type") <=> col("__et_o"))
       .select(col("event_type"), col("n_exact"),
         (col("n_approx") === col("n_oneshot")).as("merge_lossless"),
         (abs(col("n_approx") - col("n_exact")) <=

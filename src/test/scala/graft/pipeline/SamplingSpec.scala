@@ -72,6 +72,19 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
       s"unexpected error: $err")
   }
 
+  test("a NULL domain raises in token-budget sampling instead of " +
+    "silently vanishing through the threshold join") {
+    val df = Seq((1L, Option("A"), 10), (2L, Option.empty[String], 10))
+      .toDF("id", "dom", "tok")
+    val err = intercept[Exception] {
+      Sampling.sampleToTokenBudget(df, "dom", col("tok"), col("id"),
+        budgetFrac = 0.5, weight = lit(1.0)).collect()
+    }
+    assert(err.getMessage.contains("NULL domain") ||
+      Option(err.getCause).exists(_.getMessage.contains("NULL domain")),
+      s"unexpected error: $err")
+  }
+
   test("invalid rates and empty mixtures fail loudly") {
     val df = corpus(10)
     intercept[IllegalArgumentException](Sampling.sample(df, col("id"), 1.5))
