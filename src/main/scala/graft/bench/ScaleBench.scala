@@ -1,39 +1,130 @@
 package graft.bench
 
+import java.nio.file.Files
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.ops.SketchState
 import graft.sim.ProductQuantize
 import graft.text.{HeavyHitters, TextOps}
 
-/** Read-side scale benchmarks for the round-8 curation operators, in the
+/** Read-side scale benchmarks for the curation operators, in the
   * MaintenanceBench protocol (fixture built when the entry is CALLED —
   * untimed — returning the thunk the bench times; absolute seconds, knob
-  * pairs so the asserted asymptotics are measured, not argued):
+  * pairs so the asserted asymptotics are measured, not argued). Fixtures
+  * that feed MORE THAN ONE entry (or both passes of one) are materialized
+  * to scratch parquet once per JVM, so every timed thunk pays the same
+  * one-scan input cost and the pair isolates exactly the claim under test:
   *
-  *  - `m_hh_mg_x100` vs `m_hh_full_x100`: exact heavy hitters over a ×100
-  *    token stream (~25M tokens at sf0.1) — the bounded Misra–Gries
-  *    two-pass vs the full-vocabulary `GROUP BY`. Both produce the
-  *    identical exact answer (HeavyHittersSpec/q131 pin it); the claim
-  *    under test is that bounding the shuffle at k·partitions candidates
-  *    costs little even where the full shuffle still fits — at 100 TB the
-  *    full-vocabulary shuffle stops fitting, MG's does not.
+  *  - `m_hh_mg_x100` vs `m_hh_full_x100`: exact heavy hitters over the SAME
+  *    materialized ×100 token table (~25M tokens at sf0.1) — the bounded
+  *    Misra–Gries two-pass vs the full-vocabulary `GROUP BY`. Both produce
+  *    the identical exact answer (HeavyHittersSpec/q131 pin it) and both
+  *    timed thunks compute their own total N, so the pair is symmetric:
+  *    two scans each, the only difference the shuffle strategy. The claim
+  *    under test is that MG trades a bounded k·partitions shuffle for a
+  *    second scan at comparable wall-clock where the full vocabulary still
+  *    fits — at 100 TB the full-vocabulary shuffle stops fitting, MG's
+  *    never grows. (Round 8 derived the token stream lazily, so MG's two
+  *    passes each re-paid tokenization and the full side's N was computed
+  *    untimed — the recorded 3× deficit measured regex passes, not shuffle
+  *    strategy.)
   *  - `m_pq_encode_x200` / `m_pq_search_x200`: product-quantization index
   *    build (one narrow m-argmax projection) over a ×200-replicated
   *    embedding corpus (~100k × 64-dim), and ADC-shortlist + exact-re-rank
   *    search of 8 queries against it. The codebook training itself is the
   *    untimed fixture — it is the pay-once model build; encode cost is
   *    what every ingested batch pays, search cost is the per-query scan.
+  *  - `m_hll_fold_x10/x100` vs `m_hll_rescan_x10/x100`: incremental
+  *    distinct-count maintenance ([[SketchState]], pinned by q135) — fold
+  *    ONE new batch into the stored per-group sketch state vs re-sketching
+  *    the materialized history plus the batch. The fold reads |groups|
+  *    sketch rows + the batch, so it must be FLAT across the ×10→×100
+  *    history knob while the rescan grows ~linearly — the recorded numbers
+  *    for the O(batch) claim the scaladoc argues.
+  *  - `m_asof_buck_uniform_x10` vs `m_asof_plain_uniform_x10`: the
+  *    two-level bucketed as-of join vs the plain key-partitioned one on
+  *    the SAME materialized uniform-key facts/dims (the q127 shape,
+  *    inputs identical by construction). q126/q127 established the
+  *    bucketed path's skew win (hot key within 1.35× of uniform); this
+  *    pair records what the bucket-level carry-in machinery costs when
+  *    there is NO skew to defeat — if ~free, bucketed can be the default.
   */
 object ScaleBench {
 
-  private def replDocsTokens(s: SparkSession, dir: String,
-      times: Int): DataFrame =
-    graft.Tables.load(s, dir, "documents")
-      .select(col("text"), explode(sequence(lit(1), lit(times))).as("r"))
-      .select(explode(TextOps.words(TextOps.normalized(col("text"))))
-        .as("token"))
-      .filter(col("token") =!= "")
+  /** JVM-lifetime scratch-parquet memo: fixtures shared across entries and
+    * passes are built once, then re-read from disk by every consumer (the
+    * DSIR scratchDir move). Paths survive the bench's per-entry session
+    * restarts; the OS temp dir is reclaimed with the container. */
+  private val matCache = scala.collection.mutable.Map.empty[String, String]
+  private def materialized(s: SparkSession, key: String)
+      (build: => DataFrame): DataFrame = {
+    val path = matCache.synchronized {
+      matCache.getOrElseUpdate(key, {
+        val p = Files.createTempDirectory(s"graft_sbench_$key").toString + "/t"
+        build.write.parquet(p)
+        p
+      })
+    }
+    s.read.parquet(path)
+  }
+
+  /** The ×`times` token stream of the documents table, materialized. */
+  private def tokensFixture(s: SparkSession, dir: String, times: Int): DataFrame =
+    materialized(s, s"toks_x$times") {
+      graft.Tables.load(s, dir, "documents")
+        .select(col("text"), explode(sequence(lit(1), lit(times))).as("r"))
+        .select(explode(TextOps.words(TextOps.normalized(col("text"))))
+          .as("token"))
+        .filter(col("token") =!= "")
+    }
+
+  /** ×`times` event history with per-replica-distinct users, materialized:
+    * the stored past a distinct-count state summarizes. */
+  private def hllHistory(s: SparkSession, dir: String, times: Int): DataFrame =
+    materialized(s, s"hll_hist_x$times") {
+      graft.Tables.load(s, dir, "events")
+        .select(col("event_type"), col("user_id"),
+          explode(sequence(lit(0), lit(times - 1))).as("r"))
+        .select(col("event_type"),
+          (col("user_id") * times + col("r")).as("user_id"))
+    }
+
+  /** The per-group HLL state of [[hllHistory]], materialized — what an
+    * incremental pipeline actually stores between batches. */
+  private def hllState(s: SparkSession, dir: String, times: Int): DataFrame =
+    materialized(s, s"hll_state_x$times") {
+      SketchState.batchState(hllHistory(s, dir, times),
+        "event_type", col("user_id"))
+    }
+
+  /** One new batch with users disjoint from every history replica. */
+  private def hllBatch(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.load(s, dir, "events")
+      .select(col("event_type"), (-col("user_id") - 1).as("user_id"))
+
+  /** Uniform-key ×10 as-of inputs (the q127 shape), materialized. */
+  private def asofFixture(s: SparkSession, dir: String,
+      side: String): DataFrame =
+    materialized(s, s"asof_uni_$side") {
+      val ev = graft.queries.CdcQueries.events(s, dir)
+        .select(col("event_id"), col("ts_us"), col("user_id"),
+          col("event_type"), col("value"),
+          explode(sequence(lit(0L), lit(9L))).as("r"))
+        .select((col("event_id") * 10 + col("r")).as("event_id"),
+          (col("ts_us") + col("r")).as("ts_us"), col("user_id"),
+          col("event_type"), col("value"))
+      if (side == "facts")
+        ev.where(col("event_type") === "click")
+          .select(col("event_id"), col("ts_us"), col("user_id"), col("value"))
+      else
+        ev.where(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts_us"))
+          .agg(max(struct(col("event_id"), col("value"))).as("m"))
+          .select(col("user_id"), col("ts_us"),
+            col("m.event_id").as("state_id"), col("m.value").as("state_value"))
+    }
 
   private def replEmbeddings(s: SparkSession, dir: String,
       times: Int): DataFrame =
@@ -49,17 +140,21 @@ object ScaleBench {
 
   def entries: Seq[(String, (SparkSession, String) => () => Unit)] = Seq(
     "m_hh_mg_x100" -> ((s, dir) => {
-      val toks = replDocsTokens(s, dir, 100)
+      val toks = tokensFixture(s, dir, 100)
+      // two scans of the materialized tokens: MG candidates, then the
+      // bounded recount (which also yields N)
       () => noop(HeavyHitters.exact(toks, k = 200))
     }),
     "m_hh_full_x100" -> ((s, dir) => {
-      val toks = replDocsTokens(s, dir, 100)
-      // the same exact answer the slow way: full-vocabulary shuffle, then
-      // the identical strict integer threshold (N computed untimed — a
-      // concession TO this side; MG's timed pass computes N itself)
-      val n = toks.count()
-      () => noop(toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-        .filter(col("cnt") * 200 > n))
+      val toks = tokensFixture(s, dir, 100)
+      // the same exact answer via the full-vocabulary shuffle — also two
+      // scans (N, then the groupBy), so the pair differs only in shuffle
+      // strategy
+      () => {
+        val n = toks.count()
+        noop(toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") * 200 > n))
+      }
     }),
     "m_pq_encode_x200" -> ((s, dir) => {
       val base = graft.Tables.load(s, dir, "embeddings")
@@ -80,5 +175,42 @@ object ScaleBench {
                                // it is m_pq_encode_x200's number
       () => noop(ProductQuantize.adcTopKRerank(corpus, encoded, queries,
         "vec_id", "embedding", model, k = 10, shortlist = 100))
+    }),
+    "m_hll_fold_x10" -> ((s, dir) => {
+      val state = hllState(s, dir, 10)
+      val batch = hllBatch(s, dir)
+      () => noop(SketchState.estimate(SketchState.merge(Seq(state,
+        SketchState.batchState(batch, "event_type", col("user_id"))))))
+    }),
+    "m_hll_fold_x100" -> ((s, dir) => {
+      val state = hllState(s, dir, 100)
+      val batch = hllBatch(s, dir)
+      () => noop(SketchState.estimate(SketchState.merge(Seq(state,
+        SketchState.batchState(batch, "event_type", col("user_id"))))))
+    }),
+    "m_hll_rescan_x10" -> ((s, dir) => {
+      val hist = hllHistory(s, dir, 10)
+      val batch = hllBatch(s, dir)
+      () => noop(SketchState.estimate(SketchState.batchState(
+        hist.unionByName(batch), "event_type", col("user_id"))))
+    }),
+    "m_hll_rescan_x100" -> ((s, dir) => {
+      val hist = hllHistory(s, dir, 100)
+      val batch = hllBatch(s, dir)
+      () => noop(SketchState.estimate(SketchState.batchState(
+        hist.unionByName(batch), "event_type", col("user_id"))))
+    }),
+    "m_asof_buck_uniform_x10" -> ((s, dir) => {
+      val facts = asofFixture(s, dir, "facts")
+      val dims = asofFixture(s, dir, "dims")
+      () => noop(graft.operators.AsofJoin.asofBucketed(facts, dims,
+        "user_id", "ts_us", Seq("state_id", "state_value"),
+        ts => floor(ts / lit(21600000000L))))
+    }),
+    "m_asof_plain_uniform_x10" -> ((s, dir) => {
+      val facts = asofFixture(s, dir, "facts")
+      val dims = asofFixture(s, dir, "dims")
+      () => noop(graft.operators.AsofJoin.asof(facts, dims,
+        "user_id", "ts_us", Seq("state_id", "state_value")))
     }))
 }

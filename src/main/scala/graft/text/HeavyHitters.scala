@@ -88,7 +88,12 @@ object HeavyHitters {
     * `N / k` (integer-exact: `count * k > N`), as `(token, n)`.
     *
     * `tokens` must be a single string column named `token`. Two scans of
-    * the stream; all shuffles bounded by k·partitions candidates. */
+    * the stream; all shuffles bounded by k·partitions candidates. The two
+    * passes RE-EXECUTE the input plan — if `tokens` is derived (e.g. an
+    * explode over a tokenizer), pass a materialized frame (parquet / a
+    * checkpoint) instead, or the derivation cost is paid twice and
+    * dominates: at the ×100 bench scale tokenization is ~24 s/pass while
+    * each MG pass over materialized tokens is a fraction of that. */
   def exact(tokens: DataFrame, k: Int): DataFrame = {
     val spark = tokens.sparkSession
     import spark.implicits._
