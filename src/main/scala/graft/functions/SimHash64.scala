@@ -87,6 +87,10 @@ object GraftFunctions {
       "vec_dot", exprs => FloatDot(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "unscaled_fixed", UnscaledFixed.build, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "pq_encode",
+      exprs => PqEncode(exprs(0), exprs(1), exprs(2), exprs(3), exprs(4)),
+      "built-in")
   }
 }
 
@@ -106,6 +110,12 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[FloatDot].getName, "vec_dot"),
       (exprs: Seq[Expression]) => FloatDot(exprs(0), exprs(1))))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("pq_encode"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[PqEncode].getName, "pq_encode"),
+      (exprs: Seq[Expression]) =>
+        PqEncode(exprs(0), exprs(1), exprs(2), exprs(3), exprs(4))))
     ext.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("unscaled_fixed"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

@@ -70,21 +70,32 @@ object ProductQuantize {
     PQModel(m, subDim, books)
   }
 
-  /** Quantize every vector to its `m` codes: one narrow projection, each
-    * code an inlined argmin of L2 distance to the subspace's centroids
-    * (computed as argmax of `x·c − ‖c‖²/2`; ties to the smaller code).
+  /** Quantize every vector to its `m` codes: one narrow projection through
+    * the [[graft.functions.PqEncode]] kernel — m inlined argmins of L2
+    * distance to the subspace centroids (computed as argmax of
+    * `x·c − ‖c‖²/2`; ties to the smaller code), with the flat codebook as
+    * a primitive `double[]` plan constant and the whole row inside
+    * whole-stage codegen. (The round-8 composed form — a `transform` over
+    * an array-of-struct literal folded through `array_max` — computed the
+    * same codes but paid ~187 µs/vector in interpreted struct traversal;
+    * the kernel is the same arithmetic at primitive-loop cost.)
     * Output: (idCol, `codes` array<long>). */
   def encode(corpus: DataFrame, idCol: String, embCol: String,
       model: PQModel): DataFrame = {
-    val codes = (0 until model.m).map { j =>
-      val subj = slice(col(embCol), j * model.subDim + 1, model.subDim)
-      val bookLit = typedlit(model.books(j))
-      -array_max(transform(bookLit, (c, i) => struct(
-        (Similarity.dot(subj, c.getField("_1")) - c.getField("_2") / 2)
-          .as("s"),
-        (-i).cast("long").as("negc")))).getField("negc")
-    }
-    corpus.select(col(idCol), array(codes: _*).as("codes"))
+    // The kernel wants a rectangular m × ksub codebook; k-means can return
+    // fewer centroids for a subspace (an emptied cluster drops out of the
+    // mean groupBy). Pad short subspaces by REPEATING centroid 0 at the
+    // tail: the argmax keeps the smaller code on equal score, so a padded
+    // duplicate can never win and the codes are identical to the
+    // variable-length semantics.
+    val ksub = model.books.map(_.length).max
+    def padded(j: Int) =
+      model.books(j) ++ Seq.fill(ksub - model.books(j).length)(model.books(j).head)
+    val booksFlat = typedlit((0 until model.m).flatMap(j => padded(j).flatMap(_._1)))
+    val nrm2Flat = typedlit((0 until model.m).flatMap(j => padded(j).map(_._2)))
+    corpus.select(col(idCol),
+      call_function("pq_encode", col(embCol), booksFlat, nrm2Flat,
+        lit(model.m), lit(ksub)).as("codes"))
   }
 
   /** ADC top-k: rank the encoded corpus against each query by approximate

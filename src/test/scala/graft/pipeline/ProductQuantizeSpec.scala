@@ -108,6 +108,56 @@ class ProductQuantizeSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("encode kernel == driver-side reference argmax, float and double " +
+    "inputs, including a ragged (padded) codebook") {
+    import graft.sim.PQModel
+    // hand-built ragged model: subspace 0 has 3 centroids, subspace 1 has
+    // 2 — the kernel's rectangular padding must not change any code
+    def book(cs: Seq[Double]*) = cs.toIndexedSeq.map(c => (c, c.map(x => x * x).sum))
+    val model = PQModel(2, 2, IndexedSeq(
+      book(Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(0.7, 0.7)),
+      book(Seq(-1.0, 0.5), Seq(0.3, 0.3))))
+    def ref(v: Seq[Double]): Seq[Long] =
+      (0 until 2).map { j =>
+        val sub = v.slice(j * 2, j * 2 + 2)
+        model.books(j).zipWithIndex.map { case ((c, n2), i) =>
+          (sub.zip(c).map { case (a, b) => a * b }.sum - n2 / 2, i)
+        }.maxBy { case (s, i) => (s, -i) }._2.toLong
+      }
+    val vecs = Seq(
+      Seq(1.0, 0.1, -0.5, 0.4), Seq(0.1, 1.0, 0.2, 0.2),
+      Seq(0.7, 0.7, 0.0, 0.0), Seq(-1.0, -1.0, 1.0, 1.0))
+    val dfD = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+    val gotD = ProductQuantize.encode(dfD, "vec_id", "embedding", model)
+      .orderBy("vec_id").as[(Long, Seq[Long])].collect()
+    gotD.foreach { case (id, codes) =>
+      assert(codes == ref(vecs(id.toInt)), s"double vec $id") }
+    val dfF = vecs.zipWithIndex
+      .map { case (v, i) => (i.toLong, v.map(_.toFloat)) }
+      .toDF("vec_id", "embedding")
+    val gotF = ProductQuantize.encode(dfF, "vec_id", "embedding", model)
+      .orderBy("vec_id").as[(Long, Seq[Long])].collect()
+    gotF.foreach { case (id, codes) =>
+      assert(codes == ref(vecs(id.toInt).map(_.toFloat.toDouble)),
+        s"float vec $id") }
+  }
+
+  test("encode kernel: null and too-short embeddings yield null codes") {
+    import graft.sim.PQModel
+    val model = PQModel(2, 2, IndexedSeq.fill(2)(
+      IndexedSeq((Seq(1.0, 0.0), 1.0), (Seq(0.0, 1.0), 1.0))))
+    val df = Seq(
+      (1L, Option(Seq(1.0, 0.0, 0.0, 1.0))),
+      (2L, Option.empty[Seq[Double]]),
+      (3L, Option(Seq(1.0, 0.0)))) // shorter than m*subDim
+      .toDF("vec_id", "embedding")
+    val got = ProductQuantize.encode(df, "vec_id", "embedding", model)
+      .orderBy("vec_id").as[(Long, Option[Seq[Long]])].collect()
+    assert(got(0)._2.isDefined)
+    assert(got(1)._2.isEmpty && got(2)._2.isEmpty)
+  }
+
   test("codes are deterministic across runs (hash-seeded k-means)") {
     val df = planted(3, 5)
     def run() = {
