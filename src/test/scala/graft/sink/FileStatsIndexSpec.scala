@@ -220,6 +220,78 @@ class FileStatsIndexSpec extends AnyFunSuite with SparkSpec {
     assert(indexed.countRows() === indexed.read().count())
   }
 
+  test("footer harvest == aggregation scan, byte-identical sidecar entries " +
+    "(int/string/decimal/float/double kinds, with and without bloom)") {
+    val dir = tmpDir("vfooter") + "/data/0"
+    // exercise every footer-renderable kind, nulls included, across
+    // several files (one per partition dir, like a real version dir)
+    val rows = (0 until 60).map { i =>
+      (f"k$i%03d", f"p=${i % 3}", i.toLong,
+       if (i % 7 == 0) null else f"e$i%02d",
+       BigDecimal(i) / 100, i.toFloat / 3, i.toDouble / 7)
+    }
+    rows.toDF("id", "p", "amount", "entity", "dec", "f", "d")
+      .withColumn("dec", $"dec".cast("decimal(10,2)"))
+      .repartition($"p")
+      .write.partitionBy("p").parquet(dir)
+    val tablePath = dir.stripSuffix("/data/0")
+    val statsCols = Seq("amount", "entity", "dec", "f", "d")
+    val scan = FileStatsIndex.scanStats(spark, tablePath, dir, statsCols,
+      Seq("id"), 0)
+    val footer = FileStatsIndex.footerStats(spark, tablePath, dir, statsCols)
+    assert(footer.isDefined, "footer stats must be present for these kinds")
+    assert(footer.get === scan, "producers must emit identical entries")
+    // with bloom: footer stats + narrow key scan == full scan producer
+    val bits = 1 << 12
+    val scanB = FileStatsIndex.scanStats(spark, tablePath, dir, statsCols,
+      Seq("id"), bits)
+    val footerB = FileStatsIndex.withBlooms(spark, tablePath, dir,
+      footer.get, Seq("id"), bits)
+    assert(footerB === scanB)
+  }
+
+  test("footer-harvest write path launches zero Spark jobs (no bloom)") {
+    val table = new VersionedLakeTable(spark, statsSpec(tmpDir("vnojobs")),
+      statsCols = Seq("amount", "entity"))
+    table.upsert(txnsAcrossMinutes(4, 10).toDF())
+    // re-produce v0's sidecar in isolation and count jobs: the harvest is
+    // driver-side footer metadata only
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    val before = FileStatsIndex.readSidecar(table.spec.path, 0).get
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      FileStatsIndex.writeSidecar(spark, table.spec.path, 0,
+        Seq("amount", "entity"), Seq("id"), 0)
+      Thread.sleep(500)
+      assert(jobs.get() === 0,
+        s"footer harvest launched ${jobs.get()} Spark job(s)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    val after = FileStatsIndex.readSidecar(table.spec.path, 0).get
+    assert(after.files === before.files.map { case (f, fs) =>
+      f -> fs.copy(bloom = None) }, "re-harvest must reproduce the stats")
+  }
+
+  test("timestamp statsCols fall back to the scan producer and still " +
+    "index correctly") {
+    val dir = tmpDir("vts") + "/data/0"
+    val rows = Seq(
+      ("a", java.sql.Timestamp.valueOf("2024-01-01 10:00:00")),
+      ("b", java.sql.Timestamp.valueOf("2024-03-05 00:30:00")))
+    rows.toDF("id", "at").write.parquet(dir)
+    val tablePath = dir.stripSuffix("/data/0")
+    FileStatsIndex.writeSidecar(spark, tablePath, 0, Seq("at"), Seq("id"), 0)
+    val sc = FileStatsIndex.readSidecar(tablePath, 0).get
+    val all = sc.files.values.flatMap(_.cols("at").min).toSeq.sorted
+    assert(all.nonEmpty && all.head.startsWith("2024-01-01 10:00"),
+      s"scan fallback must render timestamps: $all")
+  }
+
   test("all-null stats column never matches a range") {
     val cs = ColStats("i", None, None, 10)
     assert(!cs.overlaps(Some(0), Some(100)))
