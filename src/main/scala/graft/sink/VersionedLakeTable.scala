@@ -20,9 +20,22 @@ import graft.ops.LakeOps
   * `checkpointEvery`-th commit are full checkpoints, so a reader resolves
   * any snapshot from at most `checkpointEvery` manifest reads. */
 final case class CommitManifest(version: Int, committedAt: String,
-    partitions: Map[String, Seq[String]], delta: Option[Boolean] = None) {
+    partitions: Map[String, Seq[String]], delta: Option[Boolean] = None,
+    touched: Option[Seq[String]] = None) {
   def isDelta: Boolean = delta.contains(true)
+  /** The partitions this commit actually CHANGED, for conflict checks:
+    * a delta changed exactly its entries; a full checkpoint records its
+    * `touched` explicitly (absent on pre-OCC manifests and on rollback/
+    * compaction, whose change set is the whole table — None = conflicts
+    * with everything). */
+  def changed: Option[Set[String]] = touched.map(_.toSet)
+    .orElse(if (isDelta) Some(partitions.keySet) else None)
 }
+
+/** The claim marker a writer stages with its data: records the touched
+  * partitions so CONCURRENT writers can check disjointness against an
+  * in-flight commit before its manifest exists. */
+private[sink] final case class CommitIntent(touched: Seq[String])
 
 /** Multi-version keyed lake table: the [[KeyedLakeTable]] merge semantics
   * under a commit log, giving snapshot reads (time travel), rollback, and
@@ -54,6 +67,31 @@ final case class CommitManifest(version: Int, committedAt: String,
   * [[graft.sink.Compaction]]-style rewrite of old partitions into a fresh
   * commit collapses it). Manifest renames are atomic on POSIX/HDFS;
   * object stores need a conditional-put primitive instead (documented).
+  *
+  * CONCURRENT WRITERS (optimistic concurrency, the Delta/Iceberg commit
+  * protocol re-derived on atomic renames): a 100 TB lake has many ingest
+  * jobs, and disjoint-partition delta commits are exactly the case
+  * optimistic concurrency admits cheaply — the reference instead
+  * serializes everything behind single-flight orchestration
+  * (`incremental_load_orchestration.py:367-414`, `cdk_define.py:316-318`
+  * max_concurrent_runs=1). Protocol: a writer merges against the head it
+  * read, stages its output plus a `_intent.json` (its touched partitions)
+  * under a unique hidden dir, then CLAIMS the first free version slot by
+  * atomically renaming the staged dir to `data/<v>`. Walking to the free
+  * slot it checks every interleaved commit — committed manifests via
+  * their recorded `touched` set, in-flight claims via their intent — and
+  * ABORTS with the precise overlapping partitions if any intersects its
+  * own (its merge is stale for them; re-running rebases onto the new
+  * head). Disjoint interleavings proceed: version numbers are assigned by
+  * claim order and each delta replaces only its own partitions, so the
+  * replay semantics compose. A full checkpoint is only written when
+  * nothing below it is still in flight (an uncommitted delta below a
+  * checkpoint would be silently shadowed); bootstrap (v0) is
+  * single-writer by construction. Crash debris — a claimed `data/<v>`
+  * with intent but no manifest — blocks only OVERLAPPING writers (loudly)
+  * and is reclaimed by [[cleanOrphans]] when no writer is in flight.
+  * Rollback and snapshot compaction remain conservative: they conflict
+  * with every concurrent commit.
   */
 final class VersionedLakeTable(spark: SparkSession, val spec: LakeTableSpec,
     checkpointEvery: Int = 10,
@@ -317,7 +355,6 @@ final class VersionedLakeTable(spark: SparkSession, val spec: LakeTableSpec,
     val touched = incoming.select(partCols.map(col): _*).distinct().collect()
       .map(partitionRelPath).toSet
     val curV = latestVersion
-    val nextV = curV.map(_ + 1).getOrElse(0)
     if (touched.isEmpty) // empty batch: no new version, nothing written
       return curV.getOrElse(
         throw new IllegalStateException(
@@ -378,34 +415,155 @@ final class VersionedLakeTable(spark: SparkSession, val spec: LakeTableSpec,
         }
     }
 
-    // immutable-file contract: new state lands under data/<nextV> only
-    val outDir = prepareVersionDir(nextV)
-    clustered(merged.repartition(partCols.map(col): _*))
-      .write.option("maxRecordsPerFile", maxRecordsPerFile)
-      .partitionBy(partCols: _*).parquet(outDir)
-
-    // manifest entries for what was just written (walk data/<nextV>)
-    val written = listWritten(Paths.get(outDir), nextV)
+    // immutable-file contract + optimistic concurrency: stage the new
+    // state (plus the intent marker) under a unique hidden dir, then
+    // claim a version slot by one atomic rename
+    val stage = stageWrite(merged)
+    val written = listWritten(stage)
     require(written.keySet == touched,
       s"VersionedLakeTable($path): wrote partitions ${written.keySet} " +
         s"but batch touched $touched")
+    JFiles.writeString(stage.resolve("_intent.json"),
+      Serialization.writePretty(CommitIntent(touched.toSeq.sorted)))
+    onBeforeClaim()
+    val (v, sawInFlight) = claimSlot(stage, curV, touched)
+
     // a touched partition's new entry = its rewritten files plus any
     // Bloom-carried old files (disjoint keys by no-false-negatives)
     val entries: Map[String, Seq[String]] = written.map { case (p, fs) =>
-      p -> (fs ++ carried.getOrElse(p, Nil)).sorted
+      p -> (fs.map(f => s"data/$v/$f") ++ carried.getOrElse(p, Nil)).sorted
     }
     // stats sidecar BEFORE the manifest commit: a committed version always
     // has its index; an orphan sidecar is overwritten on retry
     if (indexed) FileStatsIndex.writeSidecar(
-      spark, path, nextV, statsCols, recordKeys, keyBloomBits)
+      spark, path, v, statsCols, recordKeys, keyBloomBits)
     // O(touched) delta commit; full checkpoint at v0 and every
-    // checkpointEvery-th version so reads stay bounded-replay.
-    if (current.isEmpty || nextV % checkpointEvery == 0)
-      commit(CommitManifest(nextV, java.time.Instant.now().toString,
-        current.getOrElse(Map.empty) ++ entries))
+    // checkpointEvery-th version so reads stay bounded-replay. A full
+    // checkpoint resolves the head AT COMMIT TIME (interleaved disjoint
+    // commits included) and is skipped while any lower version is still
+    // in flight — a checkpoint above an uncommitted delta would silently
+    // shadow it once that delta lands.
+    val now = java.time.Instant.now().toString
+    val ourTouched = Some(touched.toSeq.sorted)
+    val prev = versions.filter(_ < v).lastOption
+    if (prev.isEmpty)
+      commit(CommitManifest(v, now, entries, touched = ourTouched))
+    else if (v % checkpointEvery == 0 && !sawInFlight)
+      commit(CommitManifest(v, now, resolved(prev.get) ++ entries,
+        touched = ourTouched))
     else
-      commit(CommitManifest(nextV, java.time.Instant.now().toString,
-        entries, delta = Some(true)))
+      commit(CommitManifest(v, now, entries, delta = Some(true),
+        touched = ourTouched))
+  }
+
+  /** Test seam: invoked after the batch is fully staged, immediately
+    * before the claim loop — lets a spec interleave a competing commit
+    * into the claim window. Production writers never set it. */
+  private[graft] var onBeforeClaim: () => Unit = () => ()
+
+  private def stageWrite(df: DataFrame): java.nio.file.Path = {
+    val stage = Paths.get(path, "data",
+      s".stage-${java.util.UUID.randomUUID.toString.take(8)}")
+    clustered(df.repartition(partCols.map(col): _*))
+      .write.option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partCols: _*).parquet(stage.toString)
+    stage
+  }
+
+  /** Walk to the first free version slot and atomically rename the staged
+    * dir into it. Every slot walked past is an interleaved commit: a
+    * committed manifest is checked through its `changed` set, an in-flight
+    * claim through its staged intent — any overlap with `touched` aborts
+    * (the caller's merge is stale for those partitions). Returns the
+    * claimed version and whether any slot below it is still in flight. */
+  private def claimSlot(stage: java.nio.file.Path, baseV: Option[Int],
+      touched: Set[String]): (Int, Boolean) = {
+    var v = baseV.map(_ + 1).getOrElse(0)
+    var sawInFlight = false
+    while (true) {
+      if (baseV.isEmpty && v > 0) {
+        deleteRecursively(stage)
+        throw new IllegalStateException(
+          s"VersionedLakeTable($path): concurrent bootstrap — another " +
+            "writer owns version 0; re-run this upsert to merge onto it")
+      }
+      val manifestP = commitsDir.resolve(f"$v%08d.json")
+      val dirP = Paths.get(path, "data", v.toString)
+      if (JFiles.exists(manifestP)) {
+        val ov = manifest(v).changed match {
+          case Some(ch) => touched intersect ch
+          case None     => touched // rollback/compaction/pre-OCC: all
+        }
+        if (ov.nonEmpty) abortStale(stage, v, ov, "committed")
+        v += 1
+      } else if (JFiles.exists(dirP)) {
+        val intentP = dirP.resolve("_intent.json")
+        if (JFiles.exists(intentP)) {
+          val theirs = JsonMethods.parse(JFiles.readString(intentP))
+            .extract[CommitIntent].touched.toSet
+          val ov = touched intersect theirs
+          if (ov.nonEmpty) abortStale(stage, v, ov, "claimed in flight")
+          sawInFlight = true
+          v += 1
+        } else {
+          // pre-OCC crash debris (data dir, no intent, no manifest): no
+          // snapshot references it — clear it and retry this slot
+          deleteRecursively(dirP)
+        }
+      } else {
+        try {
+          JFiles.move(stage, dirP, StandardCopyOption.ATOMIC_MOVE)
+          return (v, sawInFlight)
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => ()
+          // lost the rename race — re-examine the same slot (it now has
+          // an owner whose intent the next iteration checks)
+        }
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def abortStale(stage: java.nio.file.Path, v: Int,
+      overlap: Set[String], how: String): Nothing = {
+    deleteRecursively(stage)
+    throw new java.util.ConcurrentModificationException(
+      s"VersionedLakeTable($path): optimistic commit conflict — " +
+        s"partition(s) ${overlap.toSeq.sorted.mkString(", ")} were $how " +
+        s"at version $v after this writer read its base snapshot; this " +
+        "merge is stale for them. Re-run the upsert to rebase onto the " +
+        "new head.")
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (!JFiles.exists(p)) return
+    val s = JFiles.walk(p)
+    val doomed =
+      try {
+        val buf = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+        val it = s.iterator()
+        while (it.hasNext) buf += it.next()
+        buf.sortBy(-_.getNameCount)
+      } finally s.close()
+    doomed.foreach(JFiles.delete)
+  }
+
+  /** Delete data dirs no manifest has committed — crash debris from
+    * writers that died between stage/claim and manifest commit (such a
+    * dir blocks overlapping writers loudly until cleared). ONLY safe when
+    * no writer is in flight, like [[vacuumBefore]]. Returns the number of
+    * dirs removed. */
+  def cleanOrphans(): Int = {
+    val dataDir = Paths.get(path, "data")
+    if (!JFiles.isDirectory(dataDir)) return 0
+    val orphans = children(dataDir).filter { d =>
+      val n = d.getFileName.toString
+      JFiles.isDirectory(d) && (n.startsWith(".stage-") ||
+        (n.forall(_.isDigit) &&
+          !JFiles.exists(commitsDir.resolve(f"${n.toInt}%08d.json"))))
+    }
+    orphans.foreach(deleteRecursively)
+    orphans.size
   }
 
   /** Distinct seed-42 xxhash64 key hashes of the batch, or None past the
@@ -437,36 +595,17 @@ final class VersionedLakeTable(spark: SparkSession, val spec: LakeTableSpec,
     // that prefix
     else df.sortWithinPartitions((partCols ++ clusterBy).map(col): _*)
 
-  /** Crash recovery for the write→commit window: a `data/<v>` dir with no
-    * `_commits/<v>.json` is debris from an attempt that died after writing
-    * data but before its atomic manifest commit — no snapshot references
-    * it, so delete it rather than wedging the next writer on
-    * path-already-exists. Returns the dir path. */
-  private def prepareVersionDir(v: Int): String = {
-    val out = Paths.get(path, "data", v.toString)
-    if (JFiles.exists(out) &&
-        !JFiles.exists(commitsDir.resolve(f"$v%08d.json"))) {
-      val s = JFiles.walk(out)
-      val doomed =
-        try {
-          val buf = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
-          val it = s.iterator()
-          while (it.hasNext) buf += it.next()
-          buf.sortBy(-_.getNameCount)
-        } finally s.close()
-      doomed.foreach(JFiles.delete)
-    }
-    out.toString
-  }
-
-  private def listWritten(dir: java.nio.file.Path, v: Int): Map[String, Seq[String]] = {
+  /** partition-rel-path → data files under `dir`, both RELATIVE to `dir`
+    * (the caller prefixes `data/<v>/` once the staged dir's slot is
+    * known). */
+  private def listWritten(dir: java.nio.file.Path): Map[String, Seq[String]] = {
     def walk(p: java.nio.file.Path, depth: Int): Seq[(String, String)] =
       children(p).flatMap { c =>
         val n = c.getFileName.toString
         if (depth == 0) {
           if (JFiles.isRegularFile(c) && !n.startsWith("_") && !n.startsWith("."))
             Seq((dir.relativize(c.getParent).toString,
-              s"data/$v/${dir.relativize(c)}"))
+              dir.relativize(c).toString))
           else Seq.empty
         } else if (JFiles.isDirectory(c) && !n.startsWith("_"))
           walk(c, depth - 1)
@@ -479,7 +618,10 @@ final class VersionedLakeTable(spark: SparkSession, val spec: LakeTableSpec,
   // --------------------------------------------------------- time travel
 
   /** Restore the table to snapshot `v` as a NEW commit (history preserved:
-    * the bad commits stay readable until vacuumed). */
+    * the bad commits stay readable until vacuumed). Administrative:
+    * assumes no writer is in flight (a racing commit fails loudly on the
+    * manifest rename; the rollback manifest carries no `touched` set, so
+    * every writer whose base predates it rebases). */
   def rollback(v: Int): Int = {
     val target = resolved(v) // full checkpoint: a rollback restarts history
     val nextV = latestVersion.get + 1
@@ -499,19 +641,35 @@ final class VersionedLakeTable(spark: SparkSession, val spec: LakeTableSpec,
   def compactSnapshot(): Int = {
     val cur = latestVersion.getOrElse(throw new IllegalStateException(
       s"VersionedLakeTable($path): nothing to compact — no commits"))
-    val nextV = cur + 1
-    val outDir = prepareVersionDir(nextV)
-    clustered(read(Some(cur)).repartition(partCols.map(col): _*))
-      .write.option("maxRecordsPerFile", maxRecordsPerFile)
-      .partitionBy(partCols: _*).parquet(outDir)
-    val written = listWritten(Paths.get(outDir), nextV)
+    val stage = stageWrite(read(Some(cur)))
+    val written = listWritten(stage)
+    JFiles.writeString(stage.resolve("_intent.json"),
+      Serialization.writePretty(CommitIntent(written.keySet.toSeq.sorted)))
+    // a compaction's FULL manifest snapshots `cur` wholesale, so ANY
+    // interleaved commit — even a disjoint one — would be shadowed by it:
+    // conservative rule, compaction only proceeds on an unmoved head
+    val (v, sawInFlight) = claimSlot(stage, Some(cur), written.keySet)
+    if (sawInFlight || versions.filter(_ < v).lastOption != Some(cur)) {
+      deleteRecursively(Paths.get(path, "data", v.toString))
+      throw new java.util.ConcurrentModificationException(
+        s"VersionedLakeTable($path): commits interleaved during snapshot " +
+          s"compaction of v$cur — re-run compaction on the new head")
+    }
+    val entries = written.map { case (p, fs) =>
+      p -> fs.map(f => s"data/$v/$f").sorted
+    }
     if (indexed) FileStatsIndex.writeSidecar(
-      spark, path, nextV, statsCols, recordKeys, keyBloomBits)
-    commit(CommitManifest(nextV, java.time.Instant.now().toString, written))
+      spark, path, v, statsCols, recordKeys, keyBloomBits)
+    // touched = None: the compacted snapshot replaces every partition, so
+    // any writer whose base predates it must rebase (conservative)
+    commit(CommitManifest(v, java.time.Instant.now().toString, entries))
   }
 
   /** Drop snapshots before `keepFrom` and delete every data file no
-    * remaining snapshot references. Returns deleted file count. */
+    * remaining snapshot references. Returns deleted file count.
+    * Administrative: assumes no writer is in flight (a staged or claimed
+    * but uncommitted dir's files are not referenced by any manifest and
+    * would be swept). */
   def vacuumBefore(keepFrom: Int): Int = {
     val (drop, keep) = versions.partition(_ < keepFrom)
     require(keep.nonEmpty,

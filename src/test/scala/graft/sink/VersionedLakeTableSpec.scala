@@ -218,6 +218,127 @@ class VersionedLakeTableSpec extends AnyFunSuite with SparkSpec {
     assert(state(table.read(Some(3))) === at3)
   }
 
+  // ------------------------------------------------- optimistic concurrency
+
+  private def occTxn(key: String, minute: Int, at: Int, amount: Int) =
+    Workload.Txn(key, "a1", f"2024-01-01T00:$minute%02d:01.000000+0000",
+      f"2024-01-01T00:$minute%02d:0$at.000000+0000", "fuel", amount, 0, "v")
+
+  test("two interleaved writers on disjoint partitions both commit") {
+    val path = tmpDir("vlake-occ")
+    def mk() = new VersionedLakeTable(spark, LakeTableSpec(
+      path = path, recordKeys = Seq("id"),
+      precombine = "update_at", partitionSource = "create_at"))
+    val a = mk()
+    val b = mk()
+    a.upsert(Seq(occTxn("x", 1, 1, 10), occTxn("y", 2, 1, 20)).toDF()) // v0
+    // writer A stages an update to minute 01; in its claim window writer B
+    // commits an update to minute 02 — A must rebase to the next slot and
+    // both changes must land
+    a.onBeforeClaim = () =>
+      assert(b.upsert(Seq(occTxn("y", 2, 2, 21)).toDF()) === 1)
+    val v = try a.upsert(Seq(occTxn("x", 1, 2, 11)).toDF())
+    finally a.onBeforeClaim = () => ()
+    assert(v === 2, "A must claim the slot above B's interleaved commit")
+    assert(a.versions === Seq(0, 1, 2))
+    val amounts = a.read().select($"id", $"amount")
+      .as[(String, Int)].collect().toMap
+    assert(amounts === Map("x" -> 11, "y" -> 21),
+      "both writers' updates must be visible at the head")
+    // time travel still coherent: v1 has B's update only
+    val atV1 = a.read(Some(1)).select($"id", $"amount")
+      .as[(String, Int)].collect().toMap
+    assert(atV1 === Map("x" -> 10, "y" -> 21))
+  }
+
+  test("overlapping interleaved commit fails loudly, names the partition, " +
+    "cleans its staging, and a re-run rebases") {
+    val path = tmpDir("vlake-occ-conflict")
+    def mk() = new VersionedLakeTable(spark, LakeTableSpec(
+      path = path, recordKeys = Seq("id"),
+      precombine = "update_at", partitionSource = "create_at"))
+    val a = mk()
+    val b = mk()
+    a.upsert(Seq(occTxn("x", 1, 1, 10)).toDF()) // v0
+    a.onBeforeClaim = () => { b.upsert(Seq(occTxn("x", 1, 2, 11)).toDF()); () }
+    val ex = try intercept[java.util.ConcurrentModificationException] {
+      a.upsert(Seq(occTxn("x", 1, 3, 12)).toDF())
+    } finally a.onBeforeClaim = () => ()
+    assert(ex.getMessage.contains("create_minute=01"),
+      s"conflict must name the overlapping partition: ${ex.getMessage}")
+    assert(ex.getMessage.contains("version 1"))
+    // the loser's staging dir is cleaned up
+    val stray = java.nio.file.Files.list(
+      java.nio.file.Paths.get(path, "data")).iterator()
+    var stage = false
+    while (stray.hasNext) {
+      if (stray.next().getFileName.toString.startsWith(".stage")) stage = true
+    }
+    assert(!stage, "aborted writer must remove its staged dir")
+    // B's commit is intact; A re-running rebases onto it and wins latest
+    assert(a.read().select($"amount").as[Int].collect().toSeq === Seq(11))
+    assert(a.upsert(Seq(occTxn("x", 1, 3, 12)).toDF()) === 2)
+    assert(a.read().select($"amount").as[Int].collect().toSeq === Seq(12))
+  }
+
+  test("an in-flight claim blocks overlapping writers but not disjoint " +
+    "ones; cleanOrphans reclaims crash debris") {
+    val path = tmpDir("vlake-occ-inflight")
+    def mk() = new VersionedLakeTable(spark, LakeTableSpec(
+      path = path, recordKeys = Seq("id"),
+      precombine = "update_at", partitionSource = "create_at"))
+    val t = mk()
+    t.upsert(Seq(occTxn("x", 1, 1, 10), occTxn("y", 2, 1, 20)).toDF()) // v0
+    // simulate a writer that claimed slot 1 for minute 01 and died: data
+    // dir with an intent, no manifest
+    val claimed = java.nio.file.Paths.get(path, "data", "1")
+    java.nio.file.Files.createDirectories(claimed)
+    java.nio.file.Files.writeString(claimed.resolve("_intent.json"),
+      """{"touched":["create_year=2024/create_month=01/create_day=01/""" +
+        """create_hour=00/create_minute=01"]}""")
+    // overlapping writer: blocked loudly
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      t.upsert(Seq(occTxn("x", 1, 2, 11)).toDF())
+    }
+    assert(ex.getMessage.contains("in flight"), ex.getMessage)
+    // disjoint writer: skips the in-flight slot and commits above it
+    assert(t.upsert(Seq(occTxn("y", 2, 2, 21)).toDF()) === 2)
+    assert(t.versions === Seq(0, 2))
+    // the dead claim is reclaimed once no writer is in flight, after
+    // which the overlapping upsert proceeds
+    assert(t.cleanOrphans() === 1)
+    assert(!java.nio.file.Files.exists(claimed))
+    assert(t.upsert(Seq(occTxn("x", 1, 2, 11)).toDF()) === 3)
+    val amounts = t.read().select($"id", $"amount")
+      .as[(String, Int)].collect().toMap
+    assert(amounts === Map("x" -> 11, "y" -> 21))
+  }
+
+  test("a full checkpoint is deferred while a lower slot is in flight") {
+    val path = tmpDir("vlake-occ-ckpt")
+    def mk() = new VersionedLakeTable(spark, LakeTableSpec(
+      path = path, recordKeys = Seq("id"),
+      precombine = "update_at", partitionSource = "create_at"),
+      checkpointEvery = 2) // even versions want full checkpoints
+    val t = mk()
+    t.upsert(Seq(occTxn("x", 1, 1, 10), occTxn("y", 2, 1, 20)).toDF()) // v0
+    // dead in-flight claim at slot 1 (disjoint minute 03)
+    val claimed = java.nio.file.Paths.get(path, "data", "1")
+    java.nio.file.Files.createDirectories(claimed)
+    java.nio.file.Files.writeString(claimed.resolve("_intent.json"),
+      """{"touched":["create_year=2024/create_month=01/create_day=01/""" +
+        """create_hour=00/create_minute=03"]}""")
+    // our commit lands at slot 2 — a checkpoint position — but must be a
+    // DELTA: a checkpoint above the uncommitted slot-1 delta would shadow
+    // it if that writer ever landed
+    assert(t.upsert(Seq(occTxn("y", 2, 2, 21)).toDF()) === 2)
+    val manifest = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      path, "_commits", "00000002.json"))
+    assert(manifest.contains("\"delta\""),
+      "checkpoint must defer while a lower slot is in flight")
+    assert(t.read().count() === 2)
+  }
+
   test("empty batch commits nothing; bootstrap requires rows") {
     val table = newTable()
     intercept[IllegalStateException](
