@@ -147,6 +147,7 @@ object SparkEntry {
     "q133_token_budget"    -> (PipelineQueries.q133TokenBudget _),
     "q134_pq_recall"       -> (PipelineQueries.q134PqRecall _),
     "q135_hll_incremental" -> (CdcQueries.q135HllIncremental _),
+    "q136_concurrent_commits" -> (CdcQueries.q136ConcurrentCommits _),
   )
 
   /** Untimed per-query setup the bench runs before timing (ingest-side
@@ -320,6 +321,7 @@ object SparkEntry {
     "q133_token_budget"    -> PipelineQueries.q133TokenBudgetSql,
     "q134_pq_recall"       -> PipelineQueries.q134PqRecallSql,
     "q135_hll_incremental" -> CdcQueries.q135HllIncrementalSql,
+    "q136_concurrent_commits" -> CdcQueries.q136ConcurrentCommitsSql,
   )
 
   /** DECLARED oracle-less entries: queries whose semantics are not

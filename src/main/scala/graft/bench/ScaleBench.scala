@@ -21,15 +21,18 @@ import graft.text.{HeavyHitters, TextOps}
   *    materialized ×100 token table (~25M tokens at sf0.1) — the bounded
   *    Misra–Gries two-pass vs the full-vocabulary `GROUP BY`. Both produce
   *    the identical exact answer (HeavyHittersSpec/q131 pin it) and both
-  *    timed thunks compute their own total N, so the pair is symmetric:
-  *    two scans each, the only difference the shuffle strategy. The claim
-  *    under test is that MG trades a bounded k·partitions shuffle for a
-  *    second scan at comparable wall-clock where the full vocabulary still
-  *    fits — at 100 TB the full-vocabulary shuffle stops fitting, MG's
-  *    never grows. (Round 8 derived the token stream lazily, so MG's two
-  *    passes each re-paid tokenization and the full side's N was computed
-  *    untimed — the recorded 3× deficit measured regex passes, not shuffle
-  *    strategy.)
+  *    timed thunks compute their own total N, so the pair is symmetric and
+  *    the recorded ratio is MG's honest constant: two aggregation-grade
+  *    passes (candidate loop + recount) against the baseline's one, i.e.
+  *    ~2-4× wall-clock where the vocabulary still fits (profiled: the
+  *    recount alone costs about one codegen groupBy; the candidate loop
+  *    sits at the JVM-hash-loop floor). What MG buys for that constant is
+  *    memory- and shuffle-BOUNDEDNESS: the groupBy's state and shuffle
+  *    grow with the vocabulary (billions of distinct tokens at 100 TB),
+  *    MG's stay k·partitions forever. (Round 8 additionally derived the
+  *    token stream lazily, so MG's passes each re-paid ~24 s of
+  *    tokenization and the pair measured regex cost, not strategy; the
+  *    shared fixture removed that artifact.)
   *  - `m_pq_encode_x200` / `m_pq_search_x200`: product-quantization index
   *    build (one narrow m-argmax projection) over a ×200-replicated
   *    embedding corpus (~100k × 64-dim), and ADC-shortlist + exact-re-rank

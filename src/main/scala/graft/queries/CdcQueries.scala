@@ -1522,4 +1522,55 @@ object CdcQueries {
       |FROM events
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
+
+  // --------------------------------------------------------------- q136
+  /** Optimistic-concurrency commit protocol
+    * ([[graft.sink.VersionedLakeTable]] stage/claim/intent): writer A
+    * stages an upsert of the even-minute partitions; inside A's claim
+    * window (the onBeforeClaim seam) writer B commits the odd-minute
+    * partitions. B takes the slot A wanted; A detects the interleaved
+    * commit, proves disjointness from B's recorded touched set, and
+    * lands its delta on the next slot — no merge retry, no
+    * serialization (the reference serializes all writers behind
+    * max_concurrent_runs=1 orchestration; this is the multi-ingest-job
+    * regime a 100 TB lake actually runs). The final snapshot must hold
+    * BOTH writers' updates merged latest-wins over the bootstrap —
+    * exactly the q125 slice-1 oracle (every event with
+    * event_id % 3 <= 1). A lost update on either side, a false
+    * conflict, or a wrong replay order breaks the compare. */
+  def q136ConcurrentCommits(s: SparkSession, dir: String): DataFrame = {
+    val cdc = cdcView(s, dir)
+    val path = Files.createTempDirectory("graft_q136_lake").toString
+    def writer() = new graft.sink.VersionedLakeTable(s, LakeTableSpec(
+      path, recordKeys = Seq("id"), precombine = "update_at",
+      partitionSource = "create_at", tieBreak = Seq("event_id")))
+    val a = writer()
+    val b = writer()
+    a.upsert(cdc.filter(pmod(col("event_id"), lit(3)) === 0)) // v0
+    val upd = cdc.filter(pmod(col("event_id"), lit(3)) === 1)
+    val minutePar = pmod(substring(col("create_at"), 15, 2).cast("int"), lit(2))
+    a.onBeforeClaim = () => { b.upsert(upd.filter(minutePar === 1)); () }
+    try a.upsert(upd.filter(minutePar === 0))
+    finally a.onBeforeClaim = () => ()
+    require(a.versions == Seq(0, 1, 2),
+      s"expected B at v1 and A rebased to v2, got versions ${a.versions}")
+    a.read()
+      .select(snapshotCols.map(col): _*)
+      .orderBy("id")
+  }
+
+  val q136ConcurrentCommitsSql: String =
+    s"""WITH cdc AS ($cdcViewSql)
+      |SELECT id,
+      |  substring(create_at, 1, 4) AS create_year,
+      |  substring(create_at, 6, 2) AS create_month,
+      |  substring(create_at, 9, 2) AS create_day,
+      |  substring(create_at, 12, 2) AS create_hour,
+      |  substring(create_at, 15, 2) AS create_minute,
+      |  update_at, event_type, value, props, event_id
+      |FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY update_at DESC, event_id DESC) AS rn
+      |  FROM cdc WHERE event_id % 3 <= 1)
+      |WHERE rn = 1
+      |ORDER BY id""".stripMargin
 }
