@@ -515,9 +515,14 @@ final class VersionedLakeTable(spark: SparkSession, val spec: LakeTableSpec,
           JFiles.move(stage, dirP, StandardCopyOption.ATOMIC_MOVE)
           return (v, sawInFlight)
         } catch {
-          case _: java.nio.file.FileAlreadyExistsException => ()
           // lost the rename race — re-examine the same slot (it now has
-          // an owner whose intent the next iteration checks)
+          // an owner whose intent the next iteration checks). Linux
+          // rename(2) onto an existing non-empty dir surfaces as ENOTEMPTY
+          // (a bare FileSystemException), not FileAlreadyExists, so the
+          // discriminator is whether the slot is now occupied.
+          case _: java.nio.file.FileAlreadyExistsException => ()
+          case e: java.nio.file.FileSystemException =>
+            if (!JFiles.exists(dirP)) throw e
         }
       }
     }
