@@ -13,10 +13,17 @@ import org.apache.spark.sql.functions._
   * set). The standard scale
   * answer is a mergeable sketch: keep one HyperLogLog sketch per group as
   * state, fold each new batch in by sketch UNION, and estimate on read.
-  * Union is associative/commutative and lossless over sketches of the
-  * same config — incremental maintenance gives BIT-IDENTICAL state to
-  * re-sketching the whole history, so the estimate never drifts with
-  * batch count or arrival order.
+  * Union is associative/commutative, so the merged state's estimate is
+  * BATCHING-INVARIANT: any split of the stream into any number of
+  * batches, merged in any order, yields the identical estimate — the
+  * state never drifts with batch count or arrival order (pinned by q135
+  * at sparse AND dense cardinalities). One caveat, straight from the
+  * DataSketches semantics: a single-pass UNMERGED sketch estimates
+  * through the order-dependent HIP estimator, which a union does not
+  * preserve, so a merged state's estimate need not equal a direct
+  * one-shot sketch's — both sit within the same error bounds, and an
+  * incremental pipeline always reads through the merge path anyway.
+  * Below the sparse threshold (~512 distincts) estimates are exact.
   *
   * Built on Spark's Apache DataSketches HLL built-ins (`hll_sketch_agg` /
   * `hll_union_agg` / `hll_sketch_estimate`, codegen'd aggregates with

@@ -1480,23 +1480,35 @@ object CdcQueries {
   // --------------------------------------------------------------- q135
   /** Mergeable distinct-count sketch state ([[graft.ops.SketchState]]) —
     * COUNT(DISTINCT) maintained incrementally where [[q124IncrementalAgg]]'s
-    * signed retraction cannot reach: the event stream arrives as three
-    * batches, each folds one HLL sketch per event_type into the state, and
-    * the read-side estimate must (a) equal the one-shot sketch of the full
-    * stream EXACTLY — union-merge is lossless, state never drifts with
-    * batch count — and (b) sit within 5% of the true distinct count
-    * (sparse-mode HLL is exact at this cardinality; the margin covers
-    * corpus growth). The oracle pins the exact count and both booleans. */
+    * signed retraction cannot reach. The event stream arrives as three
+    * batches, each folding one HLL sketch per event_type into the state,
+    * and the read-side estimate must (a) be BATCHING-INVARIANT — the
+    * identical estimate whether the stream arrived as 3 batches, 5
+    * batches, or in reversed order (the merged state depends only on the
+    * item SET, so incremental maintenance never drifts with batch count
+    * or arrival order) — and (b) sit within 5% of the true distinct
+    * count. Verified at sf0.01 (sparse mode: estimates are exact) AND
+    * sf0.1 (dense mode), which is what killed the previous, stronger
+    * spelling: a merged state's estimate is NOT generally equal to a
+    * single-pass sketch's, because DataSketches' single-stream HIP
+    * estimator does not survive union (both sit within the same error
+    * bounds) — the invariant an incremental pipeline actually relies on
+    * is the batching-invariance pinned here. The oracle pins the exact
+    * count and both booleans. */
   def q135HllIncremental(s: SparkSession, dir: String): DataFrame = {
     import graft.ops.SketchState
     val ev = events(s, dir)
-    val states = (0 to 2).map(i =>
+    val states3 = (0 to 2).map(i =>
       SketchState.batchState(ev.filter(pmod(col("event_id"), lit(3)) === i),
         "event_type", col("user_id")))
-    val merged = SketchState.estimate(SketchState.merge(states))
-    val oneShot = SketchState
-      .estimate(SketchState.batchState(ev, "event_type", col("user_id")))
-      .withColumnRenamed("n_approx", "n_oneshot")
+    val states5 = (0 to 4).map(i =>
+      SketchState.batchState(ev.filter(pmod(col("event_id"), lit(5)) === i),
+        "event_type", col("user_id")))
+    val merged = SketchState.estimate(SketchState.merge(states3))
+    val alt5 = SketchState.estimate(SketchState.merge(states5))
+      .withColumnRenamed("n_approx", "n_5way")
+    val rev = SketchState.estimate(SketchState.merge(states3.reverse))
+      .withColumnRenamed("n_approx", "n_rev")
     val exact = ev.groupBy(col("event_type"))
       .agg(countDistinct(col("user_id")).as("n_exact"))
     // null-safe join keys: SketchState.merge explicitly supports a null
@@ -1507,10 +1519,13 @@ object CdcQueries {
     exact
       .join(merged.withColumnRenamed("event_type", "__et_m"),
         col("event_type") <=> col("__et_m"))
-      .join(oneShot.withColumnRenamed("event_type", "__et_o"),
-        col("event_type") <=> col("__et_o"))
+      .join(alt5.withColumnRenamed("event_type", "__et_5"),
+        col("event_type") <=> col("__et_5"))
+      .join(rev.withColumnRenamed("event_type", "__et_r"),
+        col("event_type") <=> col("__et_r"))
       .select(col("event_type"), col("n_exact"),
-        (col("n_approx") === col("n_oneshot")).as("merge_lossless"),
+        (col("n_approx") === col("n_5way") &&
+          col("n_approx") === col("n_rev")).as("merge_invariant"),
         (abs(col("n_approx") - col("n_exact")) <=
           col("n_exact").cast("double") * 0.05).as("err_ok"))
       .orderBy("event_type")
@@ -1518,7 +1533,7 @@ object CdcQueries {
 
   val q135HllIncrementalSql: String =
     """SELECT event_type, COUNT(DISTINCT user_id) AS n_exact,
-      |  TRUE AS merge_lossless, TRUE AS err_ok
+      |  TRUE AS merge_invariant, TRUE AS err_ok
       |FROM events
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin

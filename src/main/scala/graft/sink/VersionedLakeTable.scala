@@ -550,7 +550,9 @@ final class VersionedLakeTable(spark: SparkSession, val spec: LakeTableSpec,
         while (it.hasNext) buf += it.next()
         buf.sortBy(-_.getNameCount)
       } finally s.close()
-    doomed.foreach(JFiles.delete)
+    // deleteIfExists: two writers may race on clearing the same debris —
+    // whoever loses a single file's delete must not crash the claim walk
+    doomed.foreach(d => JFiles.deleteIfExists(d))
   }
 
   /** Delete data dirs no manifest has committed — crash debris from

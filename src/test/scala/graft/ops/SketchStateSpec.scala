@@ -5,16 +5,18 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkSpec
 
-/** Mergeable HLL distinct-count state: lossless union-merge (incremental
-  * == one-shot, any batch split/order), sparse-mode exactness at small
-  * cardinality, parquet round-trip of the binary state. */
+/** Mergeable HLL distinct-count state: batching-invariant union-merge
+  * (any split count, any order — in dense mode too), sparse-mode
+  * exactness at small cardinality (where merged == one-shot also holds),
+  * parquet round-trip of the binary state. */
 class SketchStateSpec extends AnyFunSuite with SparkSpec {
   import spark.implicits._
 
   private def stream(n: Int) =
     (0 until n).map(i => (s"g${i % 3}", (i % 97).toLong)).toDF("g", "v")
 
-  test("incremental merge == one-shot sketch, for any split and order") {
+  test("incremental merge == one-shot sketch, for any split and order " +
+    "(sparse mode: both estimators are exact here)") {
     val df = stream(3000)
     val oneShot = SketchState.estimate(SketchState.batchState(df, "g", col("v")))
       .as[(String, Long)].collect().toMap
@@ -25,6 +27,32 @@ class SketchStateSpec extends AnyFunSuite with SparkSpec {
       val merged = SketchState.estimate(SketchState.merge(states.reverse))
         .as[(String, Long)].collect().toMap
       assert(merged == oneShot, s"splits=$splits drifted")
+    }
+  }
+
+  test("dense mode: the merged estimate is batching-invariant (split " +
+    "count, order, associativity) and within the error bound — but need " +
+    "not equal the one-shot HIP estimate") {
+    // ~30k distinct values per group: far past the sparse threshold
+    val df = (0 until 100000).map(i => (s"g${i % 3}", i.toLong))
+      .toDF("g", "v")
+    def est(states: Seq[org.apache.spark.sql.DataFrame]) =
+      SketchState.estimate(SketchState.merge(states))
+        .as[(String, Long)].collect().toMap
+    def split(n: Int) = (0 until n).map(i =>
+      SketchState.batchState(df.filter(pmod(col("v"), lit(n)) === i),
+        "g", col("v")))
+    val s3 = split(3)
+    val base = est(s3)
+    assert(est(s3.reverse) == base, "order changed the estimate")
+    assert(est(split(7)) == base, "split count changed the estimate")
+    assert(est(Seq(SketchState.merge(Seq(s3(0), s3(1)))) ++ Seq(s3(2)))
+      == base, "associativity changed the estimate")
+    val exact = df.groupBy("g").agg(countDistinct(col("v")).as("n"))
+      .as[(String, Long)].collect().toMap
+    base.foreach { case (g, n) =>
+      assert(math.abs(n - exact(g)) <= exact(g) * 0.05,
+        s"group $g merged estimate $n vs exact ${exact(g)}")
     }
   }
 
