@@ -158,6 +158,24 @@ class ProductQuantizeSpec extends AnyFunSuite with SparkSpec {
     assert(got(1)._2.isEmpty && got(2)._2.isEmpty)
   }
 
+  test("encode stays inside whole-stage codegen (no fallback seam)") {
+    import graft.sim.PQModel
+    val model = PQModel(2, 2, IndexedSeq.fill(2)(
+      IndexedSeq((Seq(1.0, 0.0), 1.0), (Seq(0.0, 1.0), 1.0))))
+    val dir = tmpDir("pqenc")
+    (0 until 10).map(i => (i.toLong, Seq(i * 1.0, 1.0, 0.5, i * 0.1)))
+      .toDF("vec_id", "embedding").write.mode("overwrite").parquet(dir)
+    val q = ProductQuantize.encode(spark.read.parquet(dir),
+      "vec_id", "embedding", model)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"),
+      s"the pq_encode projection must sit inside a codegen span:\n$plan")
+    val generated = q.queryExecution
+      .explainString(org.apache.spark.sql.execution.CodegenMode)
+    assert(generated.contains("PqEncode.compute"),
+      "the generated code must call the fused kernel, not an eval fallback")
+  }
+
   test("codes are deterministic across runs (hash-seeded k-means)") {
     val df = planted(3, 5)
     def run() = {
