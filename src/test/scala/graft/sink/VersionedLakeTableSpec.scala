@@ -326,6 +326,7 @@ class VersionedLakeTableSpec extends AnyFunSuite with SparkSpec {
     // minute, all in parallel: every claim races the others on the
     // version slots, none may lose an update or deadlock
     val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val writersDone = new java.util.concurrent.atomic.AtomicBoolean(false)
     val threads = (1 to 4).map { m =>
       new Thread(() => {
         try {
@@ -336,8 +337,31 @@ class VersionedLakeTableSpec extends AnyFunSuite with SparkSpec {
         } catch { case e: Throwable => errs.add(e) }
       })
     }
+    // a concurrent READER loops over the latest snapshot the whole time:
+    // every read it lands on must be a CONSISTENT committed snapshot —
+    // always all 4 keys, every amount one of that key's legitimate
+    // versions (manifests commit atomically, so a read never sees a
+    // partial commit)
+    val reader = new Thread(() => {
+      try {
+        val t = mk()
+        while (!writersDone.get()) {
+          val snap = t.read().select($"id", $"amount")
+            .as[(String, Int)].collect().toMap
+          assert(snap.size === 4, s"torn snapshot: $snap")
+          snap.foreach { case (id, amount) =>
+            val m = id.stripPrefix("k").toInt
+            assert(amount == m * 10 || (2 to 4).exists(amount == m * 10 + _),
+              s"impossible value for $id: $amount")
+          }
+        }
+      } catch { case e: Throwable => errs.add(e) }
+    })
+    reader.start()
     threads.foreach(_.start())
     threads.foreach(_.join(120000))
+    writersDone.set(true)
+    reader.join(120000)
     assert(errs.isEmpty, s"parallel disjoint writers must not conflict: " +
       s"${Option(errs.peek()).map(_.toString)}")
     val t = mk()
