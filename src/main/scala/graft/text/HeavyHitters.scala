@@ -32,11 +32,14 @@ import org.apache.spark.sql.functions._
   * proportional to vocabulary size. The MG loop is genuine per-partition
   * imperative state, hence the one imperative scan (batch-compaction
   * form: one hash op per token, compactions amortize to O(1)/token —
-  * see [[candidates]]). Cost model: exact() is two aggregation-grade
-  * passes against the plain groupBy's one, so where the vocabulary still
-  * fits it records a ~2-4× wall-clock constant (m_hh pair); the trade is
-  * that its memory and shuffle are bounded in k when the groupBy's are
-  * bounded only by the vocabulary.
+  * see [[candidates]]). Cost model, recorded by the m_hh bench quad over
+  * two 25M-token streams differing only in vocabulary (30k vs 20M
+  * distinct): exact() is FLAT across vocabulary (~2.7 s both) because
+  * its state and shuffle are k-bounded, while the plain groupBy grows
+  * with the vocabulary it carries (~0.5 s → ~2.0 s over that 670×
+  * step). Use the groupBy where the vocabulary fits — it is one
+  * aggregation pass against MG's two; use MG where it doesn't, which is
+  * exactly the 100 TB web-text tail (billions of distinct tokens).
   *
   * Counterpart of the reference's frequency profiling (the vendor export
   * pipeline's per-table counts) lifted to token granularity; threshold
