@@ -3,7 +3,6 @@ package graft.curate
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.text.TextOps
 
 /** DSIR-style importance weighting (Xie et al., NeurIPS'23 — "Data
   * Selection for Language Models via Importance Resampling"): score every
@@ -58,22 +57,21 @@ object Dsir {
     require(buckets >= 2, s"need >= 2 feature buckets, got $buckets")
     require(alpha > 0, s"smoothing alpha must be > 0, got $alpha")
     val id = col(idCol)
+    // PERF anatomy (measured at ×100 corpus scale, 32 cores): the cost of
+    // this stage was ENTIRELY the two regexp_replace passes of the
+    // composed tokenizer (~25 s/corpus pass; the per-occurrence md5
+    // pipelined behind them for ~nothing). The fused token_buckets
+    // kernel (graft.functions.TokenBuckets — Spark's own lower(), then
+    // one byte pass + md5 bucket, spec-pinned byte-equal to the composed
+    // form) removes the regex entirely, and exploding int buckets beats
+    // exploding token strings. Tokenizing the corpus ONCE still matters:
+    // hashing a distinct-word vocabulary instead was tried and is a net
+    // LOSS (it needs its own corpus-tokenizing pass or a per-(doc, word)
+    // string shuffle to save hash work that costs ~0).
     val base = df.select(id, isTarget.cast("boolean").as("is_target"),
-      TextOps.words(TextOps.normalized(col(textCol))).as("ws"))
-    // PERF anatomy (measured at ×100 corpus scale, 32 cores): the
-    // tokenize pipeline (normalize regex → split → explode) costs ~24 s
-    // per corpus pass, while the per-occurrence md5 inside the same
-    // whole-stage-codegen span adds ~nothing (23.0 s with md5 vs 26.6 s
-    // without — it pipelines behind the regex). So the one thing that
-    // matters is tokenizing the corpus ONCE. Hashing a distinct-word
-    // vocabulary instead was tried and is a net LOSS: it needs its own
-    // corpus-tokenizing pass (or a per-(doc, word) string shuffle), each
-    // costing a full ~24 s, to save hash work that costs ~0.
+      call_function("token_buckets", col(textCol), lit(buckets)).as("bs"))
     val tokPlan = base
-      .select(id, col("is_target"), explode(col("ws")).as("w"))
-      // split("", " ") yields [""] — the empty string is not a token
-      .filter(col("w") =!= "")
-      .withColumn("b", Sampling.bucket32(col("w")) % buckets)
+      .select(id, col("is_target"), explode(col("bs")).as("b"))
       .groupBy(id, col("is_target"), col("b"))
       .agg(count(lit(1)).as("m"))
     val tok = scratchDir match {

@@ -105,6 +105,7 @@ object GraftFunctions {
       "unscaled_fixed" -> UnscaledFixed.build,
       "pq_encode" ->
         (exprs => PqEncode(exprs(0), exprs(1), exprs(2), exprs(3), exprs(4))),
+      "token_buckets" -> (exprs => TokenBuckets(exprs(0), exprs(1))),
       // deterministic md5 sampling bucket in [0, 10000) / raw 32-bit form —
       // the portable keep/split decision every sampler shares
       "graft_bucket" ->
