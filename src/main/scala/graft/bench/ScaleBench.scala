@@ -83,7 +83,7 @@ object ScaleBench {
     materialized(s, s"toks_x$times") {
       graft.Tables.load(s, dir, "documents")
         .select(col("text"), explode(sequence(lit(1), lit(times))).as("r"))
-        .select(explode(TextOps.words(TextOps.normalized(col("text"))))
+        .select(explode(TextOps.tokens(col("text")))
           .as("token"))
         .filter(col("token") =!= "")
         // explode from 5k docs otherwise lands in a handful of fat files,

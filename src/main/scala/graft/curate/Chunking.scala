@@ -26,7 +26,7 @@ object Chunking {
       s"stride must be in [1, window], got $stride (window $window)")
     val id = col(idCol)
     val base = df
-      .select(id, TextOps.words(TextOps.normalized(col(textCol))).as("ws"))
+      .select(id, TextOps.tokens(col(textCol)).as("ws"))
       .select(id, col("ws"),
         greatest(coalesce(size(col("ws")), lit(0)), lit(0)).as("n"))
     // number of windows: 1 + ceil(max(n - window, 0) / stride); zero-word

@@ -27,7 +27,7 @@ object Decontaminate {
     * lambda's `element_at`s are O(1) lookups (same run: 0.9 s). */
   private def shingleRows(df: DataFrame, idCols: Seq[Column], textCol: Column,
       n: Int): DataFrame =
-    df.select(idCols :+ TextOps.words(TextOps.normalized(textCol)).as("__w"): _*)
+    df.select(idCols :+ TextOps.tokens(textCol).as("__w"): _*)
       .select(idCols :+
         explode(array_distinct(TextOps.wordShingles(col("__w"), n))).as("__sh"): _*)
 

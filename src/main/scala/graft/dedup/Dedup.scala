@@ -132,7 +132,7 @@ object Dedup {
     * shingle element (measured 10× slower on the bench corpus). */
   def shingleRows(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.select(col(idCol).as("doc"),
-        TextOps.words(TextOps.normalized(col(textCol))).as("__w"))
+        TextOps.tokens(col(textCol)).as("__w"))
       .select(col("doc"),
         explode(array_distinct(TextOps.wordShingles(col("__w"), n))).as("shingle"))
     // no trailing .distinct(): array_distinct already makes (doc, shingle)
@@ -327,7 +327,7 @@ object Dedup {
       // persist so normalize/tokenize/simhash runs once per doc
       val hashed = df.join(repIds, Seq(idCol), "left_semi")
         .select(col(idCol).as("doc"),
-          TextOps.words(TextOps.normalized(col(textCol))).as("__w"))
+          TextOps.tokens(col(textCol)).as("__w"))
         .select(col("doc"), expr("simhash64(__w)").as("h"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val banded = hashed.select(col("doc"),

@@ -37,7 +37,7 @@ object SpanDedup {
     require(k >= 1, s"span size must be >= 1, got $k")
     val id = col(idCol)
     val base = df
-      .select(id, TextOps.words(TextOps.normalized(col(textCol))).as("ws"))
+      .select(id, TextOps.tokens(col(textCol)).as("ws"))
       .select(id, col("ws"),
         floor((size(col("ws")) + (k - 1)) / k.toDouble).cast("long")
           .as("n_spans"))

@@ -106,6 +106,7 @@ object GraftFunctions {
       "pq_encode" ->
         (exprs => PqEncode(exprs(0), exprs(1), exprs(2), exprs(3), exprs(4))),
       "token_buckets" -> (exprs => TokenBuckets(exprs(0), exprs(1))),
+      "fast_tokens" -> (exprs => FastTokens(exprs.head)),
       // deterministic md5 sampling bucket in [0, 10000) / raw 32-bit form —
       // the portable keep/split decision every sampler shares
       "graft_bucket" ->
@@ -115,15 +116,13 @@ object GraftFunctions {
       // the text pipeline's shared tokenizer + per-document scalars
       "graft_normalize" ->
         fromColumns("graft_normalize", 1)(c => graft.text.TextOps.normalized(c.head)),
-      "graft_words" ->
-        fromColumns("graft_words", 1)(c =>
-          graft.text.TextOps.words(graft.text.TextOps.normalized(c.head))),
+      "graft_words" -> (exprs => FastTokens(exprs.head)),
       "graft_token_count" ->
         fromColumns("graft_token_count", 1)(c =>
           graft.text.TextOps.tokenCountWs(c.head)),
       "graft_lang_id" ->
         fromColumns("graft_lang_id", 1)(c => graft.text.TextOps.langId(
-          graft.text.TextOps.words(graft.text.TextOps.normalized(c.head)))),
+          graft.text.TextOps.tokens(c.head))),
       "graft_fingerprint" ->
         fromColumns("graft_fingerprint", 1)(c =>
           graft.text.TextOps.fingerprint(c.head)),

@@ -376,7 +376,7 @@ object PipelineQueries {
   def q72SimhashProximity(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
     val sh = docs(s, dir)
-      .withColumn("words", TextOps.words(TextOps.normalized(col("text"))))
+      .withColumn("words", TextOps.tokens(col("text")))
       .select(col("doc_id"), expr("simhash64(words)").as("h"))
     Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", n = 2,
       threshold = 0.9)
@@ -432,7 +432,7 @@ object PipelineQueries {
   def q47LangId(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     d.withColumn("predicted",
-      TextOps.langId(TextOps.words(TextOps.normalized(col("text")))))
+      TextOps.langId(TextOps.tokens(col("text"))))
       .groupBy(col("lang"), col("predicted"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("lang", "predicted")
@@ -468,7 +468,7 @@ object PipelineQueries {
   /** Per-document quality scoring (length/stopword/digit signals). */
   def q48Quality(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val w = TextOps.words(TextOps.normalized(col("text")))
+    val w = TextOps.tokens(col("text"))
     d.select(
       col("doc_id"),
       size(w).as("n_words"),
@@ -527,7 +527,7 @@ object PipelineQueries {
     GraftFunctions.register(s)
     docs(s, dir)
       .withColumn("words",
-        TextOps.words(TextOps.normalized(col("text"))))
+        TextOps.tokens(col("text")))
       .select(col("doc_id"), expr("simhash64(words)").as("simhash"))
       .orderBy("doc_id")
   }
@@ -761,7 +761,7 @@ object PipelineQueries {
     * against this one. */
   def q80QualityTopP(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val w = TextOps.words(TextOps.normalized(col("text")))
+    val w = TextOps.tokens(col("text"))
     val scored = d.select(col("doc_id"), col("lang"),
       size(w).as("n_words"),
       TextOps.stopwordCount(w, TextOps.enStopwords).as("n_stopwords"),
@@ -891,7 +891,7 @@ object PipelineQueries {
     * sorted or collected. */
   def q85VocabTopK(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    d.select(explode(TextOps.words(TextOps.normalized(col("text")))).as("token"))
+    d.select(explode(TextOps.tokens(col("text"))).as("token"))
       .filter(col("token") =!= "")
       .groupBy("token").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token").asc)
@@ -1074,7 +1074,7 @@ object PipelineQueries {
     val flagged = Decontaminate.flagOverlaps(deduped, bench, "doc_id", "text", 4)
     val clean = deduped.join(flagged.select("doc_id"), Seq("doc_id"), "left_anti")
     // 3. top 50% quality per language
-    val w = TextOps.words(TextOps.normalized(col("text")))
+    val w = TextOps.tokens(col("text"))
     val scored = clean.select(col("doc_id"), col("lang"), col("text"),
       size(w).as("n_words"),
       TextOps.stopwordCount(w, TextOps.enStopwords).as("n_stopwords"),
@@ -1927,7 +1927,7 @@ object PipelineQueries {
     * slow way, pinning that no approximation leaks into the output. */
   def q131HeavyHitters(s: SparkSession, dir: String): DataFrame = {
     val toks = docs(s, dir)
-      .select(explode(TextOps.words(TextOps.normalized(col("text"))))
+      .select(explode(TextOps.tokens(col("text")))
         .as("token"))
       .filter(col("token") =!= "")
     HeavyHitters.exact(toks, k = 200)

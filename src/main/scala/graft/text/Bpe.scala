@@ -24,7 +24,7 @@ object Bpe {
   /** Distinct normalized words with occurrence counts — the one corpus
     * pass everything else derives from. */
   def wordCounts(df: DataFrame, textCol: String): DataFrame =
-    df.select(explode(TextOps.words(TextOps.normalized(col(textCol))))
+    df.select(explode(TextOps.tokens(col(textCol)))
         .as("word"))
       .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("n"))
@@ -114,7 +114,7 @@ object Bpe {
     * self-contained. Narrow (no shuffle, no UDF): nested HOFs only. */
   def tokenize(df: DataFrame, textCol: String, merges: Seq[Merge],
       outCol: String = "tokens"): DataFrame = {
-    val ws = filter(TextOps.words(TextOps.normalized(col(textCol))),
+    val ws = filter(TextOps.tokens(col(textCol)),
       w => w =!= "")
     val ordered = merges.sortBy(_.rank)
     val perWord = transform(ws, w =>

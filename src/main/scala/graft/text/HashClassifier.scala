@@ -48,7 +48,7 @@ object HashClassifier {
   }
 
   private def wordsOf(textCol: Column): Column =
-    TextOps.words(TextOps.normalized(textCol))
+    TextOps.tokens(textCol)
 
   private def finish(id: Column, nWords: Column, wsum: Column): Seq[Column] =
     Seq(id,

@@ -44,7 +44,7 @@ object NgramLM {
   private def normWords(df: DataFrame, idCol: String, textCol: String)
       : DataFrame =
     df.select(col(idCol),
-      TextOps.words(TextOps.normalized(col(textCol))).as("ws"))
+      TextOps.tokens(col(textCol)).as("ws"))
 
   /** Per-doc distinct bigrams with multiplicity: (id, w1, w2, m). */
   private def docBigrams(base: DataFrame, idCol: String): DataFrame =

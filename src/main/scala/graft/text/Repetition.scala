@@ -34,7 +34,7 @@ object Repetition {
     require(n >= 2, s"gram size must be >= 2, got $n")
     val base = df
       .select(col(idCol),
-        TextOps.words(TextOps.normalized(col(textCol))).as("ws"))
+        TextOps.tokens(col(textCol)).as("ws"))
       .select(col(idCol), col("ws"),
         size(col("ws")).cast("long").as("n_words"),
         size(array_distinct(col("ws"))).cast("long").as("n_distinct_words"))

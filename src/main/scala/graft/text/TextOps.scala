@@ -25,6 +25,14 @@ object TextOps {
   /** Whitespace word tokens of an already-normalized column. */
   def words(c: Column): Column = split(c, " ")
 
+  /** `words(normalized(c))` as ONE fused native kernel
+    * ([[graft.functions.FastTokens]]) — byte-identical output (spec-
+    * pinned), none of the composed form's two Java-regex passes, which
+    * profiling showed to be the single dominant cost of every tokenizing
+    * query at corpus scale. This is the spelling every operator uses;
+    * `words`/`normalized` remain for callers composing differently. */
+  def tokens(c: Column): Column = call_function("fast_tokens", c)
+
   /** Whitespace-token count of raw text. */
   def tokenCountWs(c: Column): Column = size(split(trim(c), "\\s+"))
 

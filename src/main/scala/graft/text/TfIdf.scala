@@ -38,7 +38,7 @@ object TfIdf {
     require(queryTerms.nonEmpty, "need at least one query term")
     val id = col(idCol)
     val base = df
-      .select(id, TextOps.words(TextOps.normalized(col(textCol))).as("ws"))
+      .select(id, TextOps.tokens(col(textCol)).as("ws"))
       .select(id, size(col("ws")).cast("long").as("len"),
         col("ws"))
     val tf = base
@@ -70,7 +70,7 @@ object TfIdf {
     require(k >= 1, s"k must be >= 1, got $k")
     val id = col(idCol)
     val base = df
-      .select(id, TextOps.words(TextOps.normalized(col(textCol))).as("ws"))
+      .select(id, TextOps.tokens(col(textCol)).as("ws"))
     val tf = base
       .select(id, explode(col("ws")).as("term"))
       .groupBy(id, col("term"))

@@ -50,6 +50,21 @@ class TokenBucketsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("fast_tokens == words(normalized(text)), all corners incl. the " +
+    "empty-string sentinel") {
+    val df = rows.toDF("text").withColumn("id", monotonically_increasing_id())
+    val composed = df.select(col("id"),
+      TextOps.words(TextOps.normalized(col("text"))).as("ws"))
+      .as[(Long, Option[Seq[String]])].collect().toMap
+    val kernel = df.select(col("id"),
+      call_function("fast_tokens", col("text")).as("ws"))
+      .as[(Long, Option[Seq[String]])].collect().toMap
+    composed.keys.foreach { id =>
+      assert(kernel(id) == composed(id),
+        s"row $id: '${rows(id.toInt)}' → ${kernel(id)} vs ${composed(id)}")
+    }
+  }
+
   test("kernel stays inside whole-stage codegen") {
     val dir = tmpDir("tokbuckets")
     rows.filter(_ != null).toDF("text").write.mode("overwrite").parquet(dir)
