@@ -46,11 +46,14 @@ object Dsir {
     * `scratchDir`: when set, the collapsed (doc, bucket, multiplicity)
     * table is eagerly written under it as parquet and every downstream
     * consumer reads the materialization — the corpus is tokenized ONCE
-    * (the CTE-materialization analog; at any scale the collapsed table is
-    * much smaller than re-running the tokenizer). When None the plan
-    * stays fully lazy, correct and fine for one-shot small inputs, but a
-    * large corpus pays one extra tokenize pass per distribution branch —
-    * pass a scratch dir for anything big. */
+    * (the CTE-materialization analog). The fused token_buckets kernel
+    * moved the crossover: re-tokenizing is now cheap enough that at the
+    * ×10 bench scale the lazy plan is ~25% faster (no parquet roundtrip)
+    * and scratch only wins from ~×100 up (measured 3.0 vs 3.3 s). The
+    * at-scale guidance is unchanged — at 100 TB the collapsed table is
+    * orders of magnitude smaller than the text, so materializing it
+    * still beats even one extra kernel pass — pass a scratch dir for
+    * anything big; None is correct (and fine) for small one-shots. */
   def importanceWeights(df: DataFrame, idCol: String, textCol: String,
       isTarget: Column, buckets: Int = 256, alpha: Double = 1.0,
       scratchDir: Option[String] = None): DataFrame = {
