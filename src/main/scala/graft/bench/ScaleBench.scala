@@ -44,13 +44,13 @@ import graft.text.{HeavyHitters, TextOps}
   *    search of 8 queries against it. The codebook training itself is the
   *    untimed fixture — it is the pay-once model build; encode cost is
   *    what every ingested batch pays, search cost is the per-query scan.
-  *  - `m_hll_fold_x10/x100` vs `m_hll_rescan_x10/x100`: incremental
+  *  - `m_hll_fold_x100/x1000` vs `m_hll_rescan_x100/x1000`: incremental
   *    distinct-count maintenance ([[SketchState]], pinned by q135) — fold
   *    ONE new batch into the stored per-group sketch state vs re-sketching
   *    the materialized history plus the batch. The fold reads |groups|
-  *    sketch rows + the batch, so it must be FLAT across the ×10→×100
-  *    history knob while the rescan grows ~linearly — the recorded numbers
-  *    for the O(batch) claim the scaladoc argues.
+  *    sketch rows + the batch, so it must be FLAT across the ×100→×1000
+  *    history knob (10M → 100M rows) while the rescan grows ~linearly —
+  *    the recorded numbers for the O(batch) claim the scaladoc argues.
   *  - `m_asof_buck_uniform_x10` vs `m_asof_plain_uniform_x10`: the
   *    two-level bucketed as-of join vs the plain key-partitioned one on
   *    the SAME materialized uniform-key facts/dims (the q127 shape,
@@ -216,26 +216,26 @@ object ScaleBench {
       () => noop(ProductQuantize.adcTopKRerank(corpus, encoded, queries,
         "vec_id", "embedding", model, k = 10, shortlist = 100))
     }),
-    "m_hll_fold_x10" -> ((s, dir) => {
-      val state = hllState(s, dir, 10)
-      val batch = hllBatch(s, dir)
-      () => noop(SketchState.estimate(SketchState.merge(Seq(state,
-        SketchState.batchState(batch, "event_type", col("user_id"))))))
-    }),
     "m_hll_fold_x100" -> ((s, dir) => {
       val state = hllState(s, dir, 100)
       val batch = hllBatch(s, dir)
       () => noop(SketchState.estimate(SketchState.merge(Seq(state,
         SketchState.batchState(batch, "event_type", col("user_id"))))))
     }),
-    "m_hll_rescan_x10" -> ((s, dir) => {
-      val hist = hllHistory(s, dir, 10)
+    "m_hll_fold_x1000" -> ((s, dir) => {
+      val state = hllState(s, dir, 1000)
+      val batch = hllBatch(s, dir)
+      () => noop(SketchState.estimate(SketchState.merge(Seq(state,
+        SketchState.batchState(batch, "event_type", col("user_id"))))))
+    }),
+    "m_hll_rescan_x100" -> ((s, dir) => {
+      val hist = hllHistory(s, dir, 100)
       val batch = hllBatch(s, dir)
       () => noop(SketchState.estimate(SketchState.batchState(
         hist.unionByName(batch), "event_type", col("user_id"))))
     }),
-    "m_hll_rescan_x100" -> ((s, dir) => {
-      val hist = hllHistory(s, dir, 100)
+    "m_hll_rescan_x1000" -> ((s, dir) => {
+      val hist = hllHistory(s, dir, 1000)
       val batch = hllBatch(s, dir)
       () => noop(SketchState.estimate(SketchState.batchState(
         hist.unionByName(batch), "event_type", col("user_id"))))
