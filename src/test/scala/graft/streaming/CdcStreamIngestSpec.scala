@@ -159,6 +159,48 @@ class CdcStreamIngestSpec extends AnyFunSuite with SparkSpec {
     assert(table.read(Some(0)).count() > 0)
   }
 
+  test("a concurrent batch backfill commits against the SAME versioned " +
+    "table while the stream drains (optimistic protocol end-to-end)") {
+    def txn(id: String, minute: Int, at: Int, amount: Int) =
+      Workload.Txn(id, "a1", f"2024-01-01T00:$minute%02d:01.000000+0000",
+        f"2024-01-01T00:$minute%02d:0$at.000000+0000", "fuel", amount, 0, "v")
+    val path = tmpDir("vstream-occ")
+    def mk() = new graft.sink.VersionedLakeTable(spark,
+      graft.sink.LakeTableSpec(path, recordKeys = Seq("id"),
+        precombine = "update_at", partitionSource = "create_at"))
+    // bootstrap both partitions first: v0 is single-writer by design
+    mk().upsert(Seq(txn("s", 1, 1, 10), txn("b", 5, 1, 50)).toDF())
+    // stream: 3 micro-batches, each a strictly-newer update of the
+    // minute-01 key; backfill thread: 3 strictly-newer updates of the
+    // DISJOINT minute-05 key racing the stream's version-slot claims
+    val srcDir = tmpDir("vstream-occ-src")
+    (2 to 4).foreach { at =>
+      Seq(txn("s", 1, at, 10 + at)).toDF()
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    }
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val backfill = new Thread(() => {
+      try {
+        val t = mk()
+        (2 to 4).foreach(at => t.upsert(Seq(txn("b", 5, at, 50 + at)).toDF()))
+      } catch { case e: Throwable => errs.add(e) }
+    })
+    backfill.start()
+    val schema = Seq(txn("x", 1, 1, 0)).toDF().schema
+    CdcStreamIngest.toVersionedTable(
+      CdcStreamIngest.fileStream(spark, srcDir, schema, maxFilesPerTrigger = 1),
+      mk(), tmpDir("vstream-occ-ckpt"))
+    backfill.join(120000)
+    assert(errs.isEmpty,
+      s"disjoint backfill must not conflict with the stream: ${errs.peek()}")
+    val t = mk()
+    assert(t.versions === (0 to 6), "bootstrap + 3 stream + 3 backfill commits")
+    val amounts = t.read().select($"id", $"amount")
+      .as[(String, Int)].collect().toMap
+    assert(amounts === Map("s" -> 14, "b" -> 54),
+      "both the stream's and the backfill's final updates must win")
+  }
+
   test("partitioned JSON-lines landing sink writes minute-partition dirs (K3)") {
     val srcDir = tmpDir("json-src")
     val outDir = tmpDir("json-out")
