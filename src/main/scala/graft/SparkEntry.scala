@@ -148,6 +148,7 @@ object SparkEntry {
     "q134_pq_recall"       -> (PipelineQueries.q134PqRecall _),
     "q135_hll_incremental" -> (CdcQueries.q135HllIncremental _),
     "q136_concurrent_commits" -> (CdcQueries.q136ConcurrentCommits _),
+    "q137_extrema_incremental" -> (CdcQueries.q137ExtremaIncremental _),
   )
 
   /** Untimed per-query setup the bench runs before timing (ingest-side
@@ -322,6 +323,7 @@ object SparkEntry {
     "q134_pq_recall"       -> PipelineQueries.q134PqRecallSql,
     "q135_hll_incremental" -> CdcQueries.q135HllIncrementalSql,
     "q136_concurrent_commits" -> CdcQueries.q136ConcurrentCommitsSql,
+    "q137_extrema_incremental" -> CdcQueries.q137ExtremaIncrementalSql,
   )
 
   /** DECLARED oracle-less entries: queries whose semantics are not

@@ -1574,6 +1574,53 @@ object CdcQueries {
       .orderBy("id")
   }
 
+  // --------------------------------------------------------------- q137
+  /** Bounded incremental MIN/MAX maintenance ([[graft.ops.ExtremaState]])
+    * — the q124 protocol for the extrema family that signed retraction
+    * alone cannot maintain: the CDC stream folds through the change feed
+    * in three batches into a k=4-bounded per-group (top-k, watermark)
+    * state; groups whose buffer drained below the watermark are DETECTED
+    * (never silently wrong) and repaired from the lake with a
+    * group-pruned scan; the final per-event_type extrema must equal SQL
+    * MIN/MAX over the latest-wins state, with every exactness flag TRUE
+    * after repair. A missed retraction, a wrong watermark bound, or a
+    * repair that rebuilt the wrong groups breaks the hash. */
+  def q137ExtremaIncremental(s: SparkSession, dir: String): DataFrame = {
+    val cdc = cdcView(s, dir)
+    val table = new KeyedLakeTable(s, LakeTableSpec(
+      Files.createTempDirectory("graft_q137_lake").toString,
+      recordKeys = Seq("id"), precombine = "update_at",
+      partitionSource = "create_at", tieBreak = Seq("event_id")))
+    val bucket = pmod(col("event_id"), lit(3))
+    var state = graft.ops.ExtremaState.emptyState(s)
+    (0 until 3).foreach { b =>
+      val changes = table.upsertChanges(cdc.filter(bucket === b))
+      state = graft.ops.ExtremaState
+        .applyDelta(state, changes, "event_type", "value", k = 4)
+        .localCheckpoint(true)
+    }
+    val repaired = graft.ops.ExtremaState.repair(state, table.read(),
+      col("event_type"), col("value"), k = 4)
+    graft.ops.ExtremaState.extrema(repaired)
+      .select(col("group").as("event_type"),
+        col("min_v"), col("max_v"),
+        (col("min_exact") && col("max_exact")).as("exact"))
+      .orderBy("event_type")
+  }
+
+  val q137ExtremaIncrementalSql: String =
+    s"""WITH cdc AS ($cdcViewSql),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY update_at DESC, event_id DESC) AS rn
+      |  FROM cdc)
+      |SELECT event_type,
+      |  CAST(MIN(value) AS DOUBLE) AS min_v,
+      |  CAST(MAX(value) AS DOUBLE) AS max_v,
+      |  TRUE AS exact
+      |FROM ranked WHERE rn = 1
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val q136ConcurrentCommitsSql: String =
     s"""WITH cdc AS ($cdcViewSql)
       |SELECT id,
