@@ -12,7 +12,10 @@ import org.apache.spark.sql.functions._
   * can even move a key BETWEEN groups (the grouping attribute changed). The
   * change feed carries both images, so each update unfolds into a signed
   * pair (−old, +new) and each insert into (+new); group-summing the signed
-  * stream yields the exact delta for every affected group.
+  * stream yields the exact delta for every affected group. (SUM/COUNT
+  * only: MIN/MAX needs the runner-up on retraction — [[ExtremaState]]'s
+  * bounded top-k state — and COUNT(DISTINCT) a mergeable sketch —
+  * [[SketchState]].)
   *
   * Scale shape: cost per batch is O(changes) — one narrow explode of the
   * batch-sized feed, one shuffle on the (few) affected groups, and one

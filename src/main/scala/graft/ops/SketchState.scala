@@ -5,11 +5,11 @@ import org.apache.spark.sql.functions._
 
 /** Mergeable per-group DISTINCT-COUNT state — the sketch-valued member of
   * the incremental-maintenance family ([[IncrementalAgg]] maintains
-  * SUM/COUNT by signed retraction; MIN/MAX is already outside that family —
-  * retracting the current extremum needs either a bounded per-group top-k
-  * state or a rescan, and upsert-only CDC cannot even see the displaced
-  * value — and COUNT(DISTINCT) is further out still: you cannot know a
-  * removed value was the last occurrence without keeping the whole value
+  * SUM/COUNT by signed retraction; MIN/MAX is outside plain retraction —
+  * retracting the current extremum needs the runner-up, which is what
+  * [[ExtremaState]]'s bounded top-k-plus-watermark state provides — and
+  * COUNT(DISTINCT) is further out still: you cannot know a removed value
+  * was the last occurrence without keeping the whole value
   * set). The standard scale
   * answer is a mergeable sketch: keep one HyperLogLog sketch per group as
   * state, fold each new batch in by sketch UNION, and estimate on read.
