@@ -151,7 +151,16 @@ object ExtremaState {
     * group-pruned scan of only those groups (the detected-staleness
     * escape hatch). Returns the full state with repaired rows swapped
     * in; repaired sides are freshly truncated (watermark reset to the
-    * (k+1)-th value, or null when the group fits). */
+    * (k+1)-th value, or null when the group fits).
+    *
+    * Cost shape: the fold's ranking window is bounded (buffer + batch
+    * distincts per group), but THIS ranking runs over a flagged group's
+    * full distinct-value set — one task's sort per flagged group. For a
+    * group whose distinct cardinality itself exceeds a task (billions of
+    * distinct measures in one group at 100 TB), pre-filter with an
+    * approximate per-group quantile threshold before ranking; not
+    * implemented here because the incremental path never needs it and
+    * repair touches only flagged groups. */
   def repair(state: DataFrame, base: DataFrame, groupCol: Column,
       valueCol: Column, k: Int): DataFrame = {
     val flagged = extrema(state)
