@@ -72,7 +72,11 @@ object Dsir {
     // LOSS (it needs its own corpus-tokenizing pass or a per-(doc, word)
     // string shuffle to save hash work that costs ~0).
     val base = df.select(id, isTarget.cast("boolean").as("is_target"),
-      call_function("token_buckets", col(textCol), lit(buckets)).as("bs"))
+      org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.functions.TokenBuckets(
+          org.apache.spark.sql.graft.ColumnBridge.expression(col(textCol)),
+          org.apache.spark.sql.graft.ColumnBridge.expression(lit(buckets))))
+        .as("bs"))
     val tokPlan = base
       .select(id, col("is_target"), explode(col("bs")).as("b"))
       .groupBy(id, col("is_target"), col("b"))

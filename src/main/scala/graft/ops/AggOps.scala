@@ -125,10 +125,15 @@ object AggOps {
     * `round(x·10^s)` on the raw double is NOT: a literal like 1.005 rounds
     * up through the decimal string but down through its binary product
     * 100.49999…), followed by exact integer extraction — fused into the
-    * allocation-free [[graft.functions.UnscaledFixed]] kernel (requires
-    * the GraftExtensions session; fuzz-proven bit-identical to the
-    * cast-and-multiply form it replaced). ANSI contract: values whose
-    * integer part exceeds 18−scale digits throw loudly. */
-  def unscaledLong(c: Column, scale: Int): Column =
-    call_function("unscaled_fixed", c, lit(18), lit(scale))
+    * allocation-free [[graft.functions.UnscaledFixed]] kernel
+    * (constructed directly — works on a plain session; fuzz-proven
+    * bit-identical to the cast-and-multiply form it replaced). ANSI
+    * contract: values whose integer part exceeds 18−scale digits throw
+    * loudly. */
+  def unscaledLong(c: Column, scale: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.UnscaledFixed.build(Seq(
+      ColumnBridge.expression(c), ColumnBridge.expression(lit(18)),
+      ColumnBridge.expression(lit(scale)))))
+  }
 }

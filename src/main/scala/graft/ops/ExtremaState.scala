@@ -90,6 +90,29 @@ object ExtremaState {
           .as("wm"))
   }
 
+  /** Cast a measure to double for the buffer, RAISING when the cast is
+    * lossy: a BIGINT/DECIMAL beyond 2^53 significand collapses with its
+    * neighbors in double space, so two distinct extrema could compare
+    * equal and the operator would report a wrong answer while still
+    * claiming `exact = true`. The round-trip check (`double` back to the
+    * native type) is exact-iff-representable, costs one codegen'd
+    * cast+compare per row, and only arms for the types that can lose
+    * (long, decimal) — int/float/double pass through untouched. */
+  private def asDoubleExact(raw: Column, t: DataType, ctx: String): Column =
+    t match {
+      case LongType | _: DecimalType =>
+        val d = raw.cast("double")
+        when(raw.isNotNull && !(d.cast(t) <=> raw),
+          raise_error(concat(lit(s"ExtremaState($ctx): measure value "),
+            raw.cast("string"),
+            lit(" does not fit a double exactly (beyond 2^53 significand)" +
+              " — comparisons over collapsed doubles can report a wrong" +
+              " extremum; rescale the measure or keep it within 15" +
+              " significant digits"))))
+          .otherwise(d)
+      case _ => raw.cast("double")
+    }
+
   /** Advance the state by one change-feed batch
     * ([[graft.sink.KeyedLakeTable.upsertChanges]] schema). `groupField` /
     * `valueField` name fields inside the feed's images; the group rides
@@ -99,9 +122,16 @@ object ExtremaState {
   def applyDelta(state: DataFrame, changes: DataFrame, groupField: String,
       valueField: String, k: Int): DataFrame = {
     require(k >= 1, s"extrema buffer capacity must be >= 1, got $k")
-    val delta = IncrementalAgg.retractions(changes)
+    val retr = IncrementalAgg.retractions(changes)
+    val vType = retr.schema("__img").dataType match {
+      case s: StructType => s(valueField).dataType
+      case other => throw new IllegalArgumentException(
+        s"ExtremaState: change feed images are $other, expected a struct")
+    }
+    val delta = retr
       .select(col("__img").getField(groupField).cast("string").as("group"),
-        col("__img").getField(valueField).cast("double").as("v"),
+        asDoubleExact(col("__img").getField(valueField), vType, "applyDelta")
+          .as("v"),
         col("__sign").as("c"))
       .filter(col("v").isNotNull) // SQL MIN/MAX ignore null measures
       .groupBy(col("group"), col("v")).agg(sum(col("c")).as("c"))
@@ -151,44 +181,76 @@ object ExtremaState {
     * group-pruned scan of only those groups (the detected-staleness
     * escape hatch). Returns the full state with repaired rows swapped
     * in; repaired sides are freshly truncated (watermark reset to the
-    * (k+1)-th value, or null when the group fits).
+    * (k+1)-th value, or null when the group fits). All joins are
+    * null-safe: a null group is a legitimate group (applyDelta and
+    * extrema already treat it as one), so a stale null group is rebuilt
+    * like any other instead of silently staying flagged.
     *
-    * Cost shape: the fold's ranking window is bounded (buffer + batch
-    * distincts per group), but THIS ranking runs over a flagged group's
-    * full distinct-value set — one task's sort per flagged group. For a
-    * group whose distinct cardinality itself exceeds a task (billions of
-    * distinct measures in one group at 100 TB), pre-filter with an
-    * approximate per-group quantile threshold before ranking; not
-    * implemented here because the incremental path never needs it and
-    * repair touches only flagged groups. */
+    * Large-group guard: the per-group ranking window sorts a flagged
+    * group's full distinct-value set in one task. For groups whose
+    * distinct count exceeds `distinctCap`, an approximate per-group
+    * quantile threshold (percentile_approx at accuracy 10⁴) pre-filters
+    * each side to its extreme tail BEFORE the window. The keep-fraction
+    * `2/accuracy + (k+1)/distinctCap` guarantees ≥ k+1 surviving distinct
+    * values per guarded side (rank error of percentile_approx is
+    * ≤ n/accuracy), so the kept set always contains the true top-k AND
+    * the (k+1)-th value the watermark needs — output is identical to the
+    * unguarded path (spec-pinned with a forced-low cap). Guarded sorts
+    * are O(k + n/accuracy) rows per group instead of O(n). */
   def repair(state: DataFrame, base: DataFrame, groupCol: Column,
-      valueCol: Column, k: Int): DataFrame = {
+      valueCol: Column, k: Int,
+      distinctCap: Long = 4L * 1000 * 1000): DataFrame = {
+    require(distinctCap >= 10L * (k + 1),
+      s"distinctCap $distinctCap must be >= 10*(k+1) = ${10L * (k + 1)} " +
+        "so the quantile pre-filter's keep-fraction stays well under 1")
+    val vType = base.select(valueCol).schema.head.dataType
     val flagged = extrema(state)
       .filter(!col("max_exact") || !col("min_exact"))
       .select(col("group"))
     val values = base
       .select(groupCol.cast("string").as("group"),
-        valueCol.cast("double").as("v"))
-      .join(broadcast(flagged), Seq("group"), "left_semi")
+        asDoubleExact(valueCol, vType, "repair").as("v"))
+      .as("b")
+      .join(broadcast(flagged.as("f")),
+        col("b.group") <=> col("f.group"), "left_semi")
       .filter(col("v").isNotNull)
       .groupBy(col("group"), col("v")).agg(count(lit(1)).as("c"))
+    val accuracy = 10000
+    val keepFrac = 2.0 / accuracy + (k + 1).toDouble / distinctCap
+    val stats = values.groupBy(col("group")).agg(
+      count(lit(1)).as("__n"),
+      percentile_approx(col("v"), lit(1.0 - keepFrac), lit(accuracy))
+        .as("__hi"),
+      percentile_approx(col("v"), lit(keepFrac), lit(accuracy)).as("__lo"))
+    val guarded = values.as("v")
+      .join(stats.as("t"), col("v.group") <=> col("t.group"))
+      .select(col("v.group").as("group"), col("v.v").as("v"),
+        col("v.c").as("c"), col("__n"), col("__hi"), col("__lo"))
     def side(desc: Boolean) = {
+      val pre = guarded.filter(col("__n") <= distinctCap ||
+        (if (desc) col("v") >= col("__hi") else col("v") <= col("__lo")))
       val w = Window.partitionBy(col("group"))
         .orderBy(if (desc) col("v").desc else col("v").asc)
-      val ranked = values.withColumn("__rn", row_number().over(w))
+      val ranked = pre.select(col("group"), col("v"), col("c"))
+        .withColumn("__rn", row_number().over(w))
       ranked.filter(col("__rn") <= k)
         .groupBy(col("group"))
         .agg(sort_array(collect_list(struct(col("v"), col("c")))).as("buf"))
+        .as("a")
         .join(ranked.filter(col("__rn") > k).groupBy(col("group"))
-            .agg((if (desc) max(col("v")) else min(col("v"))).as("wm")),
-          Seq("group"), "left_outer")
+            .agg((if (desc) max(col("v")) else min(col("v"))).as("wm"))
+            .as("d"),
+          col("a.group") <=> col("d.group"), "left_outer")
+        .select(col("a.group").as("group"), col("buf"), col("wm"))
     }
     val rebuilt = side(desc = true).as("mx")
-      .join(side(desc = false).as("mn"), Seq("group"), "full_outer")
-      .select(col("group"),
+      .join(side(desc = false).as("mn"),
+        col("mx.group") <=> col("mn.group"), "full_outer")
+      .select(coalesce(col("mx.group"), col("mn.group")).as("group"),
         col("mx.buf").as("max_buf"), col("mx.wm").as("max_wm"),
         col("mn.buf").as("min_buf"), col("mn.wm").as("min_wm"))
-    state.join(broadcast(flagged), Seq("group"), "left_anti")
+    state.as("s").join(broadcast(flagged.as("f2")),
+        col("s.group") <=> col("f2.group"), "left_anti")
       .unionByName(rebuilt)
   }
 }

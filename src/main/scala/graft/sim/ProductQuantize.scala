@@ -88,14 +88,24 @@ object ProductQuantize {
     // tail: the argmax keeps the smaller code on equal score, so a padded
     // duplicate can never win and the codes are identical to the
     // variable-length semantics.
+    model.books.zipWithIndex.foreach { case (b, j) =>
+      require(b.nonEmpty,
+        s"PQModel codebook for subspace $j is empty — k-means returned no " +
+          "centroids (corpus slice all-null or empty?); cannot encode")
+    }
     val ksub = model.books.map(_.length).max
     def padded(j: Int) =
       model.books(j) ++ Seq.fill(ksub - model.books(j).length)(model.books(j).head)
     val booksFlat = typedlit((0 until model.m).flatMap(j => padded(j).flatMap(_._1)))
     val nrm2Flat = typedlit((0 until model.m).flatMap(j => padded(j).map(_._2)))
+    import org.apache.spark.sql.graft.ColumnBridge
     corpus.select(col(idCol),
-      call_function("pq_encode", col(embCol), booksFlat, nrm2Flat,
-        lit(model.m), lit(ksub)).as("codes"))
+      ColumnBridge.column(graft.functions.PqEncode(
+        ColumnBridge.expression(col(embCol)),
+        ColumnBridge.expression(booksFlat),
+        ColumnBridge.expression(nrm2Flat),
+        ColumnBridge.expression(lit(model.m)),
+        ColumnBridge.expression(lit(ksub)))).as("codes"))
   }
 
   /** ADC top-k: rank the encoded corpus against each query by approximate

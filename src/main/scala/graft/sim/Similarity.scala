@@ -23,11 +23,16 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Sequential-order double dot product of two float arrays — the native
-    * codegen'd [[graft.functions.FloatDot]] expression (registered by
-    * GraftExtensions/GraftFunctions in every engine session). Bit-identical
+    * codegen'd [[graft.functions.FloatDot]] expression, constructed
+    * directly so it works on a PLAIN session (no GraftExtensions needed;
+    * the SQL registry's `vec_dot` is just the SQL spelling). Bit-identical
     * to the composed `aggregate(zip_with(...))` form it replaced, without
     * the per-row interpreted lambdas and intermediate array. */
-  def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+  def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.FloatDot(
+        org.apache.spark.sql.graft.ColumnBridge.expression(a),
+        org.apache.spark.sql.graft.ColumnBridge.expression(b)))
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 

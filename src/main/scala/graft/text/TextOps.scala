@@ -30,8 +30,15 @@ object TextOps {
     * pinned), none of the composed form's two Java-regex passes, which
     * profiling showed to be the single dominant cost of every tokenizing
     * query at corpus scale. This is the spelling every operator uses;
-    * `words`/`normalized` remain for callers composing differently. */
-  def tokens(c: Column): Column = call_function("fast_tokens", c)
+    * `words`/`normalized` remain for callers composing differently.
+    * Constructed DIRECTLY (not via the SQL registry) so every text
+    * operator works on a plain session without
+    * [[graft.functions.GraftExtensions]] — the registry is only the SQL
+    * surface's spelling. */
+  def tokens(c: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.FastTokens(
+        org.apache.spark.sql.graft.ColumnBridge.expression(c)))
 
   /** Whitespace-token count of raw text. */
   def tokenCountWs(c: Column): Column = size(split(trim(c), "\\s+"))

@@ -120,4 +120,84 @@ class ExtremaStateSpec extends AnyFunSuite with SparkSpec {
       }
     }
   }
+
+  test("a stale NULL group is repaired like any other (null-safe joins)") {
+    val table = newTable()
+    var state = ExtremaState.emptyState(spark)
+    val boot = (0 until 10).map(i => txn(s"k$i", 1, null, 100 + i))
+    state = ExtremaState.applyDelta(state,
+      table.upsertChanges(boot.toDF()), "entity", "amount", 2)
+      .localCheckpoint(true)
+    val displace = Seq(txn("k9", 2, null, 0), txn("k8", 2, null, 1))
+    state = ExtremaState.applyDelta(state,
+      table.upsertChanges(displace.toDF()), "entity", "amount", 2)
+      .localCheckpoint(true)
+    val pre = ExtremaState.extrema(state)
+      .filter($"group".isNull).collect()
+    assert(pre.length == 1 && !pre.head.getBoolean(2),
+      s"null group must be flagged stale before repair: ${pre.toSeq}")
+    val repaired = ExtremaState.repair(state, table.read(),
+      $"entity", $"amount", 2)
+    val after = ExtremaState.extrema(repaired)
+      .filter($"group".isNull)
+      .as[(Option[String], Option[Double], Boolean, Option[Double], Boolean)]
+      .collect()
+    assert(after.length == 1, s"exactly one null-group row: ${after.toSeq}")
+    val (_, mx, mxe, mn, mne) = after.head
+    assert(mxe && mx.contains(107.0), s"repair must fix the null group: $mx")
+    assert(mne && mn.contains(0.0))
+  }
+
+  test("large-group guard: forced-low distinctCap output is identical to " +
+    "the unguarded path") {
+    val table = newTable()
+    var state = ExtremaState.emptyState(spark)
+    // 300 distinct values in one group, k=2 — with distinctCap forced to
+    // its floor (10*(k+1) = 30 < 300) the quantile pre-filter arms; the
+    // default cap leaves the path unguarded. Outputs must match exactly.
+    val boot = (0 until 300).map(i => txn(s"k$i", 1, "g", i))
+    state = ExtremaState.applyDelta(state,
+      table.upsertChanges(boot.toDF()), "entity", "amount", 2)
+      .localCheckpoint(true)
+    val displace = Seq(txn("k299", 2, "g", -5), txn("k298", 2, "g", -6))
+    state = ExtremaState.applyDelta(state,
+      table.upsertChanges(displace.toDF()), "entity", "amount", 2)
+      .localCheckpoint(true)
+    assert(!readState(state)("g")._2, "max side must be stale")
+    def rows(cap: Long) =
+      ExtremaState.repair(state, table.read(), $"entity", $"amount", 2, cap)
+        .orderBy($"group")
+        .collect().map(_.toString).toSeq
+    val guarded = rows(30L)
+    val plain = rows(4L * 1000 * 1000)
+    assert(guarded == plain,
+      s"guarded repair must equal unguarded:\n$guarded\nvs\n$plain")
+    val after = ExtremaState.extrema(
+      ExtremaState.repair(state, table.read(), $"entity", $"amount", 2, 30L))
+    val g = after.filter($"group" === "g")
+      .as[(String, Option[Double], Boolean, Option[Double], Boolean)]
+      .collect().head
+    assert(g._3 && g._2.contains(297.0), s"true max after displacement: $g")
+  }
+
+  test("precision guard: a BIGINT beyond 2^53 raises instead of silently " +
+    "collapsing in double space") {
+    def feed(v: Long) = spark.range(1).select(
+      lit("insert").as("change_type"),
+      struct(lit("g").as("entity"), lit(v).as("amount")).as("new_image"),
+      struct(lit("g").as("entity"), lit(v).as("amount")).as("old_image"))
+    // exactly representable: fine
+    val ok = ExtremaState.applyDelta(
+      ExtremaState.emptyState(spark), feed(1L << 53), "entity", "amount", 2)
+    assert(ok.count() == 1)
+    // one past the significand: loud failure, not a wrong extremum
+    val e = intercept[Exception] {
+      ExtremaState.applyDelta(ExtremaState.emptyState(spark),
+        feed((1L << 53) + 1L), "entity", "amount", 2).collect()
+    }
+    assert(e.getMessage != null &&
+      (e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse(""))
+        .contains("does not fit a double exactly"),
+      s"unexpected: $e")
+  }
 }
