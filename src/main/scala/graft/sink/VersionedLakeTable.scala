@@ -92,6 +92,15 @@ private[sink] final case class CommitIntent(touched: Seq[String])
   * and is reclaimed by [[cleanOrphans]] when no writer is in flight.
   * Rollback and snapshot compaction remain conservative: they conflict
   * with every concurrent commit.
+  *
+  * READER VISIBILITY under concurrency: manifests can land out of claim
+  * order, so readers only see the CONTIGUOUS prefix of the commit log
+  * ([[visibleVersions]]) — a manifest above an uncommitted claimed slot
+  * stays invisible (reads of it fail loudly naming the gap) until the
+  * gap commits or [[cleanOrphans]] tombstones a crashed claim. This is
+  * what makes time travel repeatable: a snapshot that has ever been
+  * readable resolves identically forever, instead of silently acquiring
+  * a late-landing lower commit.
   */
 final class VersionedLakeTable(spark: SparkSession, val spec: LakeTableSpec,
     checkpointEvery: Int = 10,
@@ -130,7 +139,21 @@ final class VersionedLakeTable(spark: SparkSession, val spec: LakeTableSpec,
       .filter(_.endsWith(".json"))
       .map(_.stripSuffix(".json").toInt).sorted
 
-  def latestVersion: Option[Int] = versions.lastOption
+  /** Committed manifests visible to READERS: the contiguous run from the
+    * oldest manifest upward. Manifests can land out of claim order (a
+    * writer that claimed slot v+1 may commit while slot v is still
+    * claimed-but-uncommitted); a manifest above such a gap is NOT yet
+    * visible — readers stop at the gap, so a snapshot, once readable,
+    * NEVER changes retroactively when the lower manifest later lands
+    * (the Delta/Iceberg reader contract). The gap closes when the lower
+    * writer commits, or — if it crashed — when [[cleanOrphans]] reclaims
+    * the claim and tombstones its slot. */
+  private def visibleVersions: Seq[Int] = {
+    val vs = versions
+    vs.zipWithIndex.takeWhile { case (v, i) => v == vs.head + i }.map(_._1)
+  }
+
+  def latestVersion: Option[Int] = visibleVersions.lastOption
 
   private def manifest(v: Int): CommitManifest = {
     val p = commitsDir.resolve(f"$v%08d.json")
@@ -157,7 +180,17 @@ final class VersionedLakeTable(spark: SparkSession, val spec: LakeTableSpec,
     * then replay the deltas forward — each delta entry replaces its
     * partition's file list. */
   private def resolved(v: Int): Map[String, Seq[String]] = {
-    val below = versions.filter(_ <= v).reverse
+    val vis = visibleVersions
+    if (!vis.contains(v) && versions.contains(v)) {
+      val gap = vis.lastOption.map(_ + 1).getOrElse(0)
+      throw new IllegalStateException(
+        s"VersionedLakeTable($path): commit $v exists but is not yet " +
+          s"visible — the log has a gap at $gap (that slot is claimed but " +
+          "uncommitted, or crash debris). Reads stop at the first gap so a " +
+          "snapshot never changes retroactively; retry once the gap " +
+          "commits, or run cleanOrphans() to reclaim a crashed writer.")
+    }
+    val below = vis.filter(_ <= v).reverse
     require(below.headOption.contains(v),
       s"VersionedLakeTable($path): no commit $v — available: " +
         s"${versions.mkString(", ")}")
@@ -559,7 +592,16 @@ final class VersionedLakeTable(spark: SparkSession, val spec: LakeTableSpec,
     * writers that died between stage/claim and manifest commit (such a
     * dir blocks overlapping writers loudly until cleared). ONLY safe when
     * no writer is in flight, like [[vacuumBefore]]. Returns the number of
-    * dirs removed. */
+    * dirs removed.
+    *
+    * Reclaiming a crashed CLAIM whose higher neighbors already committed
+    * leaves a permanent hole in the version sequence, which would hide
+    * those committed manifests forever (readers stop at the first gap —
+    * see [[visibleVersions]]). So after clearing debris this TOMBSTONES
+    * every missing slot below the newest manifest with an empty delta
+    * commit: it resolves to a no-op, conflicts with nothing (empty
+    * `touched`), and restores log contiguity so the hidden commits become
+    * visible. */
   def cleanOrphans(): Int = {
     val dataDir = Paths.get(path, "data")
     if (!JFiles.isDirectory(dataDir)) return 0
@@ -570,6 +612,13 @@ final class VersionedLakeTable(spark: SparkSession, val spec: LakeTableSpec,
           !JFiles.exists(commitsDir.resolve(f"${n.toInt}%08d.json"))))
     }
     orphans.foreach(deleteRecursively)
+    val vs = versions
+    vs.headOption.foreach { lo =>
+      (lo to vs.last).filterNot(vs.contains).foreach { v =>
+        commit(CommitManifest(v, java.time.Instant.now().toString,
+          Map.empty, delta = Some(true), touched = Some(Nil)))
+      }
+    }
     orphans.size
   }
 
@@ -631,7 +680,10 @@ final class VersionedLakeTable(spark: SparkSession, val spec: LakeTableSpec,
     * every writer whose base predates it rebases). */
   def rollback(v: Int): Int = {
     val target = resolved(v) // full checkpoint: a rollback restarts history
-    val nextV = latestVersion.get + 1
+    // raw max, not the visible head: a manifest above a gap already owns
+    // its slot, and committing over it must fail loudly (ATOMIC_MOVE
+    // without replace), never silently shadow it
+    val nextV = versions.last + 1
     commit(CommitManifest(nextV, java.time.Instant.now().toString, target))
   }
 

@@ -58,6 +58,40 @@ class VersionedLakeTableSpec extends AnyFunSuite with SparkSpec {
     assert(v0files.exists, "v0 data dir must survive the second commit")
   }
 
+  test("a manifest above an uncommitted claimed slot is invisible until " +
+    "the gap heals (repeatable time travel)") {
+    val log = Workload.generate(seed = 36, n = 300)
+    val table = newTable()
+    val batches = log.txns.grouped(100).toSeq
+    table.upsert(batches(0).toDF()) // v0
+    table.upsert(batches(1).toDF()) // v1
+    // simulate a writer that CLAIMED slot 2 and died before committing its
+    // manifest: data/2 with an intent over a partition nobody else touches
+    val claim = java.nio.file.Paths.get(table.spec.path, "data", "2")
+    java.nio.file.Files.createDirectories(claim)
+    java.nio.file.Files.writeString(claim.resolve("_intent.json"),
+      """{"touched":["create_year=1999/create_month=01/create_day=01/""" +
+        """create_hour=00/create_minute=00"]}""")
+    // a disjoint writer walks past the claim and commits at slot 3
+    val v = table.upsert(batches(2).toDF())
+    assert(v === 3)
+    // slot 2 never committed: the readable head stays at 1, and v3 —
+    // though committed — is not observable without v2 beneath it
+    assert(table.latestVersion === Some(1))
+    assert(state(table.read()) === expectedAfter(log, 100, 2))
+    val e = intercept[IllegalStateException](table.read(Some(3)))
+    assert(e.getMessage.contains("gap at 2"), e.getMessage)
+    // reclaiming the crashed claim tombstones its slot; the log heals and
+    // v3 becomes visible with exactly what its writer committed — its
+    // resolution never changed while it was hidden
+    assert(table.cleanOrphans() === 1)
+    assert(table.versions === Seq(0, 1, 2, 3))
+    assert(table.latestVersion === Some(3))
+    assert(state(table.read(Some(3))) === expectedAfter(log, 100, 3))
+    // the tombstone slot reads as the state beneath it (empty delta)
+    assert(state(table.read(Some(2))) === expectedAfter(log, 100, 2))
+  }
+
   test("rollback restores an old snapshot as a new commit") {
     val log = Workload.generate(seed = 33, n = 200)
     val table = newTable()
