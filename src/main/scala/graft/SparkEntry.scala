@@ -149,6 +149,7 @@ object SparkEntry {
     "q135_hll_incremental" -> (CdcQueries.q135HllIncremental _),
     "q136_concurrent_commits" -> (CdcQueries.q136ConcurrentCommits _),
     "q137_extrema_incremental" -> (CdcQueries.q137ExtremaIncremental _),
+    "q138_quantile_incremental" -> (CdcQueries.q138QuantileIncremental _),
   )
 
   /** Untimed per-query setup the bench runs before timing (ingest-side
@@ -324,6 +325,7 @@ object SparkEntry {
     "q135_hll_incremental" -> CdcQueries.q135HllIncrementalSql,
     "q136_concurrent_commits" -> CdcQueries.q136ConcurrentCommitsSql,
     "q137_extrema_incremental" -> CdcQueries.q137ExtremaIncrementalSql,
+    "q138_quantile_incremental" -> CdcQueries.q138QuantileIncrementalSql,
   )
 
   /** DECLARED oracle-less entries: queries whose semantics are not

@@ -51,6 +51,14 @@ import graft.text.{HeavyHitters, TextOps}
   *    sketch rows + the batch, so it must be FLAT across the ×100→×1000
   *    history knob (10M → 100M rows) while the rescan grows ~linearly —
   *    the recorded numbers for the O(batch) claim the scaladoc argues.
+  *  - `m_dds_fold_x100/x1000` vs `m_dds_rescan_x100/x1000`: the same
+  *    knob pair for incremental QUANTILE maintenance
+  *    ([[graft.ops.QuantileState]], pinned by q138) — fold one batch into
+  *    the stored per-group (region, bucket) → count state and read
+  *    p50/p95, vs re-bucketizing history + batch. The state is
+  *    O(groups × log-range buckets) rows regardless of history depth, so
+  *    the fold must stay flat across the ×100→×1000 knob while the
+  *    rescan grows ~linearly.
   *  - `m_asof_buck_uniform_x10` vs `m_asof_plain_uniform_x10`: the
   *    two-level bucketed as-of join vs the plain key-partitioned one on
   *    the SAME materialized uniform-key facts/dims (the q127 shape,
@@ -131,6 +139,16 @@ object ScaleBench {
   private def hllBatch(s: SparkSession, dir: String): DataFrame =
     graft.Tables.load(s, dir, "events")
       .select(col("event_type"), (-col("user_id") - 1).as("user_id"))
+
+  /** The per-group DDSketch quantile state of [[hllHistory]] (measure =
+    * user_id — the cost driver is row count and bucket spread, not the
+    * measure's meaning), materialized: what the incremental pipeline
+    * stores between batches. */
+  private def ddsState(s: SparkSession, dir: String, times: Int): DataFrame =
+    materialized(s, s"dds_state_x$times") {
+      graft.ops.QuantileState.batchState(hllHistory(s, dir, times),
+        col("event_type"), col("user_id"))
+    }
 
   /** Uniform-key ×10 as-of inputs (the q127 shape), materialized. */
   private def asofFixture(s: SparkSession, dir: String,
@@ -239,6 +257,36 @@ object ScaleBench {
       val batch = hllBatch(s, dir)
       () => noop(SketchState.estimate(SketchState.batchState(
         hist.unionByName(batch), "event_type", col("user_id"))))
+    }),
+    "m_dds_fold_x100" -> ((s, dir) => {
+      val state = ddsState(s, dir, 100)
+      val batch = hllBatch(s, dir)
+      () => noop(graft.ops.QuantileState.quantiles(
+        graft.ops.QuantileState.merge(Seq(state,
+          graft.ops.QuantileState.batchState(batch,
+            col("event_type"), col("user_id")))), Seq(0.5, 0.95)))
+    }),
+    "m_dds_fold_x1000" -> ((s, dir) => {
+      val state = ddsState(s, dir, 1000)
+      val batch = hllBatch(s, dir)
+      () => noop(graft.ops.QuantileState.quantiles(
+        graft.ops.QuantileState.merge(Seq(state,
+          graft.ops.QuantileState.batchState(batch,
+            col("event_type"), col("user_id")))), Seq(0.5, 0.95)))
+    }),
+    "m_dds_rescan_x100" -> ((s, dir) => {
+      val hist = hllHistory(s, dir, 100)
+      val batch = hllBatch(s, dir)
+      () => noop(graft.ops.QuantileState.quantiles(
+        graft.ops.QuantileState.batchState(hist.unionByName(batch),
+          col("event_type"), col("user_id")), Seq(0.5, 0.95)))
+    }),
+    "m_dds_rescan_x1000" -> ((s, dir) => {
+      val hist = hllHistory(s, dir, 1000)
+      val batch = hllBatch(s, dir)
+      () => noop(graft.ops.QuantileState.quantiles(
+        graft.ops.QuantileState.batchState(hist.unionByName(batch),
+          col("event_type"), col("user_id")), Seq(0.5, 0.95)))
     }),
     "m_asof_buck_uniform_x10" -> ((s, dir) => {
       val facts = asofFixture(s, dir, "facts")

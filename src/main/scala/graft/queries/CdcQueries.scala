@@ -1621,6 +1621,83 @@ object CdcQueries {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  // --------------------------------------------------------------- q138
+  /** Incremental QUANTILE maintenance ([[graft.ops.QuantileState]], the
+    * DDSketch member of the incremental family) — percentiles over a
+    * CDC-maintained lake without rescanning history (q106 is the batch
+    * rescan spelling). The CDC stream folds through the change feed into
+    * a per-event_type (region, bucket) → count state twice, as 3 batches
+    * and as 5 batches; because merge is count addition the two folds must
+    * be IDENTICAL (exact batching-invariance, stronger than q135's HLL
+    * contract), and each p50/p95 estimate must sit within α = 1% of the
+    * value at the exact rank ⌈p·n⌉ over the latest-wins state
+    * (percentile_disc semantics — a real data value, so the oracle's
+    * quantile_disc matches bit-exactly). A missed retraction (update
+    * double-count), a mis-bucketed sign region, or a wrong rank target
+    * breaks the flags or the hash. */
+  def q138QuantileIncremental(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.QuantileState
+    val cdc = cdcView(s, dir)
+    def fold(nb: Int): (KeyedLakeTable, DataFrame) = {
+      val table = new KeyedLakeTable(s, LakeTableSpec(
+        Files.createTempDirectory(s"graft_q138_lake$nb").toString,
+        recordKeys = Seq("id"), precombine = "update_at",
+        partitionSource = "create_at", tieBreak = Seq("event_id")))
+      var state = QuantileState.emptyState(s)
+      (0 until nb).foreach { b =>
+        val changes = table.upsertChanges(
+          cdc.filter(pmod(col("event_id"), lit(nb)) === b))
+        state = QuantileState
+          .applyDelta(state, changes, "event_type", "value")
+          .localCheckpoint(true)
+      }
+      (table, state)
+    }
+    val (table3, s3) = fold(3)
+    val (_, s5) = fold(5)
+    val ps = Seq(0.5, 0.95)
+    def wide(state: DataFrame, suffix: String) =
+      QuantileState.quantiles(state, ps)
+        .groupBy(col("group"))
+        .agg(max(when(col("p") === 0.5, col("value"))).as(s"s50$suffix"),
+          max(when(col("p") === 0.95, col("value"))).as(s"s95$suffix"))
+    val q3 = wide(s3, "")
+    val q5 = wide(s5, "_5")
+    val exact = table3.read()
+      .groupBy(col("event_type"))
+      .agg(
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)")
+          .cast("double").as("p50_exact"),
+        expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY value)")
+          .cast("double").as("p95_exact"))
+    exact
+      .join(q3.withColumnRenamed("group", "__g3"),
+        col("event_type") <=> col("__g3"))
+      .join(q5.withColumnRenamed("group", "__g5"),
+        col("event_type") <=> col("__g5"))
+      .select(col("event_type"), col("p50_exact"), col("p95_exact"),
+        (col("s50") === col("s50_5") && col("s95") === col("s95_5"))
+          .as("merge_invariant"),
+        (abs(col("s50") - col("p50_exact")) <=
+          abs(col("p50_exact")) * 0.01 + 1e-9).as("err50_ok"),
+        (abs(col("s95") - col("p95_exact")) <=
+          abs(col("p95_exact")) * 0.01 + 1e-9).as("err95_ok"))
+      .orderBy("event_type")
+  }
+
+  val q138QuantileIncrementalSql: String =
+    s"""WITH cdc AS ($cdcViewSql),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY update_at DESC, event_id DESC) AS rn
+      |  FROM cdc)
+      |SELECT event_type,
+      |  CAST(quantile_disc(value, 0.5) AS DOUBLE) AS p50_exact,
+      |  CAST(quantile_disc(value, 0.95) AS DOUBLE) AS p95_exact,
+      |  TRUE AS merge_invariant, TRUE AS err50_ok, TRUE AS err95_ok
+      |FROM ranked WHERE rn = 1
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val q136ConcurrentCommitsSql: String =
     s"""WITH cdc AS ($cdcViewSql)
       |SELECT id,
