@@ -150,6 +150,7 @@ object SparkEntry {
     "q136_concurrent_commits" -> (CdcQueries.q136ConcurrentCommits _),
     "q137_extrema_incremental" -> (CdcQueries.q137ExtremaIncremental _),
     "q138_quantile_incremental" -> (CdcQueries.q138QuantileIncremental _),
+    "q139_soft_delete" -> (CdcQueries.q139SoftDelete _),
   )
 
   /** Untimed per-query setup the bench runs before timing (ingest-side
@@ -326,6 +327,7 @@ object SparkEntry {
     "q136_concurrent_commits" -> CdcQueries.q136ConcurrentCommitsSql,
     "q137_extrema_incremental" -> CdcQueries.q137ExtremaIncrementalSql,
     "q138_quantile_incremental" -> CdcQueries.q138QuantileIncrementalSql,
+    "q139_soft_delete" -> CdcQueries.q139SoftDeleteSql,
   )
 
   /** DECLARED oracle-less entries: queries whose semantics are not

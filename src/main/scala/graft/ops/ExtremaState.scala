@@ -120,9 +120,10 @@ object ExtremaState {
     * the result accretes plan lineage per batch — checkpoint it when
     * looping. */
   def applyDelta(state: DataFrame, changes: DataFrame, groupField: String,
-      valueField: String, k: Int): DataFrame = {
+      valueField: String, k: Int,
+      softDeleteField: Option[String] = None): DataFrame = {
     require(k >= 1, s"extrema buffer capacity must be >= 1, got $k")
-    val retr = IncrementalAgg.retractions(changes)
+    val retr = IncrementalAgg.retractions(changes, softDeleteField)
     val vType = retr.schema("__img").dataType match {
       case s: StructType => s(valueField).dataType
       case other => throw new IllegalArgumentException(

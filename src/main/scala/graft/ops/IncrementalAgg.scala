@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Exact incremental maintenance of per-group SUM/COUNT aggregates from a
@@ -26,13 +26,29 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalAgg {
 
-  /** Signed image stream of a change feed: `(+1, new_image)` for inserts
-    * and updates, `(−1, old_image)` for updates; noops contribute nothing.
-    * Deletes, when a source supplies them, are the symmetric `(−1, old)`. */
-  def retractions(changes: DataFrame): DataFrame = {
-    val plus = changes.filter(col("change_type").isin("insert", "update"))
+  /** Signed image stream of a change feed: a LIVE new image joins (+1),
+    * a live replaced image leaves (−1); noops contribute nothing. With a
+    * soft-delete table ([[graft.sink.LakeTableSpec.softDeleteCol]]) pass
+    * the flag's field name: tombstone images are then not live — a
+    * `delete` retracts only the replaced live row (its tombstone adds
+    * nothing), and a later resurrection adds only the new live row (the
+    * tombstone it replaces was never counted). Per-key transitions
+    * telescope either way, so the folded state always equals a
+    * from-scratch aggregate of the live table. */
+  def retractions(changes: DataFrame,
+      softDeleteField: Option[String] = None): DataFrame = {
+    def live(img: Column): Column = softDeleteField match {
+      case None    => img.isNotNull
+      case Some(f) =>
+        img.isNotNull && !coalesce(img.getField(f), lit(false))
+    }
+    val plus = changes
+      .filter(col("change_type").isin("insert", "update", "delete") &&
+        live(col("new_image")))
       .select(lit(1L).as("__sign"), col("new_image").as("__img"))
-    val minus = changes.filter(col("change_type") === "update")
+    val minus = changes
+      .filter(col("change_type").isin("update", "delete") &&
+        live(col("old_image")))
       .select(lit(-1L).as("__sign"), col("old_image").as("__img"))
     plus.unionByName(minus)
   }
@@ -47,10 +63,10 @@ object IncrementalAgg {
     * checkpoint it periodically, exactly like any incrementally-built
     * frame. */
   def applyDelta(state: DataFrame, changes: DataFrame, groupField: String,
-      sumField: String): DataFrame = {
+      sumField: String, softDeleteField: Option[String] = None): DataFrame = {
     val group = col("__img").getField(groupField).as("group")
     val measure = col("__img").getField(sumField).cast("decimal(20,2)")
-    val delta = retractions(changes)
+    val delta = retractions(changes, softDeleteField)
       .select(group, (measure * col("__sign")).as("__m"), col("__sign"))
       .groupBy(col("group"))
       .agg(sum(col("__m")).cast("decimal(22,2)").as("d_total"),

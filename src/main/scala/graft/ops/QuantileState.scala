@@ -109,10 +109,11 @@ object QuantileState {
     * [[batchState]] over the latest-wins table at that point. The result
     * accretes plan lineage per batch — checkpoint it when looping. */
   def applyDelta(state: DataFrame, changes: DataFrame, groupField: String,
-      valueField: String, alpha: Double = DefaultAlpha): DataFrame = {
+      valueField: String, alpha: Double = DefaultAlpha,
+      softDeleteField: Option[String] = None): DataFrame = {
     val g = gammaOf(alpha)
     val v = col("__img").getField(valueField).cast("double")
-    val delta = IncrementalAgg.retractions(changes)
+    val delta = IncrementalAgg.retractions(changes, softDeleteField)
       .filter(v.isNotNull) // SQL percentiles ignore null measures
       .select(col("__img").getField(groupField).cast("string").as("group"),
         regionOf(v).as("region"), bucketOf(v, g).as("bucket"),

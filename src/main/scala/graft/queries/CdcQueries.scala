@@ -1698,6 +1698,69 @@ object CdcQueries {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  // --------------------------------------------------------------- q139
+  /** Soft-delete CDC ([[graft.sink.LakeTableSpec.softDeleteCol]]) — the
+    * delete handling the reference scopes OUT (`README.rst:53`, stream
+    * REMOVE skipped): rows with `event_id % 7 == 3` are tombstones riding
+    * the merge as ordinary latest-wins versions (a delete only takes
+    * effect if it WINS by precombine; a later live version resurrects the
+    * key; an out-of-order older version can never resurrect). The stream
+    * folds in 3 batches; the change feed classifies live transitions
+    * (insert/update/delete) and [[graft.ops.IncrementalAgg]] maintains
+    * the LIVE aggregate through it — `state_matches` pins the maintained
+    * state equal to a from-scratch aggregate over [[KeyedLakeTable
+    * .readLive]]. The oracle recomputes the live latest-wins aggregate in
+    * SQL; a tombstone that leaked into the live read, a resurrected key
+    * counted twice, or a delete that failed to retract breaks the hash or
+    * the flag. */
+  def q139SoftDelete(s: SparkSession, dir: String): DataFrame = {
+    val cdc = cdcView(s, dir)
+      .withColumn("is_deleted", pmod(col("event_id"), lit(7)) === 3)
+    val table = new KeyedLakeTable(s, LakeTableSpec(
+      Files.createTempDirectory("graft_q139_lake").toString,
+      recordKeys = Seq("id"), precombine = "update_at",
+      partitionSource = "create_at", tieBreak = Seq("event_id"),
+      softDeleteCol = Some("is_deleted")))
+    val bucket = pmod(col("event_id"), lit(3))
+    var state = graft.ops.IncrementalAgg.emptyState(s,
+      org.apache.spark.sql.types.StringType)
+    (0 until 3).foreach { b =>
+      val changes = table.upsertChanges(cdc.filter(bucket === b))
+      state = graft.ops.IncrementalAgg
+        .applyDelta(state, changes, "event_type", "value",
+          softDeleteField = Some("is_deleted"))
+        .localCheckpoint(true)
+    }
+    val live = table.readLive()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_live"),
+        sum(col("value").cast("decimal(20,2)")).cast("decimal(22,2)")
+          .as("total_live"))
+    live.as("l")
+      .join(state.as("st"), col("l.event_type") <=> col("st.group"),
+        "full_outer")
+      .select(coalesce(col("l.event_type"), col("st.group")).as("event_type"),
+        col("n_live"),
+        col("total_live").cast("double").as("total_value"),
+        (col("n_live") <=> col("n_rows") &&
+          col("total_live") <=> col("total")).as("state_matches"))
+      .orderBy("event_type")
+  }
+
+  val q139SoftDeleteSql: String =
+    s"""WITH cdc AS ($cdcViewSql),
+      |flagged AS (
+      |  SELECT *, (event_id % 7 = 3) AS is_deleted FROM cdc),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY update_at DESC, event_id DESC) AS rn
+      |  FROM flagged)
+      |SELECT event_type, COUNT(*) AS n_live,
+      |  CAST(SUM(CAST(value AS DECIMAL(20,2))) AS DOUBLE) AS total_value,
+      |  TRUE AS state_matches
+      |FROM ranked WHERE rn = 1 AND NOT is_deleted
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val q136ConcurrentCommitsSql: String =
     s"""WITH cdc AS ($cdcViewSql)
       |SELECT id,

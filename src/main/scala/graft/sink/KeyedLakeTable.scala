@@ -22,13 +22,31 @@ import graft.ops.LakeOps
   * @param tieBreak        columns ordering rows with *equal* precombine
   *                        values descending, to make merges deterministic
   *                        (ADVICE r1: same-timestamp CDC updates are common)
+  * @param softDeleteCol   opt-in TOMBSTONE column (boolean): a row with the
+  *                        flag true is a delete of its key, riding the merge
+  *                        as an ordinary latest-wins version — it must WIN by
+  *                        precombine to take effect, and a later live version
+  *                        resurrects the key, so replay/merge semantics are
+  *                        unchanged and an out-of-order older version can
+  *                        never resurrect a deleted key. The table keeps
+  *                        tombstone rows ([[KeyedLakeTable.read]] returns
+  *                        them; [[KeyedLakeTable.readLive]] filters them);
+  *                        physical removal is a later compaction/retention
+  *                        pass. The change feed classifies tombstone winners
+  *                        as `delete`, and [[graft.ops.IncrementalAgg
+  *                        .retractions]] counts only LIVE images, so
+  *                        incremental aggregates track the live table. The
+  *                        reference scopes deletes out entirely
+  *                        (`README.rst:53`, stream REMOVE skipped) — None
+  *                        (the default) preserves exactly that behavior.
   */
 final case class LakeTableSpec(
     path: String,
     recordKeys: Seq[String] = Seq("id"),
     precombine: String = "update_at",
     partitionSource: String = "create_at",
-    tieBreak: Seq[String] = Nil)
+    tieBreak: Seq[String] = Nil,
+    softDeleteCol: Option[String] = None)
 
 /** Keyed upsert-merge lake table — a pure-Spark, Hudi-COPY_ON_WRITE-
   * equivalent sink with no external table-format dependency.
@@ -62,10 +80,23 @@ final class KeyedLakeTable(spark: SparkSession, val spec: LakeTableSpec) {
     * partition and break the pruned merge), drop Op, derive partitions,
     * in-batch latest-wins dedup (W1 before the sink, like the reference). */
   private def prep(df: DataFrame): DataFrame = {
-    val guarded = df.withColumn(partitionSource,
+    softDeleteCol.foreach { f =>
+      require(df.columns.contains(f),
+        s"KeyedLakeTable($path): softDeleteCol '$f' missing from batch — " +
+          "every batch of a soft-delete table must carry the tombstone flag")
+      require(df.schema(f).dataType ==
+          org.apache.spark.sql.types.BooleanType,
+        s"KeyedLakeTable($path): softDeleteCol '$f' must be boolean, got " +
+          df.schema(f).dataType.sql)
+    }
+    val guarded0 = df.withColumn(partitionSource,
       coalesce(col(partitionSource), raise_error(lit(
         s"KeyedLakeTable($path): null $partitionSource in batch — the " +
           "partition source column is mandatory (db_orm.py audit-column contract)"))))
+    // a null tombstone flag means "live" — normalize so the merged table
+    // and the change feed never carry a three-valued delete flag
+    val guarded = softDeleteCol.fold(guarded0)(f =>
+      guarded0.withColumn(f, coalesce(col(f), lit(false))))
     val withParts = LakeOps.derivePartitionColumns(LakeOps.dropOp(guarded), partitionSource)
     LakeOps.latestWinsDedup(withParts, recordKeys, precombine,
       tieBreak.map(c => col(c).desc))
@@ -161,11 +192,27 @@ final class KeyedLakeTable(spark: SparkSession, val spec: LakeTableSpec) {
     def ord(img: Column) = struct(ordCols.map(c => img.getField(c)): _*)
     val newer = ord(col("new_image")) > ord(col("old_image"))
     val tied = ord(col("new_image")) === ord(col("old_image"))
-    newSide.join(oldSide, recordKeys.toSeq, "left")
-      .withColumn("change_type",
+    val wins = col("old_image").isNull || newer || tied
+    // With soft deletes the non-noop cases refine by the LIVE transition:
+    // a tombstone winner is a `delete` (whatever it replaced — aggregates
+    // only retract a live old image), a live winner over a tombstone (or
+    // nothing) is an `insert` (resurrection adds, retracts nothing), and
+    // live-over-live stays `update`.
+    val changeType = softDeleteCol match {
+      case None =>
         when(col("old_image").isNull, lit("insert"))
           .when(newer || tied, lit("update"))
-          .otherwise(lit("noop")))
+          .otherwise(lit("noop"))
+      case Some(f) =>
+        def dead(img: Column) = coalesce(img.getField(f), lit(false))
+        when(!wins, lit("noop"))
+          .when(dead(col("new_image")), lit("delete"))
+          .when(col("old_image").isNull || dead(col("old_image")),
+            lit("insert"))
+          .otherwise(lit("update"))
+    }
+    newSide.join(oldSide, recordKeys.toSeq, "left")
+      .withColumn("change_type", changeType)
       .select(recordKeys.map(col) :+ col("change_type") :+
         col("old_image") :+ col("new_image"): _*)
   }
@@ -333,6 +380,17 @@ final class KeyedLakeTable(spark: SparkSession, val spec: LakeTableSpec) {
     * rewrites old partitions to the current schema. */
   def read(): DataFrame =
     normalizeParts(spark.read.option("mergeSchema", "true").parquet(path))
+
+  /** The LIVE rows of a soft-delete table: [[read]] minus tombstones —
+    * what every analytic consumer queries. Tombstone rows stay in the
+    * table (they are what stops an out-of-order older version from
+    * resurrecting a deleted key); reclaiming them physically is a
+    * retention decision, not a read-path one. */
+  def readLive(): DataFrame = {
+    val f = softDeleteCol.getOrElse(throw new IllegalStateException(
+      s"KeyedLakeTable($path): readLive needs spec.softDeleteCol"))
+    read().filter(!coalesce(col(f), lit(false)))
+  }
 
   /** Hive-sync analog (`initial_load.py:168-174`): make the table queryable
     * through `spark.sql` for this session. */

@@ -262,4 +262,67 @@ class KeyedLakeTableSpec extends AnyFunSuite with SparkSpec {
       table.upsert(retyped, evolveSchema = true))
     assert(e2.getMessage.contains("type changed"), e2.getMessage)
   }
+
+  test("soft delete: a tombstone wins only by precombine, an older version " +
+    "cannot resurrect, the change feed classifies live transitions, and " +
+    "incremental aggregates track the live table") {
+    import org.apache.spark.sql.functions._
+    val table = new KeyedLakeTable(spark, LakeTableSpec(
+      path = tmpDir("lake-softdel"), recordKeys = Seq("id"),
+      precombine = "update_at", partitionSource = "create_at",
+      softDeleteCol = Some("is_deleted")))
+    def txn(id: String, at: Int, amount: Int) = Workload.Txn(
+      id, "a1", "2024-01-01T00:01:01.000000+0000",
+      f"2024-01-01T00:0$at:00.000000+0000", "misc", amount, 0, "v")
+    def batch(rows: Seq[Workload.Txn], deleted: Set[String]) =
+      rows.toDF().withColumn("is_deleted",
+        col("id").isin(deleted.toSeq: _*))
+    var state = graft.ops.IncrementalAgg.emptyState(spark,
+      org.apache.spark.sql.types.StringType)
+    def fold(changes: DataFrame): Unit =
+      state = graft.ops.IncrementalAgg.applyDelta(state, changes,
+        "entity", "amount", softDeleteField = Some("is_deleted"))
+        .localCheckpoint(true)
+
+    // b1: four live rows at t=1
+    val b1 = batch(Seq(txn("k1", 1, 10), txn("k2", 1, 20),
+      txn("k3", 1, 30), txn("k4", 1, 40)), Set.empty)
+    fold(table.upsertChanges(b1))
+    // b2 at t=2: delete k1, update k2, delete never-seen k9,
+    // and a STALE delete of k3 at t=0 (older than the live version)
+    val b2 = batch(Seq(txn("k1", 2, 10), txn("k2", 2, 25),
+      txn("k9", 2, 99), txn("k3", 0, 30)), Set("k1", "k9", "k3"))
+    val feed2 = table.upsertChanges(b2)
+    val types2 = feed2.select($"id", $"change_type")
+      .as[(String, String)].collect().toMap
+    assert(types2 == Map("k1" -> "delete", "k2" -> "update",
+      "k9" -> "delete", "k3" -> "noop"), s"feed2: $types2")
+    fold(feed2)
+    assert(table.readLive().select($"id", $"amount")
+      .as[(String, Int)].collect().toSet ==
+      Set(("k2", 25), ("k3", 30), ("k4", 40)),
+      "tombstones must leave the live read; a stale delete must not land")
+    // b3 at t=3: resurrect k1; a LIVE version of k9 at t=0 must NOT
+    // resurrect it (the tombstone is newer)
+    val b3 = batch(Seq(txn("k1", 3, 11), txn("k9", 0, 99)), Set.empty)
+    val feed3 = table.upsertChanges(b3)
+    val types3 = feed3.select($"id", $"change_type")
+      .as[(String, String)].collect().toMap
+    assert(types3 == Map("k1" -> "insert", "k9" -> "noop"), s"feed3: $types3")
+    fold(feed3)
+    assert(table.readLive().select($"id", $"amount")
+      .as[(String, Int)].collect().toSet ==
+      Set(("k1", 11), ("k2", 25), ("k3", 30), ("k4", 40)))
+    // the maintained aggregate equals a from-scratch aggregate of LIVE rows
+    val live = table.readLive().groupBy($"entity")
+      .agg(count(lit(1)).as("n"), sum($"amount").as("t"))
+      .as[(String, Long, Long)].collect().map {
+        case (g, n, t) => g -> (n, t) }.toMap
+    val st = state.select($"group", $"n_rows", $"total".cast("long"))
+      .as[(String, Long, Long)].collect().map {
+        case (g, n, t) => g -> (n, t) }.toMap
+    assert(st == live, s"state $st vs live $live")
+    // the tombstone ROW is still in the raw table (resurrection guard)
+    assert(table.read().filter($"id" === "k9" && $"is_deleted").count() == 1)
+  }
 }
