@@ -326,14 +326,25 @@ object RelationalQueries {
   // ---------------------------------------------------------------- q94
   /** q87's ×100 join computed CO-LOCATED instead of broadcast: both sides
     * pre-bucketed on the join key ([[graft.sql.QueryEngine.saveBucketed]],
-    * 32 buckets), so the sort-merge join needs NO exchange on either side
-    * — the plan the engine would run when the dim outgrows the broadcast
-    * threshold, and the "pay the shuffle once at ingest" half of the
-    * bucketing story (the write shuffles once; every subsequent join
-    * reads co-located). The ×100 explode sits ABOVE the bucketed scan
-    * (Generate preserves partitioning), the merge hint keeps AQE from
-    * converting back to broadcast, and the only exchange in the plan
-    * carries the 500 output groups. Oracle: identical values to q87
+    * 32 buckets, one file per bucket), so the join needs NO exchange on
+    * either side — the plan the engine would run when the dim outgrows
+    * the broadcast threshold, and the "pay the shuffle once at ingest"
+    * half of the bucketing story (the write shuffles once; every
+    * subsequent join reads co-located). The ×100 explode sits ABOVE the
+    * bucketed scan (Generate preserves partitioning), and the only
+    * exchange in the plan carries the 500 output groups.
+    *
+    * Join strategy is a measured choice ([[graft.Q94Profile]], ×100 bench
+    * scale): with buckets co-located the per-bucket build side is tiny
+    * (~150k orders rows / 32), so a shuffled-HASH join — zero exchange
+    * AND zero sort — runs at 0.76 s against the no-join floor of 0.92 s
+    * (scan + ×100 explode + aggregate alone) and the broadcast twin's
+    * 0.69 s; the sort-merge form costs 0.98 s at one-file-per-bucket and
+    * 1.44 s on a multi-file-bucket layout, whose in-task re-sort of the
+    * 60M-row exploded stream was most of round 9's "6× DuckDB" recording
+    * (the rest is the shared explode/agg floor, not the join — joining
+    * is ~free in this plan). The shuffle_hash hint keeps AQE from
+    * converting back to broadcast. Oracle: identical values to q87
     * (same SQL), so hash-green proves the bucketed path exact. */
   def q94BucketedJoin(s: SparkSession, dir: String): DataFrame = {
     import graft.ops.AggOps.{fixedPointSum, unscaledLong}
@@ -344,7 +355,7 @@ object RelationalQueries {
     val o = s.table(oT)
     val revU = unscaledLong(col("l_extendedprice"), 2) *
       (lit(10000L) - unscaledLong(col("l_discount"), 4))
-    li.hint("merge").join(o, col("l_orderkey") === col("o_orderkey"))
+    li.join(o.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderpriority"), col("rep"))
       .agg(
         fixedPointSum(revU, 6, "revenue"),

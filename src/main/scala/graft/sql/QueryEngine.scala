@@ -42,10 +42,19 @@ object QueryEngine {
     * bucketed the same way join with NO shuffle on either side — the
     * pre-partitioning technique for repeated fact⋈fact joins at scale
     * (SURVEY §4): pay one layout shuffle at write time, join exchange-free
-    * forever after. */
+    * forever after. The explicit repartition IS that one shuffle: without
+    * it each input task writes its own slice of every bucket (N input
+    * partitions × K buckets small files), and a reader can no longer
+    * treat a bucket's rows as sorted — one file per bucket keeps the
+    * bucket's sort usable and the file count O(buckets), which is also
+    * the layout that keeps 100 TB bucket reads sequential instead of a
+    * many-small-files seek storm (measured: the multi-file layout cost
+    * q94's sort-merge join an extra ~0.5 s of per-task re-sort at ×100
+    * bench scale — see [[graft.Q94Profile]]). */
   def saveBucketed(df: org.apache.spark.sql.DataFrame, table: String,
       bucketCol: String, nBuckets: Int): Unit =
-    df.write.mode("overwrite")
+    df.repartition(nBuckets, org.apache.spark.sql.functions.col(bucketCol))
+      .write.mode("overwrite")
       .bucketBy(nBuckets, bucketCol)
       .sortBy(bucketCol)
       .saveAsTable(table)
