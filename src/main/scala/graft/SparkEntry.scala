@@ -151,6 +151,7 @@ object SparkEntry {
     "q137_extrema_incremental" -> (CdcQueries.q137ExtremaIncremental _),
     "q138_quantile_incremental" -> (CdcQueries.q138QuantileIncremental _),
     "q139_soft_delete" -> (CdcQueries.q139SoftDelete _),
+    "q140_zorder_read" -> (CdcQueries.q140ZOrderRead _),
   )
 
   /** Untimed per-query setup the bench runs before timing (ingest-side
@@ -328,6 +329,7 @@ object SparkEntry {
     "q137_extrema_incremental" -> CdcQueries.q137ExtremaIncrementalSql,
     "q138_quantile_incremental" -> CdcQueries.q138QuantileIncrementalSql,
     "q139_soft_delete" -> CdcQueries.q139SoftDeleteSql,
+    "q140_zorder_read" -> CdcQueries.q140ZOrderReadSql,
   )
 
   /** DECLARED oracle-less entries: queries whose semantics are not

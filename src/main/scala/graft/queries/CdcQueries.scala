@@ -1761,6 +1761,62 @@ object CdcQueries {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  // --------------------------------------------------------------- q140
+  /** Z-order clustered read ([[graft.sink.VersionedLakeTable
+    * .optimizeZOrder]], [[graft.ops.ZOrder]]) — the `OPTIMIZE ... ZORDER
+    * BY` maintenance op: the merged CDC lake is rewritten with files
+    * clustered along the Morton interleave of (event_id, value), then
+    * read through the file-stats index with a range predicate on `value`
+    * — a NON-leading clustering column, the case linear clusterBy cannot
+    * prune (q129 covers the leading column). File granularity keeps rows
+    * the predicate then drops, so the exact filter re-applies as a
+    * residual and the result must equal a plain filtered latest-wins
+    * snapshot — hash-green pins the whole chain: z-rewrite commit →
+    * footer-harvested sidecar → multi-column prune → residual. Bounds
+    * derive from MAX(value) by IEEE double arithmetic identical in both
+    * engines, so the entry is scale-free across sf dirs.
+    * `maxRecordsPerFile = 4` forces multiple files per partition dir at
+    * every sf (file-level skipping needs files to skip); the bench pair
+    * `m_vread_zorder_val` / `m_vread_linear_val` records the skipping
+    * win at size. */
+  def q140ZOrderRead(s: SparkSession, dir: String): DataFrame = {
+    val cdc = cdcView(s, dir)
+    val table = new graft.sink.VersionedLakeTable(s, LakeTableSpec(
+      Files.createTempDirectory("graft_q140_lake").toString,
+      recordKeys = Seq("id"), precombine = "update_at",
+      partitionSource = "create_at", tieBreak = Seq("event_id")),
+      statsCols = Seq("event_id", "value"), maxRecordsPerFile = 4)
+    val bucket = pmod(col("event_id"), lit(3))
+    (0 until 3).foreach(b => table.upsert(cdc.filter(bucket === b)))
+    table.optimizeZOrder(Seq("event_id", "value"), bits = 10)
+    val vmax = events(s, dir).agg(max(col("value"))).head().getDouble(0)
+    val (lo, hi) = (vmax * 0.25, vmax * 0.75)
+    table.readWhereStats(None, keepFile =
+        graft.sink.FileStatsIndex.range("value", Some(lo), Some(hi)))
+      .filter(col("value").between(lo, hi))
+      .select(snapshotCols.map(col): _*)
+      .orderBy("id")
+  }
+
+  val q140ZOrderReadSql: String =
+    s"""WITH cdc AS ($cdcViewSql),
+      |m AS (SELECT MAX(value) * CAST(0.25 AS DOUBLE) AS lo,
+      |             MAX(value) * CAST(0.75 AS DOUBLE) AS hi
+      |      FROM events),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY update_at DESC, event_id DESC) AS rn
+      |  FROM cdc)
+      |SELECT id,
+      |  substring(create_at, 1, 4) AS create_year,
+      |  substring(create_at, 6, 2) AS create_month,
+      |  substring(create_at, 9, 2) AS create_day,
+      |  substring(create_at, 12, 2) AS create_hour,
+      |  substring(create_at, 15, 2) AS create_minute,
+      |  update_at, event_type, value, props, event_id
+      |FROM r, m
+      |WHERE rn = 1 AND value BETWEEN m.lo AND m.hi
+      |ORDER BY id""".stripMargin
+
   val q136ConcurrentCommitsSql: String =
     s"""WITH cdc AS ($cdcViewSql)
       |SELECT id,

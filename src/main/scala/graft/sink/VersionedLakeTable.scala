@@ -494,11 +494,17 @@ final class VersionedLakeTable(spark: SparkSession, val spec: LakeTableSpec,
     * into the claim window. Production writers never set it. */
   private[graft] var onBeforeClaim: () => Unit = () => ()
 
-  private def stageWrite(df: DataFrame): java.nio.file.Path = {
+  private def stageWrite(df: DataFrame): java.nio.file.Path =
+    stageWriteLayout(clustered(df.repartition(partCols.map(col): _*)))
+
+  /** Write an already-laid-out frame into a fresh staging dir: the caller
+    * owns the shuffle/sort shape (the default write path partitions by
+    * the directory columns and applies `clusterBy`; [[optimizeZOrder]]
+    * range-partitions on the interleaved z-value instead). */
+  private def stageWriteLayout(laid: DataFrame): java.nio.file.Path = {
     val stage = Paths.get(path, "data",
       s".stage-${java.util.UUID.randomUUID.toString.take(8)}")
-    clustered(df.repartition(partCols.map(col): _*))
-      .write.option("maxRecordsPerFile", maxRecordsPerFile)
+    laid.write.option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy(partCols: _*).parquet(stage.toString)
     stage
   }
@@ -697,10 +703,34 @@ final class VersionedLakeTable(spark: SparkSession, val spec: LakeTableSpec,
     * LIVE table — the same pay-once economics as [[Compaction.compact]],
     * but driven by the manifest, so it is also the schema-current rewrite
     * that retires old-schema files. */
-  def compactSnapshot(): Int = {
+  def compactSnapshot(): Int =
+    rewriteSnapshot(df => clustered(df.repartition(partCols.map(col): _*)),
+      "snapshot compaction")
+
+  /** Delta's `OPTIMIZE ... ZORDER BY` analog: rewrite the current
+    * snapshot with files clustered along the Morton interleave of
+    * `zCols` ([[graft.ops.ZOrder]]), so a predicate on ANY z-column
+    * prunes at BOTH skipping levels — the file-level stats sidecar
+    * (when `zCols ⊆ statsCols`) opens only overlapping files, and
+    * parquet's row-group min/max tightens inside each file for free
+    * (benefiting even plain readers with pushed filters). Same commit
+    * protocol, OCC rules, and pay-once economics as
+    * [[compactSnapshot]]; the extra cost is one min/max aggregate (the
+    * normalization frame) and the range-sampling pass any
+    * repartitionByRange makes. Range-partitioning leads with the
+    * directory partition columns so each task lands in few partition
+    * dirs instead of spraying files across all of them. */
+  def optimizeZOrder(zCols: Seq[String], bits: Int = 12): Int =
+    rewriteSnapshot(df => graft.ops.ZOrder.layout(df, zCols,
+        spark.sessionState.conf.numShufflePartitions, bits,
+        prefix = partCols),
+      s"z-order optimize on ${zCols.mkString(",")}")
+
+  private def rewriteSnapshot(layout: DataFrame => DataFrame,
+      what: String): Int = {
     val cur = latestVersion.getOrElse(throw new IllegalStateException(
-      s"VersionedLakeTable($path): nothing to compact — no commits"))
-    val stage = stageWrite(read(Some(cur)))
+      s"VersionedLakeTable($path): nothing to rewrite — no commits"))
+    val stage = stageWriteLayout(layout(read(Some(cur))))
     val written = listWritten(stage)
     JFiles.writeString(stage.resolve("_intent.json"),
       Serialization.writePretty(CommitIntent(written.keySet.toSeq.sorted)))
@@ -711,8 +741,8 @@ final class VersionedLakeTable(spark: SparkSession, val spec: LakeTableSpec,
     if (sawInFlight || versions.filter(_ < v).lastOption != Some(cur)) {
       deleteRecursively(Paths.get(path, "data", v.toString))
       throw new java.util.ConcurrentModificationException(
-        s"VersionedLakeTable($path): commits interleaved during snapshot " +
-          s"compaction of v$cur — re-run compaction on the new head")
+        s"VersionedLakeTable($path): commits interleaved during $what " +
+          s"of v$cur — re-run it on the new head")
     }
     val entries = written.map { case (p, fs) =>
       p -> fs.map(f => s"data/$v/$f").sorted
