@@ -17,24 +17,35 @@ import graft.text.{HeavyHitters, TextOps}
   * to scratch parquet once per JVM, so every timed thunk pays the same
   * one-scan input cost and the pair isolates exactly the claim under test:
   *
-  *  - `m_hh_mg_x100` vs `m_hh_full_x100`, and `m_hh_mg_wide` vs
-  *    `m_hh_full_wide`: exact heavy hitters — the bounded Misra–Gries
-  *    two-pass vs the full-vocabulary `GROUP BY` — over two 25M-token
-  *    fixtures that differ ONLY in vocabulary: the ×100 document stream
-  *    (~30k distinct) and a wide stream (~20M distinct: 80% unique-tail
-  *    positions, 20% over 20 hot tokens — web text's id/url/typo tail).
-  *    All four produce exact answers (HeavyHittersSpec/q131 pin the
-  *    math), every thunk computes its own total N, and all read the same
-  *    materialized layout, so the quad isolates ONE variable and records
-  *    the operator's actual claim as a measured trend: MG's cost is
-  *    vocabulary-INDEPENDENT (~2.7 s at 30k distinct, ~2.6 s at 20M —
-  *    flat, k-bounded state and shuffle) while the groupBy's grows with
-  *    the vocabulary it must carry (~0.5 s → ~2.0 s, 4× across this
-  *    670× vocabulary step, state + shuffle rows ∝ distinct tokens).
-  *    Where the vocabulary is small the groupBy rightly wins (MG is two
-  *    aggregation-grade passes against one — use groupBy there); at the
-  *    100 TB tail (billions distinct) the groupBy line keeps climbing
-  *    and MG's does not move. (Round 8's version of this pair derived
+  *  - `m_hh_mg_x100` vs `m_hh_full_x100`, `m_hh_mg_wide` vs
+  *    `m_hh_full_wide`, and `m_hh_mg_wide2` vs `m_hh_full_wide2`: exact
+  *    heavy hitters — the bounded Misra–Gries
+  *    two-pass vs the full-vocabulary `GROUP BY` — over three fixtures
+  *    spanning three vocabulary decades: the ×100 document stream
+  *    (25M tokens, ~30k distinct), a wide stream (25M tokens, ~20M
+  *    distinct: 80% unique-tail positions, 20% over 20 hot tokens — web
+  *    text's id/url/typo tail), and a wide2 stream one decade up (250M
+  *    tokens, ~200M distinct, same mix — the decade round 9 left
+  *    extrapolated, added to pin the absolute-seconds crossover).
+  *    All six produce exact answers (HeavyHittersSpec/q131 pin the
+  *    math), every thunk computes its own total N, and each pair reads the
+  *    same materialized layout, so it isolates ONE variable and records
+  *    the operator's actual claim as measured curves: at fixed 25M
+  *    tokens, MG is vocabulary-INDEPENDENT (~2.7 s at 30k distinct,
+  *    ~2.7 s at 20M — flat, k-bounded state and shuffle) while the
+  *    groupBy grows with the vocabulary it must carry (~0.5 s → ~2.1 s
+  *    across the 670× step, state + shuffle rows ∝ distinct tokens).
+  *    The wide2 decade then records the CROSSOVER in absolute seconds
+  *    (2026-08-14, min-of-2): MG 19.4 s vs groupBy 20.5 s at 250M
+  *    tokens / 200M distinct — across the wide→wide2 step MG grew 7.3×
+  *    (token-bound: the step is 10× tokens) while the groupBy grew 9.8×
+  *    (its 200M-entry hash state spills past cache and its shuffle
+  *    carries the vocabulary), so the curves meet at ~2·10^8 distinct
+  *    and diverge beyond. Where the vocabulary is small the groupBy
+  *    rightly wins (MG is two aggregation-grade passes against one —
+  *    use groupBy there); at the 100 TB tail (billions distinct) the
+  *    groupBy line keeps climbing and MG's follows the token count
+  *    only. (Round 8's version of this pair derived
   *    tokens lazily and un-symmetrically, measuring tokenizer passes,
   *    not strategy; round 9 also fixed the fixture's file count, which
   *    had capped scan parallelism for every consumer.)
@@ -109,6 +120,23 @@ object ScaleBench {
   private def tokensWideFixture(s: SparkSession): DataFrame =
     materialized(s, "toks_wide") {
       s.range(25000000L).select(
+        when(pmod(col("id"), lit(5)) < 4,
+          concat(lit("u"), col("id").cast("string")))
+          .otherwise(concat(lit("hot"), pmod(col("id"), lit(20))
+            .cast("string")))
+          .as("token"))
+    }
+
+  /** One vocabulary decade above [[tokensWideFixture]]: 250M tokens,
+    * ~200M distinct, same 80/20 unique-tail/hot-token mix. Round 9
+    * recorded MG flat across the 30k→20M step while the groupBy grew 4×
+    * but still won in absolute seconds at 20M — leaving the crossover
+    * extrapolated. This decade exists to pin it with data: the groupBy
+    * must now build and shuffle ~200M-entry state while MG's stays
+    * k-bounded and scan-dominated. */
+  private def tokensWide2Fixture(s: SparkSession): DataFrame =
+    materialized(s, "toks_wide2") {
+      s.range(250000000L).select(
         when(pmod(col("id"), lit(5)) < 4,
           concat(lit("u"), col("id").cast("string")))
           .otherwise(concat(lit("hot"), pmod(col("id"), lit(20))
@@ -208,6 +236,18 @@ object ScaleBench {
     }),
     "m_hh_full_wide" -> ((s, dir) => {
       val toks = tokensWideFixture(s)
+      () => {
+        val n = toks.count()
+        noop(toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") * 200 > n))
+      }
+    }),
+    "m_hh_mg_wide2" -> ((s, dir) => {
+      val toks = tokensWide2Fixture(s)
+      () => noop(HeavyHitters.exact(toks, k = 200))
+    }),
+    "m_hh_full_wide2" -> ((s, dir) => {
+      val toks = tokensWide2Fixture(s)
       () => {
         val n = toks.count()
         noop(toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
