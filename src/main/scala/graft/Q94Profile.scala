@@ -70,7 +70,7 @@ object Q94Profile {
         .agg(fixedPointSum(revU, 6, "revenue"), count(lit(1)).as("n_rows"))
         .orderBy("o_orderpriority", "rep")
     def exploded(t: String): DataFrame =
-      spark.table(t).withColumn("rep", explode(sequence(lit(0L), lit(99L))))
+      spark.table(t).withColumn("rep", graft.ops.Replicate.rep(100))
 
     val variants: Seq[(String, () => DataFrame)] = Seq(
       "scan_explode_agg" -> (() =>
@@ -91,7 +91,7 @@ object Q94Profile {
       "q87_broadcast" -> (() =>
         agg(Tables.load(spark, d, "lineitem")
           .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
-          .withColumn("rep", explode(sequence(lit(0L), lit(99L))))
+          .withColumn("rep", graft.ops.Replicate.rep(100))
           .join(broadcast(Tables.load(spark, d, "orders")
             .select(col("o_orderkey"), col("o_orderpriority"))),
             col("l_orderkey") === col("o_orderkey"))))

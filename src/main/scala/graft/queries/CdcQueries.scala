@@ -948,7 +948,7 @@ object CdcQueries {
     val ev = events(s, dir)
       .select(col("event_id"), col("ts_us"), col("user_id"),
         col("event_type"), col("value"),
-        explode(sequence(lit(0L), lit(9L))).as("r"))
+        graft.ops.Replicate.rep(10).as("r"))
       .select((col("event_id") * 10 + col("r")).as("event_id"),
         col("ts_us"), (col("user_id") * 10 + col("r")).as("user_id"),
         col("event_type"), col("value"))
@@ -1328,7 +1328,7 @@ object CdcQueries {
     val ev = events(s, dir)
       .select(col("event_id"), col("ts_us"), col("user_id"),
         col("event_type"), col("value"),
-        explode(sequence(lit(0L), lit(9L))).as("r"))
+        graft.ops.Replicate.rep(10).as("r"))
       .select((col("event_id") * 10 + col("r")).as("event_id"),
         (col("ts_us") + col("r")).as("ts_us"), key.as("user_id"),
         col("event_type"), col("value"))
