@@ -152,6 +152,7 @@ object SparkEntry {
     "q138_quantile_incremental" -> (CdcQueries.q138QuantileIncremental _),
     "q139_soft_delete" -> (CdcQueries.q139SoftDelete _),
     "q140_zorder_read" -> (CdcQueries.q140ZOrderRead _),
+    "q141_topk_incremental" -> (PipelineQueries.q141TopkIncremental _),
   )
 
   /** Untimed per-query setup the bench runs before timing (ingest-side
@@ -330,6 +331,8 @@ object SparkEntry {
     "q138_quantile_incremental" -> CdcQueries.q138QuantileIncrementalSql,
     "q139_soft_delete" -> CdcQueries.q139SoftDeleteSql,
     "q140_zorder_read" -> CdcQueries.q140ZOrderReadSql,
+    // q141 maintains the SAME answer incrementally — q131's oracle applies
+    "q141_topk_incremental" -> PipelineQueries.q131HeavyHittersSql,
   )
 
   /** DECLARED oracle-less entries: queries whose semantics are not

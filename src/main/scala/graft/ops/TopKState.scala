@@ -1,0 +1,135 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Mergeable heavy-hitter / top-k state — the frequent-items member of the
+  * incremental-maintenance family (SUM/COUNT [[IncrementalAgg]], DISTINCT
+  * [[SketchState]], MIN/MAX [[ExtremaState]], quantiles [[QuantileState]],
+  * now top-k): maintain a bounded Misra–Gries summary of an unbounded
+  * token stream across batches, so the heavy-hitter question is answered
+  * without re-running the candidate pass over the whole history.
+  *
+  * The state is one frame: candidate rows `(token, cnt, err = null)` —
+  * at most `capacity` of them, each `cnt` an MG counter undercounting the
+  * token's true total — plus ONE meta row `(token = null, cnt = N,
+  * err = E)` carrying the exact stream total and the accumulated MG
+  * offset. Invariants (Misra & Gries 1982; merge rule per Agarwal et al.,
+  * PODS'12 mergeable summaries):
+  *
+  *   - for a candidate: `cnt <= true <= cnt + E`;
+  *   - for an absent token: `true <= E`;
+  *   - `E <= N / (capacity + 1)` — every compaction that subtracts offset
+  *     `v` removes at least `(capacity+1)·v` occurrences of mass.
+  *
+  * So with `capacity >= k`, every token with true count > N/k is in the
+  * state: the candidate set is a GUARANTEED superset of the heavy
+  * hitters, maintained in O(batch) per batch with O(capacity) state.
+  * [[exact]] then pays ONE recount scan (the [[graft.text.HeavyHitters]]
+  * pass-2) to replace bounds with exact integer counts — same output
+  * contract as q131, but the expensive candidate derivation is
+  * incremental instead of a second full-history scan. [[certified]]
+  * answers from the state alone (no scan): `cnt·k > N` proves a hitter
+  * outright since `cnt` never overcounts.
+  *
+  * Scale shape: a batch fold is one per-batch-vocabulary aggregate (the
+  * unavoidable O(batch) work) plus a distributed top-(capacity+1)
+  * threshold (`orderBy.limit` → TakeOrderedAndProject, never a full
+  * sort) and a bounded driver read of ONE row; merge unions
+  * ≤ capacity-row frames. No windows, no vocabulary-sized driver state,
+  * nothing proportional to history depth. Determinism: compaction
+  * tie-breaks on (cnt desc, token asc), so the state is a pure function
+  * of the batch sequence.
+  */
+object TopKState {
+
+  /** One batch folded to MG state: exact per-token batch counts,
+    * compacted to ≤ `capacity` candidates. `tokens` must be a single
+    * string column named `token` (nulls and empties ignored). */
+  def batchState(tokens: DataFrame, capacity: Int): DataFrame = {
+    require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+    val counts = tokens
+      .filter(col("token").isNotNull && col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      // bounded by the BATCH vocabulary and read three times below
+      // (threshold, total, survivors) — materialize once
+      .localCheckpoint(true)
+    compact(counts, capacity,
+      nExtra = lit(0L), errExtra = lit(0L), nFrom = Some(counts))
+  }
+
+  /** Fold state frames into one (same `capacity`): counters add per
+    * token, totals and errors add, then one compaction restores the
+    * bound (its offset joins the error per the mergeable-summaries
+    * rule). Inputs are ≤ capacity+1 rows each, so this touches no data
+    * at all — folding a new batch is `merge(Seq(state,
+    * batchState(batch, capacity)), capacity)`. */
+  def merge(states: Seq[DataFrame], capacity: Int): DataFrame = {
+    require(states.nonEmpty, "merge of zero states")
+    val all = states.reduce(_ unionByName _).localCheckpoint(true)
+    val cands = all.filter(col("token").isNotNull)
+      .groupBy(col("token")).agg(sum(col("cnt")).as("cnt"))
+    val meta = all.filter(col("token").isNull)
+      .agg(sum(col("cnt")).as("n"), sum(col("err")).as("e")).head()
+    compact(cands, capacity,
+      nExtra = lit(meta.getLong(0)), errExtra = lit(meta.getLong(1)),
+      nFrom = None)
+  }
+
+  /** MG compaction of a `(token, cnt)` frame to ≤ `capacity` rows plus
+    * the meta row. `offset` = the (capacity+1)-th largest count (0 when
+    * the frame already fits): subtracted from every entry, non-positives
+    * dropped — removing ≥ (capacity+1)·offset mass, which is what keeps
+    * the accumulated error ≤ N/(capacity+1). The threshold read is a
+    * distributed top-(capacity+1) and ONE driver row. */
+  private def compact(counts: DataFrame, capacity: Int,
+      nExtra: org.apache.spark.sql.Column,
+      errExtra: org.apache.spark.sql.Column,
+      nFrom: Option[DataFrame]): DataFrame = {
+    val top = counts.orderBy(col("cnt").desc, col("token").asc)
+      .limit(capacity + 1)
+      .agg(count(lit(1)).as("m"), min(col("cnt")).as("kth")).head()
+    val offset = if (top.getLong(0) == capacity + 1L) top.getLong(1) else 0L
+    val survivors = counts.filter(col("cnt") > lit(offset))
+      .select(col("token"), (col("cnt") - lit(offset)).as("cnt"),
+        lit(null).cast("long").as("err"))
+    val nBatch = nFrom match {
+      case Some(f) => f.agg(coalesce(sum(col("cnt")), lit(0L))).head().getLong(0)
+      case None => 0L
+    }
+    val meta = counts.sparkSession.range(1).select(
+      lit(null).cast("string").as("token"),
+      (lit(nBatch) + nExtra).as("cnt"),
+      (lit(offset) + errExtra).as("err"))
+    survivors.unionByName(meta)
+  }
+
+  /** Hitters PROVEN by the state alone — zero scans: `cnt` never
+    * overcounts, so `cnt · k > N` certifies true count > N/k. The set is
+    * complete up to the error bound (a true hitter with `cnt` depressed
+    * by up to E may be missing here but is always in the candidate set);
+    * [[exact]] closes the gap with one scan. */
+  def certified(state: DataFrame, k: Int): DataFrame = {
+    val meta = state.filter(col("token").isNull)
+      .select(col("cnt")).head()
+    state.filter(col("token").isNotNull)
+      .filter(col("cnt") * k > lit(meta.getLong(0)))
+      .select(col("token"), col("cnt").as("cnt_lower"))
+  }
+
+  /** Exact heavy hitters (`true count · k > N`) from the maintained
+    * state plus ONE recount scan of the stream — q131's output contract
+    * with the candidate pass amortized across the folds. `capacity >= k`
+    * is the superset guarantee's requirement. */
+  def exact(state: DataFrame, tokens: DataFrame, k: Int): DataFrame = {
+    val cands = state.filter(col("token").isNotNull).select(col("token"))
+    val counted = graft.text.HeavyHitters
+      .recount(tokens.filter(col("token") =!= ""), cands, k)
+      .localCheckpoint(true)
+    val total = counted.groupBy().agg(sum(col("n")).as("__total"))
+    counted.where(col("token").isNotNull)
+      .crossJoin(broadcast(total))
+      .where(col("n") * k > col("__total"))
+      .select(col("token"), col("n"))
+  }
+}

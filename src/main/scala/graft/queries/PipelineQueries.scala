@@ -1423,7 +1423,7 @@ object PipelineQueries {
   def q100SpanDedupScale10(s: SparkSession, dir: String): DataFrame = {
     val rep = docs(s, dir)
       .select(col("doc_id"), col("text"),
-        explode(sequence(lit(0L), lit(9L))).as("r"))
+        graft.ops.Replicate.rep(10).as("r"))
       .select((col("doc_id") * 10 + col("r")).as("doc_id"), col("text"))
     SpanDedup.clean(rep, "doc_id", "text", k = 3).orderBy("doc_id")
   }
@@ -1836,7 +1836,7 @@ object PipelineQueries {
   def q115DsirScale10(s: SparkSession, dir: String): DataFrame = {
     val rep = docs(s, dir)
       .select(col("doc_id"), col("text"), col("lang"),
-        explode(sequence(lit(0L), lit(9L))).as("r"))
+        graft.ops.Replicate.rep(10).as("r"))
       .select((col("doc_id") * 10 + col("r")).as("doc_id"), col("text"),
         col("lang"))
     Dsir.importanceWeights(rep, "doc_id", "text", col("lang") === "en",
@@ -1862,7 +1862,7 @@ object PipelineQueries {
   def q117DsirScale100(s: SparkSession, dir: String): DataFrame = {
     val rep = docs(s, dir)
       .select(col("doc_id"), col("text"), col("lang"),
-        explode(sequence(lit(0L), lit(99L))).as("r"))
+        graft.ops.Replicate.rep(100).as("r"))
       .select((col("doc_id") * 100 + col("r")).as("doc_id"), col("text"),
         col("lang"))
     Dsir.importanceWeights(rep, "doc_id", "text", col("lang") === "en",
@@ -1942,6 +1942,33 @@ object PipelineQueries {
       |GROUP BY token
       |HAVING COUNT(*) * 200 > (SELECT COUNT(*) FROM t)
       |ORDER BY n DESC, token ASC""".stripMargin
+
+  // --------------------------------------------------------------- q141
+  /** q131's exact heavy hitters with the candidate pass made INCREMENTAL
+    * ([[graft.ops.TopKState]], the frequent-items member of the
+    * maintenance family): the corpus arrives in 3 batches, each folded
+    * into a bounded Misra–Gries state (capacity 400 ≥ 2k — per-batch
+    * O(batch) work, state O(capacity)); the final answer is the state's
+    * guaranteed-superset candidates plus ONE recount scan, so the heavy
+    * scan q131 pays TWICE per query is paid once, and the candidate
+    * derivation never re-reads history. The oracle is q131's SQL
+    * verbatim: hash-green proves the fold/merge chain loses no hitter
+    * and the recount leaves exact integer counts. */
+  def q141TopkIncremental(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.TopKState
+    val toks = docs(s, dir)
+      .select(pmod(abs(hash(col("doc_id"))), lit(3)).as("b"),
+        explode(TextOps.tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .localCheckpoint(true) // 4 consumers (3 folds + the recount): pay
+                             // the tokenizer once, the q131 scaladoc rule
+    val state = (0 until 3)
+      .map(b => TopKState.batchState(
+        toks.filter(col("b") === b).select("token"), capacity = 400))
+      .reduce((a, c) => TopKState.merge(Seq(a, c), capacity = 400))
+    TopKState.exact(state, toks.select("token"), k = 200)
+      .orderBy(col("n").desc, col("token").asc)
+  }
 
   // --------------------------------------------------------------- q132
   /** CCNet-style perplexity bucketing
