@@ -153,6 +153,7 @@ object SparkEntry {
     "q139_soft_delete" -> (CdcQueries.q139SoftDelete _),
     "q140_zorder_read" -> (CdcQueries.q140ZOrderRead _),
     "q141_topk_incremental" -> (PipelineQueries.q141TopkIncremental _),
+    "q142_join_view" -> (CdcQueries.q142JoinView _),
   )
 
   /** Untimed per-query setup the bench runs before timing (ingest-side
@@ -333,6 +334,7 @@ object SparkEntry {
     "q140_zorder_read" -> CdcQueries.q140ZOrderReadSql,
     // q141 maintains the SAME answer incrementally — q131's oracle applies
     "q141_topk_incremental" -> PipelineQueries.q131HeavyHittersSql,
+    "q142_join_view" -> CdcQueries.q142JoinViewSql,
   )
 
   /** DECLARED oracle-less entries: queries whose semantics are not

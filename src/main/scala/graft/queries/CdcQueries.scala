@@ -1817,6 +1817,88 @@ object CdcQueries {
       |WHERE rn = 1 AND value BETWEEN m.lo AND m.hi
       |ORDER BY id""".stripMargin
 
+  // --------------------------------------------------------------- q142
+  /** Incrementally maintained fact⋈dim view ([[graft.ops.JoinView]] — the
+    * JOIN member of the maintenance family): the CDC stream (with q139's
+    * tombstones riding it) is the FACT side, a small `event_type`
+    * dimension is delivered LATE and out of referential order — half the
+    * types (md5-bucket 0) arrive in cycle 2, the rest in cycle 3, and
+    * cycle 3 also UPDATES bucket-0 labels — so every maintenance path
+    * runs: facts orphan while their dim is missing, promote when it
+    * lands, refresh in place on the dim update, tombstone on fact
+    * deletes, and retarget when a key's latest event_type changes. The
+    * oracle recomputes the final state from scratch: live latest-wins
+    * facts inner-joined to the final dim image (md5-bucketed CASE — the
+    * cross-engine randomness idiom). Hash-green pins the whole fold
+    * sequence, not just the final join. */
+  def q142JoinView(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.JoinView
+    val cdc = cdcView(s, dir)
+      .withColumn("is_deleted", pmod(col("event_id"), lit(7)) === 3)
+    val fact = new KeyedLakeTable(s, LakeTableSpec(
+      Files.createTempDirectory("graft_q142_fact").toString,
+      recordKeys = Seq("id"), precombine = "update_at",
+      partitionSource = "create_at", tieBreak = Seq("event_id"),
+      softDeleteCol = Some("is_deleted")))
+    // the dim universe: one row per event_type, md5-bucketed into an
+    // early half (arrives cycle 2, label updated cycle 3) and a late
+    // half (arrives cycle 3)
+    val types = cdc.select(col("event_type").as("etype")).distinct()
+      .withColumn("b", graft.curate.Sampling.bucket32(col("etype")) % 2)
+      .localCheckpoint(true)
+    def dimRows(bucket: Int, v2: Boolean) = types
+      .filter(col("b") === bucket)
+      .select(col("etype"),
+        concat(upper(col("etype")), lit(if (v2) "-v2" else "")).as("type_label"))
+    val base = Files.createTempDirectory("graft_q142_view").toString
+    val jv = new JoinView(s, s"$base/view", s"$base/orphans",
+      factKeys = Seq("id"), fkCol = "event_type",
+      factPrecombine = "update_at", partitionSource = "create_at")
+    val bucket = pmod(col("event_id"), lit(3))
+    val dimCycles = Seq(
+      dimRows(0, v2 = false).limit(0), // cycle 1: no dims at all
+      dimRows(0, v2 = false),          // cycle 2: early half, v1 labels
+      // cycle 3: late half + the early half's UPDATED labels
+      dimRows(1, v2 = false).unionByName(dimRows(0, v2 = true)))
+    var dimSnap = dimRows(0, v2 = false).limit(0)
+    (0 until 3).foreach { i =>
+      val changes = fact.upsertChanges(cdc.filter(bucket === i))
+      val delta = dimCycles(i)
+      // the running dim snapshot: latest image per type after this delta
+      dimSnap = delta.unionByName(
+          dimSnap.join(delta.select("etype"), Seq("etype"), "left_anti"))
+        .localCheckpoint(true)
+      jv.applyCycle(changes, delta, dimSnap, "etype")
+    }
+    jv.readLive()
+      .select((snapshotCols :+ "type_label").map(col): _*)
+      .orderBy("id")
+  }
+
+  val q142JoinViewSql: String =
+    s"""WITH cdc AS ($cdcViewSql),
+      |flagged AS (
+      |  SELECT *, (event_id % 7 = 3) AS is_deleted FROM cdc),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY update_at DESC, event_id DESC) AS rn
+      |  FROM flagged),
+      |dim AS (
+      |  SELECT DISTINCT event_type AS etype,
+      |    upper(event_type) ||
+      |      CASE WHEN CAST(('0x' || substr(md5(event_type), 1, 8)) AS BIGINT) % 2 = 0
+      |           THEN '-v2' ELSE '' END AS type_label
+      |  FROM cdc)
+      |SELECT id,
+      |  substring(create_at, 1, 4) AS create_year,
+      |  substring(create_at, 6, 2) AS create_month,
+      |  substring(create_at, 9, 2) AS create_day,
+      |  substring(create_at, 12, 2) AS create_hour,
+      |  substring(create_at, 15, 2) AS create_minute,
+      |  update_at, event_type, value, props, event_id, type_label
+      |FROM ranked JOIN dim ON event_type = etype
+      |WHERE rn = 1 AND NOT is_deleted
+      |ORDER BY id""".stripMargin
+
   val q136ConcurrentCommitsSql: String =
     s"""WITH cdc AS ($cdcViewSql)
       |SELECT id,
