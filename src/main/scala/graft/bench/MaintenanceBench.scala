@@ -5,8 +5,9 @@ import java.nio.file.Files
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.ops.JoinView
 import graft.queries.CdcQueries
-import graft.sink.{Compaction, LakeTableSpec, VersionedLakeTable}
+import graft.sink.{Compaction, KeyedLakeTable, LakeTableSpec, VersionedLakeTable}
 
 /** Write-side maintenance benchmarks. q118–q125 pin these operators'
   * CORRECTNESS against DuckDB oracles; the entries here record their COST
@@ -29,6 +30,11 @@ import graft.sink.{Compaction, LakeTableSpec, VersionedLakeTable}
   *    clustered layouts of identical rows — z-order's claim is that
   *    multi-column interleaving buys file skipping on every z-column,
   *    where linear clustering leaves the second column unprunable.
+  *  - `m_jview_fold_x10/x100` vs `m_jview_rebuild_x10/x100`: one
+  *    incremental [[graft.ops.JoinView]] maintenance cycle vs rebuilding
+  *    the materialized fact⋈dim view from scratch — the fold follows the
+  *    batch + touched slice, the rebuild follows the table (numbers at
+  *    the entries).
   *
   * Each entry's `(SparkSession, sfDir) => () => Unit` does its fixture
   * build when CALLED (untimed) and returns the thunk the bench times. */
@@ -124,6 +130,71 @@ object MaintenanceBench {
   private def noop(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.mode("overwrite").format("noop").save()
 
+  /** JVM-lifetime memo of the maintained-join fixtures: a fact table of
+    * `times`× the events rows spread over 720 partitions, whose view
+    * over a 1000-key dimension is already bootstrapped, plus the
+    * 1-partition update batch each timed fold applies (the touched
+    * slice: 1/720 of the table at every knob). Rebuilding per pass
+    * would dwarf the thunk; the fold thunk re-applies the same batch
+    * (same O(batch) work each pass, rows re-win under a later cycle). */
+  private val jviewCache =
+    scala.collection.mutable.Map.empty[Int, (String, String, String)]
+
+  private def jviewFixture(s: SparkSession, dir: String, times: Int)
+      : (JoinView, DataFrame, DataFrame, KeyedLakeTable) = {
+    val (factPath, viewBase, batchPath) = jviewCache.synchronized {
+      jviewCache.getOrElseUpdate(times, {
+        val parts = 720 // fixed dir count: the touched slice is 1/720 of
+                        // the table at every knob (7200 dirs at x100 hits
+                        // tiny-file listing pathology on BOTH sides and
+                        // measures the filesystem, not the strategy)
+        val fp = tmp(s"graft_mbench_jvfact_x$times")
+        val vb = tmp(s"graft_mbench_jview_x$times")
+        val bp = tmp(s"graft_mbench_jvbatch_x$times") + "/b"
+        val ev = CdcQueries.events(s, dir)
+        val rows = ev.select(col("event_id"), col("update_at"), col("value"),
+            graft.ops.Replicate.rep(times).as("r"))
+          .select((col("event_id") * times + col("r")).as("k"),
+            col("update_at"), col("value"))
+          .select(concat(lit("k-"), col("k").cast("string")).as("id"),
+            format_string("2024-01-%02d %02d:%02d:00.000000",
+              (pmod(col("k"), lit(parts)) / 1440).cast("int") + 1,
+              pmod((pmod(col("k"), lit(parts)) / 60).cast("int"), lit(24)),
+              pmod(pmod(col("k"), lit(parts)), lit(60)).cast("int")).as("create_at"),
+            col("update_at"),
+            concat(lit("d"), pmod(col("k"), lit(1000)).cast("string")).as("fk"),
+            col("value"), lit(false).as("is_deleted"))
+        val fact = new KeyedLakeTable(s, LakeTableSpec(fp,
+          recordKeys = Seq("id"), precombine = "update_at",
+          partitionSource = "create_at", softDeleteCol = Some("is_deleted")))
+        val dim = dimDf(s)
+        val jv = new JoinView(s, s"$vb/view", s"$vb/orphans", Seq("id"),
+          "fk", "update_at", "create_at")
+        jv.applyCycle(fact.upsertChanges(rows), dim, dim, "dkey")
+        // the recurring batch: strictly-newer versions of partition 0's
+        // keys (the m_vmerge 1-partition shape) — the touched slice,
+        // N/720 rows
+        val batch = rows
+          .filter(col("create_at") === "2024-01-01 00:00:00.000000")
+          .withColumn("update_at",
+            concat(lit("2030"), substring(col("update_at"), 5, 26)))
+          .withColumn("value", col("value") + 1)
+        batch.write.mode("overwrite").parquet(bp)
+        (fp, vb, bp)
+      })
+    }
+    val fact = new KeyedLakeTable(s, LakeTableSpec(factPath,
+      recordKeys = Seq("id"), precombine = "update_at",
+      partitionSource = "create_at", softDeleteCol = Some("is_deleted")))
+    val jv = new JoinView(s, s"$viewBase/view",
+      s"$viewBase/orphans", Seq("id"), "fk", "update_at", "create_at")
+    (jv, s.read.parquet(batchPath), dimDf(s), fact)
+  }
+
+  private def dimDf(s: SparkSession): DataFrame =
+    s.range(1000).select(concat(lit("d"), col("id").cast("string")).as("dkey"),
+      concat(lit("L"), col("id").cast("string")).as("label"))
+
   /** JVM-lifetime memo of the two 2M-row layout fixtures (z-ordered vs
     * linear-clustered) for the second-column skipping pair: the fixtures
     * are read-only under the timed thunks and cost a full upsert +
@@ -208,6 +279,47 @@ object MaintenanceBench {
           graft.sink.FileStatsIndex.range("value", Some(225.0), Some(275.0)))
         .filter(col("value").between(225.0, 275.0)))
       thunk(); thunk
+    }),
+    // -------- incremental join view (JoinView, pinned by q142): fold one
+    // 1-partition fact batch into the maintained view vs REBUILDING the
+    // materialized view from scratch (full fact-dim join + full table
+    // write — what a non-incremental pipeline runs every batch; a bare
+    // un-written join would not produce the artifact and is not the
+    // alternative). The fold reads O(batch + touched slice); the rebuild
+    // reads and writes O(fact). Measured (2026-08-14, min-of-2, 720
+    // partition dirs): fold 6.8 -> 8.6 s across x10 -> x100 (1M -> 10M
+    // fact rows) vs rebuild 4.5 -> 8.4 s — the curves MEET at 10M rows.
+    // The fold's constant is two keyed merges (fact feed + view write,
+    // each ~1.5-2 s of merge machinery plus O(dirs) partition listing —
+    // the same constant the m_vmerge pair records), so below ~10M rows
+    // the one-pass rebuild is simply cheaper; beyond it the rebuild's
+    // line keeps climbing with the table while the fold's inputs stay
+    // the batch and the touched slice. The asymptotic is carried by the
+    // m_vmerge flatness pair (merge cost follows TOUCHED partitions,
+    // not table size); this pair records where the constant amortizes.
+    "m_jview_fold_x10" -> ((s, dir) => {
+      val (jv, batch, dim, fact) = jviewFixture(s, dir, 10)
+      () => jv.applyCycle(fact.upsertChanges(batch), dim.limit(0), dim, "dkey")
+    }),
+    "m_jview_fold_x100" -> ((s, dir) => {
+      val (jv, batch, dim, fact) = jviewFixture(s, dir, 100)
+      () => jv.applyCycle(fact.upsertChanges(batch), dim.limit(0), dim, "dkey")
+    }),
+    "m_jview_rebuild_x10" -> ((s, dir) => {
+      val (_, _, dim, fact) = jviewFixture(s, dir, 10)
+      val out = new KeyedLakeTable(s, LakeTableSpec(
+        tmp("graft_mbench_jvrebuild_x10"), recordKeys = Seq("id"),
+        precombine = "update_at", partitionSource = "create_at"))
+      () => out.overwrite(fact.readLive().join(broadcast(dim),
+        col("fk") === col("dkey")).drop("dkey"))
+    }),
+    "m_jview_rebuild_x100" -> ((s, dir) => {
+      val (_, _, dim, fact) = jviewFixture(s, dir, 100)
+      val out = new KeyedLakeTable(s, LakeTableSpec(
+        tmp("graft_mbench_jvrebuild_x100"), recordKeys = Seq("id"),
+        precombine = "update_at", partitionSource = "create_at"))
+      () => out.overwrite(fact.readLive().join(broadcast(dim),
+        col("fk") === col("dkey")).drop("dkey"))
     }),
     "m_vlookup_bloom_f400" -> ((s, dir) => {
       val (table, rows) = buildIndexed(s, dir, partitions = 400)

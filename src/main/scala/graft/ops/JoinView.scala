@@ -154,12 +154,14 @@ final class JoinView(
         (isDelete || hasDim).as(dead) :+
         lit(c).as(cycleCol): _*)
 
-    // ---- dim side: keys NOT touched by this cycle's fact delta
-    val dkeys = ddelta.select(col(dimk)).distinct()
+    // ---- dim side: keys NOT touched by this cycle's fact delta. A
+    // fact-only cycle (empty dim delta) skips these branches outright —
+    // the common steady-state cycle pays no orphan/view scan for them.
+    val hasDimDelta = !dimDelta.isEmpty
     def notFactTouched(df: DataFrame): DataFrame =
       df.join(fd.select(factKeys.map(col): _*), factKeys.toSeq, "left_anti")
     val promoted =
-      if (!orphans.exists) None
+      if (!hasDimDelta || !orphans.exists) None
       else Some(notFactTouched(
           orphans.readLive().select(rowCols.map(col): _*))
         .join(broadcast(ddelta), col(fkCol) === col(dimk))
@@ -170,18 +172,33 @@ final class JoinView(
     val promoteOrphanGone = promoted.map(_.select(
       rowCols.map(col) :+ lit(true).as(dead) :+ lit(c).as(cycleCol): _*))
     val refresh =
-      if (!view.exists) None
+      if (!hasDimDelta || !view.exists) None
       else Some(notFactTouched(
           view.readLive().select(rowCols.map(col): _*))
         .join(broadcast(ddelta), col(fkCol) === col(dimk))
         .select(rowCols.map(col) ++ dimAttrs.map(col) :+
           lit(false).as(dead) :+ lit(c).as(cycleCol): _*))
 
-    // ---- one upsert per table; batches are key-disjoint
+    // ---- one upsert per table; batches are key-disjoint. An orphan
+    // TOMBSTONE is only written for a key currently LIVE in the buffer:
+    // most fact verdicts are matched rows that were never orphaned, and
+    // writing their tombstones every cycle would both pay a pointless
+    // merge and grow the buffer with keys that never belonged in it —
+    // skipping is semantically a no-op (there is no live row to retract;
+    // cycle ordering already stops an older live row from resurrecting).
+    val orphanLiveKeys =
+      if (!orphans.exists) None
+      else Some(orphans.readLive().select(factKeys.map(col): _*))
+    val orphanAdds = orphanFactBatch.filter(!col(dead))
+    val orphanKills = orphanLiveKeys match {
+      case Some(live) => orphanFactBatch.filter(col(dead))
+        .join(live, factKeys.toSeq, "left_semi") // AQE broadcasts when small
+      case None => orphanFactBatch.limit(0)
+    }
     val viewBatch = (Seq(viewFactBatch) ++ promoteView ++ refresh)
       .reduce(_ unionByName _)
     if (!viewBatch.isEmpty) view.upsert(viewBatch)
-    val orphanBatch = (Seq(orphanFactBatch) ++ promoteOrphanGone)
+    val orphanBatch = (Seq(orphanAdds, orphanKills) ++ promoteOrphanGone)
       .reduce(_ unionByName _)
     if (!orphanBatch.isEmpty) orphans.upsert(orphanBatch)
     java.nio.file.Files.writeString(cyclePath, cycle.toString)
