@@ -154,6 +154,7 @@ object SparkEntry {
     "q140_zorder_read" -> (CdcQueries.q140ZOrderRead _),
     "q141_topk_incremental" -> (PipelineQueries.q141TopkIncremental _),
     "q142_join_view" -> (CdcQueries.q142JoinView _),
+    "q143_deferred_merge" -> (CdcQueries.q143DeferredMerge _),
   )
 
   /** Untimed per-query setup the bench runs before timing (ingest-side
@@ -335,6 +336,8 @@ object SparkEntry {
     // q141 maintains the SAME answer incrementally — q131's oracle applies
     "q141_topk_incremental" -> PipelineQueries.q131HeavyHittersSql,
     "q142_join_view" -> CdcQueries.q142JoinViewSql,
+    // q143 reaches q20's merged state through deferred appends — same oracle
+    "q143_deferred_merge" -> CdcQueries.q20CdcMergeSql,
   )
 
   /** DECLARED oracle-less entries: queries whose semantics are not

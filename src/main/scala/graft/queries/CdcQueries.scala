@@ -1899,6 +1899,31 @@ object CdcQueries {
       |WHERE rn = 1 AND NOT is_deleted
       |ORDER BY id""".stripMargin
 
+  // --------------------------------------------------------------- q143
+  /** q20's CDC merge through MERGE-ON-READ writes ([[KeyedLakeTable
+    * .upsertDeferred]] / `readMerged`): the three batches APPEND their
+    * winning rows without reading or rewriting any partition — the whole
+    * merge cost moves to the read's latest-wins dedup, which is exact
+    * because the merge rule is idempotent and associative and
+    * `(update_at, event_id)` totally orders a key's versions. Same
+    * oracle as q20: hash-green proves the deferred path reaches the
+    * identical merged state the eager copy-on-write merge produces. The
+    * m_kmerge/m_kread bench pairs record the trade this mode exists
+    * for: O(batch) appends vs the eager merge's touched-partition
+    * rewrites, against a dearer read until [[KeyedLakeTable
+    * .compactMerged]] folds the versions down. */
+  def q143DeferredMerge(s: SparkSession, dir: String): DataFrame = {
+    val cdc = cdcView(s, dir)
+    val table = new KeyedLakeTable(s, LakeTableSpec(
+      Files.createTempDirectory("graft_q143_lake").toString,
+      recordKeys = Seq("id"), precombine = "update_at",
+      partitionSource = "create_at", tieBreak = Seq("event_id")))
+    val bucket = pmod(col("event_id"), lit(3))
+    (0 until 3).foreach(b => table.upsertDeferred(cdc.filter(bucket === b)))
+    table.readMerged().select(snapshotCols.map(col): _*)
+      .orderBy("id")
+  }
+
   val q136ConcurrentCommitsSql: String =
     s"""WITH cdc AS ($cdcViewSql)
       |SELECT id,

@@ -168,6 +168,101 @@ final class KeyedLakeTable(spark: SparkSession, val spec: LakeTableSpec) {
     finally batch.unpersist(false)
   }
 
+  /** MERGE-ON-READ write (the Hudi MOR / Delta deletion-vector trade,
+    * adapted to a latest-wins table): APPEND the batch's winning rows
+    * into their partition dirs without reading or rewriting anything —
+    * the whole copy-on-write merge cost (touched-partition read,
+    * key-join, partition rewrite) is deferred to readers. Correct
+    * because latest-wins is idempotent and associative: deduping
+    * base ∪ appended versions at READ time ([[readMerged]]) yields
+    * exactly the state the eager merge would have written, and
+    * [[compactMerged]] folds the accumulated versions back into
+    * one-winner-per-key files when read amplification outweighs the
+    * write savings. Write cost: O(batch) — one guard aggregate and one
+    * append, no table read at all.
+    *
+    * Contract differences from [[upsert]], enforced loudly:
+    *  - `(precombine, tieBreak)` must totally order a key's versions —
+    *    appended files carry no arrival order, so the eager merge's
+    *    incoming-wins tie rule does not exist here; a configured
+    *    `tieBreak` (the reference's event-id role) is REQUIRED;
+    *  - no schema evolution (append files must match the table), and no
+    *    change feed (computing old images would read the table, which is
+    *    the cost this mode exists to avoid — use [[upsertChanges]], or
+    *    derive feeds at compaction, where incremental consumers need
+    *    them). */
+  def upsertDeferred(df: DataFrame): Unit = {
+    require(tieBreak.nonEmpty,
+      s"KeyedLakeTable($path): deferred (merge-on-read) upserts need a " +
+        "tieBreak — appended files have no arrival order, so equal " +
+        "precombine values would pick a nondeterministic winner")
+    val batch = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val guard = batch
+        .groupBy(recordKeys.map(col): _*)
+        .agg(countDistinct(col(partitionSource)).as("__n"))
+        .agg(count(lit(1)).as("__keys"),
+          coalesce(max(col("__n")), lit(0L)).as("__maxn"))
+        .head()
+      if (guard.getLong(0) == 0L) return // empty batch: legitimate no-op
+      require(guard.getLong(1) <= 1L,
+        s"KeyedLakeTable($path): a record key has multiple " +
+          s"$partitionSource values in one batch — the partition source " +
+          "must be immutable per key")
+      if (!exists) { overwrite(batch); return }
+      // one sampled footer, NOT a mergeSchema pass — deferred mode forbids
+      // evolution, so every file carries the same columns and the
+      // distributed footer-merge would cost more than the append itself —
+      // and memoized per handle: even the sampled read pays an O(dirs)
+      // partition-discovery listing (measured ~1 s on a 720-dir table)
+      if (deferredExpected == null)
+        deferredExpected = spark.read.parquet(path).columns.toSet
+      val expected = deferredExpected
+      val incomingCols = prep(batch).columns.toSet
+      require(incomingCols == expected,
+        s"KeyedLakeTable($path): deferred append schema mismatch — batch " +
+          s"yields ${incomingCols.toSeq.sorted.mkString(",")} vs table " +
+          s"${expected.toSeq.sorted.mkString(",")} (no evolution in " +
+          "merge-on-read mode)")
+      clustered(prep(batch)).write
+        .mode(SaveMode.Append)
+        .partitionBy(partCols: _*)
+        .parquet(path)
+    } finally batch.unpersist(false)
+  }
+
+  @volatile private var deferredExpected: Set[String] = null
+
+  /** The merged state of a table written (fully or partly) through
+    * [[upsertDeferred]]: [[read]] plus one latest-wins dedup over the
+    * accumulated versions — the read-side half of merge-on-read. On a
+    * fully-compacted (or eagerly-merged) table the dedup finds one
+    * version per key and passes rows through unchanged, so this is
+    * always safe to use; it costs one keyed shuffle over the rows read
+    * (partition-pruned reads prune the dedup's input identically). */
+  def readMerged(): DataFrame =
+    LakeOps.latestWinsDedup(read(), recordKeys, precombine,
+      tieBreak.map(c => col(c).desc))
+
+  /** [[readMerged]] minus tombstones — the MOR analog of [[readLive]]. */
+  def readLiveMerged(): DataFrame = {
+    val f = softDeleteCol.getOrElse(throw new IllegalStateException(
+      s"KeyedLakeTable($path): readLiveMerged needs spec.softDeleteCol"))
+    readMerged().filter(!coalesce(col(f), lit(false)))
+  }
+
+  /** Fold accumulated deferred versions back to one winner per key — the
+    * pay-once compaction that restores eager-merge read costs. Staged
+    * through a sibling temp dir (never reads and overwrites the same
+    * files in one job), table-sized but disk-bound, no driver state. */
+  def compactMerged(): Unit = {
+    val stage = path + s".compact-${java.util.UUID.randomUUID.toString.take(8)}"
+    readMerged().write.parquet(stage)
+    overwrite(spark.read.parquet(stage))
+    val p = new org.apache.hadoop.fs.Path(stage)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+
   /** Changelog of merging `incoming` (one row per key) into `existing`
     * (one row per key; empty on bootstrap). Mirrors the merge's win rule
     * exactly: strictly-newer (precombine, tieBreak) wins, and an exact tie
