@@ -142,12 +142,13 @@ object MaintenanceBench {
     * would dwarf the thunk; the fold thunk re-applies the same batch
     * (same O(batch) work each pass, rows re-win under a later cycle). */
   private val jviewCache =
-    scala.collection.mutable.Map.empty[Int, (String, String, String)]
+    scala.collection.mutable.Map.empty[(Int, Boolean), (String, String, String)]
 
-  private def jviewFixture(s: SparkSession, dir: String, times: Int)
+  private def jviewFixture(s: SparkSession, dir: String, times: Int,
+      deferred: Boolean = false)
       : (JoinView, DataFrame, DataFrame, KeyedLakeTable) = {
     val (factPath, viewBase, batchPath) = jviewCache.synchronized {
-      jviewCache.getOrElseUpdate(times, {
+      jviewCache.getOrElseUpdate((times, deferred), {
         val parts = 720 // fixed dir count: the touched slice is 1/720 of
                         // the table at every knob (7200 dirs at x100 hits
                         // tiny-file listing pathology on BOTH sides and
@@ -173,7 +174,7 @@ object MaintenanceBench {
           partitionSource = "create_at", softDeleteCol = Some("is_deleted")))
         val dim = dimDf(s)
         val jv = new JoinView(s, s"$vb/view", s"$vb/orphans", Seq("id"),
-          "fk", "update_at", "create_at")
+          "fk", "update_at", "create_at", deferred = deferred)
         jv.applyCycle(fact.upsertChanges(rows), dim, dim, "dkey")
         // the recurring batch: strictly-newer versions of partition 0's
         // keys (the m_vmerge 1-partition shape) — the touched slice,
@@ -191,7 +192,8 @@ object MaintenanceBench {
       recordKeys = Seq("id"), precombine = "update_at",
       partitionSource = "create_at", softDeleteCol = Some("is_deleted")))
     val jv = new JoinView(s, s"$viewBase/view",
-      s"$viewBase/orphans", Seq("id"), "fk", "update_at", "create_at")
+      s"$viewBase/orphans", Seq("id"), "fk", "update_at", "create_at",
+      deferred = deferred)
     (jv, s.read.parquet(batchPath), dimDf(s), fact)
   }
 

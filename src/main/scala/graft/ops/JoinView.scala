@@ -55,6 +55,13 @@ import graft.sink.{KeyedLakeTable, LakeTableSpec}
   * counter makes "written by a later cycle" the win rule. The counter
   * survives restarts in a `_cycle` file under the view path.
   *
+  * `deferred = true` switches both state tables to MERGE-ON-READ writes
+  * ([[KeyedLakeTable.upsertDeferred]]): each cycle's batches APPEND and
+  * the latest-wins dedup happens at read — sound here because (cycle,
+  * fact-precombine) totally orders a key's versions (cycles differ
+  * across folds; within one fold the batches are key-disjoint). Call
+  * [[compact]] when read amplification accumulates.
+  *
   * Exactness contract (q142): after any interleaving of fact and dim
   * batches, [[readLive]] equals latest-wins(facts, live) INNER JOIN
   * latest-wins(dims) recomputed from scratch — orphan promotion, fk
@@ -67,7 +74,8 @@ final class JoinView(
     factKeys: Seq[String],
     fkCol: String,
     factPrecombine: String,
-    partitionSource: String) {
+    partitionSource: String,
+    deferred: Boolean = false) {
 
   private val dead = "__dead"
   private val cycleCol = "__cycle"
@@ -89,18 +97,29 @@ final class JoinView(
       java.nio.file.Files.readString(cyclePath).trim.toLong
     else 0L
 
+  private def live(t: KeyedLakeTable): DataFrame =
+    if (deferred) t.readLiveMerged() else t.readLive()
+
   /** Live view rows — the maintained join (fact columns + dim attrs). */
   def readLive(): DataFrame = {
     val keep = view.read().columns
       .filterNot(Seq(dead, cycleCol).contains)
-    view.readLive().select(keep.map(col): _*)
+    live(view).select(keep.map(col): _*)
   }
 
   /** Outstanding facts waiting for their dimension row. */
   def readOrphans(): DataFrame = {
     val keep = orphans.read().columns
       .filterNot(Seq(dead, cycleCol).contains)
-    orphans.readLive().select(keep.map(col): _*)
+    live(orphans).select(keep.map(col): _*)
+  }
+
+  /** Deferred mode only: fold both state tables' accumulated versions
+    * back to one winner per key (the pay-once read-cost reset). */
+  def compact(): Unit = {
+    require(deferred, "compact() is the merge-on-read maintenance pass")
+    view.compactMerged()
+    if (orphans.exists) orphans.compactMerged()
   }
 
   /** Fold one cycle. `factChanges`: the fact table's
@@ -163,7 +182,7 @@ final class JoinView(
     val promoted =
       if (!hasDimDelta || !orphans.exists) None
       else Some(notFactTouched(
-          orphans.readLive().select(rowCols.map(col): _*))
+          live(orphans).select(rowCols.map(col): _*))
         .join(broadcast(ddelta), col(fkCol) === col(dimk))
         .localCheckpoint(true)) // one source, two writes (view + tombstone)
     val promoteView = promoted.map(_.select(
@@ -174,7 +193,7 @@ final class JoinView(
     val refresh =
       if (!hasDimDelta || !view.exists) None
       else Some(notFactTouched(
-          view.readLive().select(rowCols.map(col): _*))
+          live(view).select(rowCols.map(col): _*))
         .join(broadcast(ddelta), col(fkCol) === col(dimk))
         .select(rowCols.map(col) ++ dimAttrs.map(col) :+
           lit(false).as(dead) :+ lit(c).as(cycleCol): _*))
@@ -188,7 +207,7 @@ final class JoinView(
     // cycle ordering already stops an older live row from resurrecting).
     val orphanLiveKeys =
       if (!orphans.exists) None
-      else Some(orphans.readLive().select(factKeys.map(col): _*))
+      else Some(live(orphans).select(factKeys.map(col): _*))
     val orphanAdds = orphanFactBatch.filter(!col(dead))
     val orphanKills = orphanLiveKeys match {
       case Some(live) => orphanFactBatch.filter(col(dead))
@@ -197,10 +216,12 @@ final class JoinView(
     }
     val viewBatch = (Seq(viewFactBatch) ++ promoteView ++ refresh)
       .reduce(_ unionByName _)
-    if (!viewBatch.isEmpty) view.upsert(viewBatch)
+    def write(t: KeyedLakeTable, b: DataFrame): Unit =
+      if (deferred) t.upsertDeferred(b) else t.upsert(b)
+    if (!viewBatch.isEmpty) write(view, viewBatch)
     val orphanBatch = (Seq(orphanAdds, orphanKills) ++ promoteOrphanGone)
       .reduce(_ unionByName _)
-    if (!orphanBatch.isEmpty) orphans.upsert(orphanBatch)
+    if (!orphanBatch.isEmpty) write(orphans, orphanBatch)
     java.nio.file.Files.writeString(cyclePath, cycle.toString)
   }
 }

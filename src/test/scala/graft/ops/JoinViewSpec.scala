@@ -31,11 +31,12 @@ class JoinViewSpec extends AnyFunSuite with SparkSpec {
       precombine = "update_at", partitionSource = "create_at",
       softDeleteCol = Some("is_deleted")))
 
-  private def newView(): JoinView = {
+  private def newView(deferred: Boolean = false): JoinView = {
     val base = tmpDir("jv")
     new JoinView(spark, s"$base/view", s"$base/orphans",
       factKeys = Seq("id"), fkCol = "fk",
-      factPrecombine = "update_at", partitionSource = "create_at")
+      factPrecombine = "update_at", partitionSource = "create_at",
+      deferred = deferred)
   }
 
   /** Expected live view: live latest-wins facts INNER JOIN current dims. */
@@ -51,10 +52,11 @@ class JoinViewSpec extends AnyFunSuite with SparkSpec {
 
   private def dimsDf(ds: Seq[Dim]): DataFrame = ds.toDF()
 
-  test("orphans buffer late dims; retarget, delete, refresh, resurrection " +
-      "all reconcile to the from-scratch join") {
+  for (deferred <- Seq(false, true))
+  test(s"orphans buffer late dims; retarget, delete, refresh, resurrection " +
+      s"all reconcile to the from-scratch join (deferred=$deferred)") {
     val ft = factTable()
-    val jv = newView()
+    val jv = newView(deferred)
     var dims = Map.empty[String, String]
     var dimSnap = dimsDf(Nil)
 
@@ -95,6 +97,11 @@ class JoinViewSpec extends AnyFunSuite with SparkSpec {
     val facts4 = facts3 ++ batch4.map(x => x.id -> x).toMap
     assert(liveSet(jv) === expected(facts4, dims))
     assert(jv.readOrphans().count() === 0)
+    if (deferred) { // compaction folds versions; state must not move
+      jv.compact()
+      assert(liveSet(jv) === expected(facts4, dims))
+      assert(jv.readOrphans().count() === 0)
+    }
   }
 
   test("the cycle counter survives a restart and later cycles still win") {
