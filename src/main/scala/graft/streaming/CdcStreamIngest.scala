@@ -83,6 +83,34 @@ object CdcStreamIngest {
     query.awaitTermination()
   }
 
+  /** Drain the stream into a MAINTAINED JOIN VIEW: each micro-batch
+    * merges into the fact table and its change feed folds into the
+    * [[graft.ops.JoinView]] in the same foreachBatch scope — the
+    * streaming head of the incremental-maintenance family (the batch
+    * path is q142). The dim side is a callable snapshot so a slowly
+    * changing dimension can be re-read per batch; dim DELTAS ride the
+    * dedicated `dimDelta` callable (empty for a static dim). Replay
+    * note: a checkpoint-replayed micro-batch re-merges as noops, whose
+    * change feed is all-noop and folds to nothing — the view fold is as
+    * idempotent as the merge beneath it. */
+  def toMaintainedView(stream: DataFrame, fact: KeyedLakeTable,
+      view: graft.ops.JoinView, dimKey: String,
+      dimSnap: () => DataFrame,
+      dimDelta: () => DataFrame,
+      checkpointDir: String): Unit = {
+    val query = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val changes = fact.upsertChanges(batch)
+          view.applyCycle(changes, dimDelta(), dimSnap(), dimKey)
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+  }
+
   /** §2.8 ingestion dedup: at-least-once upstream delivery (stream-consumer
     * retries re-deliver records — the reference's Lambda consumer is
     * explicitly retried on failure) reduced to exactly-once rows with

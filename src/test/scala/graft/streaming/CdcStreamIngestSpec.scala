@@ -27,6 +27,34 @@ class CdcStreamIngestSpec extends AnyFunSuite with SparkSpec {
     assert(got === Workload.expectedTxnState(log).toSet)
   }
 
+  test("streamed micro-batches maintain the fact⋈dim join view " +
+      "(the streaming head of the maintenance family)") {
+    val log = Workload.generate(seed = 63, n = 300)
+    val srcDir = tmpDir("jv-stream-src")
+    val df = log.txns.toDF()
+    df.repartition(5).write.mode("overwrite").parquet(srcDir)
+    val fact = new KeyedLakeTable(spark, LakeTableSpec(
+      tmpDir("jv-stream-fact"), recordKeys = Seq("id"),
+      precombine = "update_at", partitionSource = "create_at",
+      tieBreak = Seq("note")))
+    val base = tmpDir("jv-stream")
+    val jv = new graft.ops.JoinView(spark, s"$base/view", s"$base/orphans",
+      Seq("id"), "entity", "update_at", "create_at")
+    val labels = Map("grocery" -> "G", "fuel" -> "F", "rent" -> "R",
+      "salary" -> "S", "misc" -> "M")
+    val dim = labels.toSeq.toDF("dkey", "label")
+    CdcStreamIngest.toMaintainedView(
+      CdcStreamIngest.fileStream(spark, srcDir, df.schema,
+        maxFilesPerTrigger = 2),
+      fact, jv, "dkey", () => dim, () => dim.limit(0),
+      tmpDir("jv-stream-ckpt"))
+    val got = jv.readLive().select("id", "entity", "label")
+      .as[(String, String, String)].collect().toSet
+    val expect = Workload.expectedTxnState(log)
+      .map(t => (t.id, t.entity, labels(t.entity))).toSet
+    assert(got === expect)
+  }
+
   test("a late stream file with older update_at does not clobber newer rows") {
     val t0 = "2024-01-01T00:00:01.000000+0000"
     val t1 = "2024-01-01T00:00:09.000000+0000"
