@@ -35,13 +35,16 @@ import graft.text.{HeavyHitters, TextOps}
   *    ~2.7 s at 20M — flat, k-bounded state and shuffle) while the
   *    groupBy grows with the vocabulary it must carry (~0.5 s → ~2.1 s
   *    across the 670× step, state + shuffle rows ∝ distinct tokens).
-  *    The wide2 decade then records the CROSSOVER in absolute seconds
-  *    (2026-08-14, min-of-2): MG 19.4 s vs groupBy 20.5 s at 250M
-  *    tokens / 200M distinct — across the wide→wide2 step MG grew 7.3×
-  *    (token-bound: the step is 10× tokens) while the groupBy grew 9.8×
-  *    (its 200M-entry hash state spills past cache and its shuffle
-  *    carries the vocabulary), so the curves meet at ~2·10^8 distinct
-  *    and diverge beyond. Where the vocabulary is small the groupBy
+  *    The wide2 decade then records the crossover REGION in absolute
+  *    seconds (2026-08-14, min-of-2, two runs): MG 19.4 vs groupBy
+  *    20.5 s isolated, MG 22.0 vs groupBy 17.9 s in the full-bench run
+  *    — at 250M tokens / 200M distinct the strategies are WITHIN HOST
+  *    VARIANCE of each other, after the groupBy led 4× at 30k distinct.
+  *    Across the wide→wide2 step MG grew 7.3× (token-bound: the step is
+  *    10× tokens) while the groupBy grew 9.8× (its 200M-entry hash
+  *    state spills past cache and its shuffle carries the vocabulary):
+  *    the curves meet at ~2·10^8 distinct, and only the groupBy's keeps
+  *    climbing with vocabulary beyond it. Where the vocabulary is small the groupBy
   *    rightly wins (MG is two aggregation-grade passes against one —
   *    use groupBy there); at the 100 TB tail (billions distinct) the
   *    groupBy line keeps climbing and MG's follows the token count
