@@ -155,6 +155,7 @@ object SparkEntry {
     "q141_topk_incremental" -> (PipelineQueries.q141TopkIncremental _),
     "q142_join_view" -> (CdcQueries.q142JoinView _),
     "q143_deferred_merge" -> (CdcQueries.q143DeferredMerge _),
+    "q144_topk_grouped" -> (PipelineQueries.q144TopkGrouped _),
   )
 
   /** Untimed per-query setup the bench runs before timing (ingest-side
@@ -338,6 +339,7 @@ object SparkEntry {
     "q142_join_view" -> CdcQueries.q142JoinViewSql,
     // q143 reaches q20's merged state through deferred appends — same oracle
     "q143_deferred_merge" -> CdcQueries.q20CdcMergeSql,
+    "q144_topk_grouped" -> PipelineQueries.q144TopkGroupedSql,
   )
 
   /** DECLARED oracle-less entries: queries whose semantics are not

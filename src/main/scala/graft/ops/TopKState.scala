@@ -104,6 +104,97 @@ object TopKState {
     survivors.unionByName(meta)
   }
 
+  // ------------------------------------------------------------- grouped
+  // The per-group variant (top tokens per language / shard / domain):
+  // identical MG invariants per group, with N, error and the capacity
+  // bound all PER GROUP. Compaction thresholds come from one window
+  // partitioned by the group — bounded per group by the BATCH vocabulary
+  // (the same O(batch) caveat as batchState) and parallel across groups,
+  // never a global sort.
+
+  /** One batch folded to per-group MG state: `(group, token, cnt, err)`
+    * candidate rows (≤ capacity per group) plus one meta row per group
+    * (`token = null`, `cnt` = exact group total, `err` = offset). */
+  def batchStateBy(tokens: DataFrame, groupCol: String,
+      capacity: Int): DataFrame = {
+    require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+    val g = col(groupCol)
+    val counts = tokens
+      .filter(col("token").isNotNull && col("token") =!= "")
+      .groupBy(g, col("token")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    compactBy(counts, groupCol, capacity, extras = None)
+  }
+
+  /** Fold per-group state frames into one — counters add per (group,
+    * token), totals/errors add per group, one compaction per group
+    * restores the bound. Inputs are state-sized; no data touched. */
+  def mergeBy(states: Seq[DataFrame], groupCol: String,
+      capacity: Int): DataFrame = {
+    require(states.nonEmpty, "merge of zero states")
+    val all = states.reduce(_ unionByName _).localCheckpoint(true)
+    val cands = all.filter(col("token").isNotNull)
+      .groupBy(col(groupCol), col("token")).agg(sum(col("cnt")).as("cnt"))
+    val extras = all.filter(col("token").isNull)
+      .groupBy(col(groupCol))
+      .agg(sum(col("cnt")).as("__n0"), sum(col("err")).as("__e0"))
+    compactBy(cands, groupCol, capacity, Some(extras))
+  }
+
+  /** Per-group MG compaction: the (capacity+1)-th largest count per
+    * group via ONE group-partitioned window over the counts frame
+    * (bounded per group, parallel across groups). */
+  private def compactBy(counts: DataFrame, groupCol: String, capacity: Int,
+      extras: Option[DataFrame]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = col(groupCol)
+    val w = Window.partitionBy(g)
+      .orderBy(col("cnt").desc, col("token").asc)
+    val ranked = counts.withColumn("__rn", row_number().over(w))
+    val perGroup = ranked.groupBy(g).agg(
+      coalesce(max(when(col("__rn") === capacity + 1, col("cnt"))), lit(0L))
+        .as("__off"),
+      sum(col("cnt")).as("__nb"))
+    val withMeta = extras match {
+      // merged totals come ONLY from the meta rows — candidate counters
+      // undercount, so __nb is not the group total here
+      case Some(e) => perGroup.join(e, Seq(groupCol), "left")
+        .select(g, col("__off"),
+          coalesce(col("__n0"), lit(0L)).as("__n"),
+          coalesce(col("__e0"), lit(0L)).as("__e"))
+      case None => perGroup.select(g, col("__off"),
+        col("__nb").as("__n"), lit(0L).as("__e"))
+    }
+    val meta = withMeta.select(g, lit(null).cast("string").as("token"),
+      col("__n").as("cnt"), (col("__off") + col("__e")).as("err"))
+    val survivors = ranked.join(broadcast(withMeta.select(g, col("__off"))),
+        Seq(groupCol))
+      .filter(col("cnt") > col("__off"))
+      .select(g, col("token"), (col("cnt") - col("__off")).as("cnt"),
+        lit(null).cast("long").as("err"))
+    survivors.unionByName(meta)
+  }
+
+  /** Exact per-group heavy hitters (`true count · k > N_group`) from the
+    * maintained state plus ONE recount scan — the grouped q131 contract.
+    * `capacity >= k` per group is the superset guarantee. */
+  def exactBy(state: DataFrame, tokens: DataFrame, groupCol: String,
+      k: Int): DataFrame = {
+    val g = col(groupCol)
+    val cands = state.filter(col("token").isNotNull)
+      .select(g, col("token")).withColumn("__cand", lit(true))
+    val counted = tokens.filter(col("token") =!= "")
+      .join(broadcast(cands), Seq(groupCol, "token"), "left")
+      .groupBy(g, when(col("__cand"), col("token")).as("token"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val totals = counted.groupBy(g).agg(sum(col("n")).as("__total"))
+    counted.where(col("token").isNotNull)
+      .join(broadcast(totals), Seq(groupCol))
+      .where(col("n") * k > col("__total"))
+      .select(g, col("token"), col("n"))
+  }
+
   /** Hitters PROVEN by the state alone — zero scans: `cnt` never
     * overcounts, so `cnt · k > N` certifies true count > N/k. The set is
     * complete up to the error bound (a true hitter with `cnt` depressed

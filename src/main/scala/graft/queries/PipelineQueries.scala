@@ -1970,6 +1970,41 @@ object PipelineQueries {
       .orderBy(col("n").desc, col("token").asc)
   }
 
+  // --------------------------------------------------------------- q144
+  /** q141's incremental heavy hitters PER GROUP ([[graft.ops.TopKState
+    * .batchStateBy]]/`mergeBy`/`exactBy`): top tokens per LANGUAGE, with
+    * threshold, error bound and capacity all per-group quantities — the
+    * "frequent items by domain/language/shard" question a curation
+    * pipeline actually asks. Same fold protocol (3 batches, capacity
+    * 400 ≥ 2k per group) and the same exactness contract: state
+    * candidates are a guaranteed per-group superset, one recount scan
+    * makes the counts exact integers. The oracle recomputes each
+    * language's `count·k > N_lang` set the slow way. */
+  def q144TopkGrouped(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.TopKState
+    val toks = docs(s, dir)
+      .select(col("lang"), pmod(abs(hash(col("doc_id"))), lit(3)).as("b"),
+        explode(TextOps.tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .localCheckpoint(true) // 4 consumers: tokenize once (q131's rule)
+    val state = (0 until 3)
+      .map(b => TopKState.batchStateBy(
+        toks.filter(col("b") === b).select("lang", "token"), "lang", 400))
+      .reduce((a, c) => TopKState.mergeBy(Seq(a, c), "lang", 400))
+    TopKState.exactBy(state, toks.select("lang", "token"), "lang", k = 100)
+      .orderBy(col("lang"), col("n").desc, col("token").asc)
+  }
+
+  val q144TopkGroupedSql: String =
+    s"""WITH toks AS (SELECT lang, unnest($wordsSql) AS token FROM documents),
+      |t AS (SELECT lang, token FROM toks WHERE token <> ''),
+      |tot AS (SELECT lang, COUNT(*) AS n_l FROM t GROUP BY 1)
+      |SELECT t.lang, token, COUNT(*) AS n
+      |FROM t JOIN tot USING (lang)
+      |GROUP BY t.lang, token, n_l
+      |HAVING COUNT(*) * 100 > n_l
+      |ORDER BY lang, n DESC, token ASC""".stripMargin
+
   // --------------------------------------------------------------- q132
   /** CCNet-style perplexity bucketing
     * ([[graft.text.NgramLM.perplexityBuckets]]): self-score the corpus

@@ -84,6 +84,47 @@ class TopKStateSpec extends AnyFunSuite with SparkSpec {
     assert(certified.nonEmpty)
   }
 
+  /** Two groups with different shapes: g0 = 20k rows / 10 hot tokens +
+    * tail, g1 = 10k rows / 5 hot + tail — thresholds and errors are
+    * per-group quantities. */
+  private def groupedStream(): DataFrame =
+    spark.range(30000).select(
+      when(col("id") < 20000, lit("g0")).otherwise(lit("g1")).as("grp"),
+      when(col("id") < 14000,
+        concat(lit("h"), pmod(col("id"), lit(10)).cast("string")))
+        .when(col("id") >= 20000 && col("id") < 27000,
+          concat(lit("k"), pmod(col("id"), lit(5)).cast("string")))
+        .otherwise(concat(lit("u"), col("id").cast("string")))
+        .as("token"))
+
+  test("grouped: folded state + one recount equals per-group exact hitters") {
+    val toks = groupedStream().localCheckpoint(true)
+    val batches = (0 until 3).map(b =>
+      toks.filter(pmod(abs(hash(col("token"))), lit(3)) === b))
+    val state = batches.map(TopKState.batchStateBy(_, "grp", capacity = 50))
+      .reduce((a, b) => TopKState.mergeBy(Seq(a, b), "grp", 50))
+    val inc = TopKState.exactBy(state, toks, "grp", k = 20)
+      .as[(String, String, Long)].collect().toSet
+    val truth = toks.groupBy(col("grp"), col("token"))
+      .agg(count(lit(1)).as("n")).localCheckpoint(true)
+    val totals = toks.groupBy(col("grp")).agg(count(lit(1)).as("t"))
+    val exact = truth.join(totals, "grp")
+      .filter(col("n") * 20 > col("t"))
+      .select("grp", "token", "n")
+      .as[(String, String, Long)].collect().toSet
+    assert(inc === exact)
+    assert(inc.map(_._1) === Set("g0", "g1"),
+      "both groups must produce hitters — no vacuous pass")
+    // per-group invariants: error cap and meta totals
+    val meta = state.filter(col("token").isNull)
+      .select("grp", "cnt", "err").as[(String, Long, Long)].collect()
+    val nByGroup = totals.as[(String, Long)].collect().toMap
+    meta.foreach { case (grp, n, e) =>
+      assert(n === nByGroup(grp), s"$grp meta total")
+      assert(e <= n / 51, s"$grp error $e above N/(cap+1)")
+    }
+  }
+
   test("the state is a pure function of the batch sequence (determinism)") {
     val toks = stream().localCheckpoint(true)
     val batches = (0 until 3).map(b =>
