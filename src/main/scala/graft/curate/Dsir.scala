@@ -47,13 +47,16 @@ object Dsir {
     * table is eagerly written under it as parquet and every downstream
     * consumer reads the materialization — the corpus is tokenized ONCE
     * (the CTE-materialization analog). The fused token_buckets kernel
-    * moved the crossover: re-tokenizing is now cheap enough that at the
-    * ×10 bench scale the lazy plan is ~25% faster (no parquet roundtrip)
-    * and scratch only wins from ~×100 up (measured 3.0 vs 3.3 s). The
-    * at-scale guidance is unchanged — at 100 TB the collapsed table is
-    * orders of magnitude smaller than the text, so materializing it
-    * still beats even one extra kernel pass — pass a scratch dir for
-    * anything big; None is correct (and fine) for small one-shots. */
+    * has since closed the bench-scale gap between the strategies: a
+    * three-way re-measurement (2026-08-14, min-of-3, ×10 and ×100
+    * corpus) put lazy / localCheckpoint / parquet-scratch at
+    * 1.37 / 1.11 / 1.36 s (×10) and 2.90 / 3.10 / 2.98 s (×100) —
+    * within this host's run-to-run variance of each other, so the
+    * choice no longer matters at bench scale. The at-scale guidance is
+    * unchanged — at 100 TB the collapsed table is orders of magnitude
+    * smaller than the text, so materializing it beats even one extra
+    * kernel pass — pass a scratch dir for anything big; None is
+    * correct (and fine) for small one-shots. */
   def importanceWeights(df: DataFrame, idCol: String, textCol: String,
       isTarget: Column, buckets: Int = 256, alpha: Double = 1.0,
       scratchDir: Option[String] = None): DataFrame = {
