@@ -178,15 +178,25 @@ object TopKState {
   /** Exact per-group heavy hitters (`true count · k > N_group`) from the
     * maintained state plus ONE recount scan — the grouped q131 contract.
     * `capacity >= k` per group is the superset guarantee. */
-  def exactBy(state: DataFrame, tokens: DataFrame, groupCol: String,
-      k: Int): DataFrame = {
+  /** The grouped recount pre-checkpoint — exposed so the spec can
+    * plan-assert its shape (candidates broadcast into a LeftOuter join;
+    * the token stream never shuffles on (group, token); non-candidates
+    * fold into the per-group null bucket that also yields N_group). */
+  private[graft] def groupedRecount(tokens: DataFrame, state: DataFrame,
+      groupCol: String): DataFrame = {
     val g = col(groupCol)
     val cands = state.filter(col("token").isNotNull)
       .select(g, col("token")).withColumn("__cand", lit(true))
-    val counted = tokens.filter(col("token") =!= "")
+    tokens.filter(col("token") =!= "")
       .join(broadcast(cands), Seq(groupCol, "token"), "left")
       .groupBy(g, when(col("__cand"), col("token")).as("token"))
       .agg(count(lit(1)).as("n"))
+  }
+
+  def exactBy(state: DataFrame, tokens: DataFrame, groupCol: String,
+      k: Int): DataFrame = {
+    val g = col(groupCol)
+    val counted = groupedRecount(tokens, state, groupCol)
       .localCheckpoint(true)
     val totals = counted.groupBy(g).agg(sum(col("n")).as("__total"))
     counted.where(col("token").isNotNull)

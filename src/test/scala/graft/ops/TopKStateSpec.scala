@@ -125,6 +125,28 @@ class TopKStateSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("grouped recount broadcasts candidates — the token stream never " +
+      "shuffles on (group, token)") {
+    val toks = groupedStream().repartition(6).localCheckpoint(true)
+    val state = TopKState.batchStateBy(toks, "grp", 50)
+    val counted = TopKState.groupedRecount(toks, state, "grp")
+    counted.collect()
+    val p = counted.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      s"grouped candidates must broadcast:\n$p")
+    // no exchange may partition the RAW stream on (grp, token): the only
+    // token-keyed shuffle allowed is the bounded candidate set's own,
+    // and the recount aggregation's exchange is on the folded CASE key
+    val rawShuffles = "hashpartitioning\\(grp[#\\d]*, token[#\\d]*,"
+      .r.findAllIn(p).size
+    assert(rawShuffles <= 1,
+      s"raw stream shuffled on (grp, token) ($rawShuffles):\n$p")
+    assert(p.contains("hashpartitioning(grp") &&
+      p.contains("_groupingexpression"),
+      s"recount must aggregate on the folded candidate key:\n$p")
+  }
+
   test("the state is a pure function of the batch sequence (determinism)") {
     val toks = stream().localCheckpoint(true)
     val batches = (0 until 3).map(b =>
