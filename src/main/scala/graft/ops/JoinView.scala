@@ -55,6 +55,13 @@ import graft.sink.{KeyedLakeTable, LakeTableSpec}
   * counter makes "written by a later cycle" the win rule. The counter
   * survives restarts in a `_cycle` file under the view path.
   *
+  * Concurrency contract: ONE maintainer per view (the reference's
+  * single-flight posture — its orchestrator refuses a new run until the
+  * prior reaches a terminal state). applyCycle is not safe to run
+  * concurrently against the same paths: the cycle counter and the two
+  * upserts assume a single writer. Multi-writer tables are
+  * [[graft.sink.VersionedLakeTable]]'s OCC territory.
+  *
   * `deferred = true` switches both state tables to MERGE-ON-READ writes
   * ([[KeyedLakeTable.upsertDeferred]]): each cycle's batches APPEND and
   * the latest-wins dedup happens at read — sound here because (cycle,
