@@ -156,6 +156,7 @@ object SparkEntry {
     "q142_join_view" -> (CdcQueries.q142JoinView _),
     "q143_deferred_merge" -> (CdcQueries.q143DeferredMerge _),
     "q144_topk_grouped" -> (PipelineQueries.q144TopkGrouped _),
+    "q145_versioned_mor" -> (CdcQueries.q145VersionedMor _),
   )
 
   /** Untimed per-query setup the bench runs before timing (ingest-side
@@ -340,6 +341,8 @@ object SparkEntry {
     // q143 reaches q20's merged state through deferred appends — same oracle
     "q143_deferred_merge" -> CdcQueries.q20CdcMergeSql,
     "q144_topk_grouped" -> PipelineQueries.q144TopkGroupedSql,
+    // q145 reaches q20's merged state through append commits — same oracle
+    "q145_versioned_mor" -> CdcQueries.q20CdcMergeSql,
   )
 
   /** DECLARED oracle-less entries: queries whose semantics are not

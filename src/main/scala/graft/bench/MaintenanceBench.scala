@@ -93,16 +93,21 @@ object MaintenanceBench {
     path
   }
 
-  private def vtable(s: SparkSession, path: String): VersionedLakeTable =
+  private def vtable(s: SparkSession, path: String,
+      tieBreak: Seq[String] = Nil): VersionedLakeTable =
     new VersionedLakeTable(s, LakeTableSpec(
       path, recordKeys = Seq("id"), precombine = "update_at",
-      partitionSource = "create_at"))
+      partitionSource = "create_at", tieBreak = tieBreak))
 
   /** Bootstrapped versioned table over `partitions` partitions; returns
-    * (table, the 1-partition update batches for the merge cycle). */
-  private def buildVersioned(s: SparkSession, dir: String, partitions: Int)
+    * (table, the 1-partition update batches for the merge cycle).
+    * `tieBreak` is set for the merge-on-read variant (append commits
+    * require one); the eager entries keep the historical no-tieBreak
+    * table so their recorded numbers stay comparable. */
+  private def buildVersioned(s: SparkSession, dir: String, partitions: Int,
+      tieBreak: Seq[String] = Nil)
       : (VersionedLakeTable, Seq[DataFrame]) = {
-    val table = vtable(s, tmp(s"graft_mbench_vlake_p$partitions"))
+    val table = vtable(s, tmp(s"graft_mbench_vlake_p$partitions"), tieBreak)
     val base = cdcRows(s, dir, partitions)
     table.upsert(base)
     // three strictly-newer versions of partition 0's keys (batch = one
@@ -415,6 +420,15 @@ object MaintenanceBench {
     "m_vmerge_3x_base720" -> ((s, dir) => {
       val (table, batches) = buildVersioned(s, dir, partitions = 720)
       () => batches.foreach(b => table.upsert(b))
+    }),
+    // the commit-log merge-on-read trade (q145): the same three batches
+    // as APPEND commits — O(batch) stage + manifest, no partition
+    // read/rewrite — against m_vmerge_3x_base720's eager merges
+    // (measured 2026-08-14: 1.50 s vs 3.00 s, min-of-2)
+    "m_vmerge_3x_mor720" -> ((s, dir) => {
+      val (table, batches) = buildVersioned(s, dir, partitions = 720,
+        tieBreak = Seq("event_id"))
+      () => batches.foreach(b => table.upsertDeferred(b))
     }),
     "m_vread_pruned_p72" -> ((s, dir) => {
       val (table, _) = buildVersioned(s, dir, partitions = 72)

@@ -1924,6 +1924,28 @@ object CdcQueries {
       .orderBy("id")
   }
 
+  // --------------------------------------------------------------- q145
+  /** q143's merge-on-read trade lifted into the COMMIT LOG
+    * ([[graft.sink.VersionedLakeTable.upsertDeferred]]): the three CDC
+    * batches commit as APPEND manifests — O(batch) stage + manifest, no
+    * partition read or rewrite — and the read of any snapshot whose
+    * chain holds appends dedups latest-wins, so time travel, OCC and
+    * vacuum semantics carry over unchanged (VersionedMorSpec pins the
+    * checkpoint/vacuum/rollback propagation). The final read is q20's
+    * merged state — same oracle; hash-green proves the append path's
+    * dedup reaches the eager commit-log merge exactly. */
+  def q145VersionedMor(s: SparkSession, dir: String): DataFrame = {
+    val cdc = cdcView(s, dir)
+    val table = new graft.sink.VersionedLakeTable(s, LakeTableSpec(
+      Files.createTempDirectory("graft_q145_lake").toString,
+      recordKeys = Seq("id"), precombine = "update_at",
+      partitionSource = "create_at", tieBreak = Seq("event_id")))
+    val bucket = pmod(col("event_id"), lit(3))
+    (0 until 3).foreach(b => table.upsertDeferred(cdc.filter(bucket === b)))
+    table.read().select(snapshotCols.map(col): _*)
+      .orderBy("id")
+  }
+
   val q136ConcurrentCommitsSql: String =
     s"""WITH cdc AS ($cdcViewSql)
       |SELECT id,

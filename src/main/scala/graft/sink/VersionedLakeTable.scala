@@ -9,20 +9,26 @@ import org.json4s.jackson.{JsonMethods, Serialization}
 
 import graft.ops.LakeOps
 
-/** One commit. Two kinds:
+/** One commit. Three kinds:
   *  - FULL (`delta` absent/false): `partitions` is the complete
   *    partition→files map of the snapshot — self-contained, no replay.
   *  - DELTA (`delta = Some(true)`): `partitions` holds ONLY the
   *    partitions this commit rewrote; each entry REPLACES that
   *    partition's file list in the predecessor's resolved state.
+  *  - APPEND (`append = Some(true)`, always also a delta): the
+  *    merge-on-read commit — each entry EXTENDS its partition's file
+  *    list instead of replacing it; readers dedup latest-wins over the
+  *    accumulated versions ([[VersionedLakeTable.upsertDeferred]]).
   * File paths are relative to the table root, so the table moves
   * wholesale. Version 0, rollbacks, snapshot compactions, and every
   * `checkpointEvery`-th commit are full checkpoints, so a reader resolves
   * any snapshot from at most `checkpointEvery` manifest reads. */
 final case class CommitManifest(version: Int, committedAt: String,
     partitions: Map[String, Seq[String]], delta: Option[Boolean] = None,
-    touched: Option[Seq[String]] = None) {
+    touched: Option[Seq[String]] = None,
+    append: Option[Boolean] = None) {
   def isDelta: Boolean = delta.contains(true)
+  def isAppend: Boolean = append.contains(true)
   /** The partitions this commit actually CHANGED, for conflict checks:
     * a delta changed exactly its entries; a full checkpoint records its
     * `touched` explicitly (absent on pre-OCC manifests and on rollback/
@@ -204,7 +210,29 @@ final class VersionedLakeTable(spark: SparkSession, val spec: LakeTableSpec,
     }
     require(full, s"VersionedLakeTable($path): commit $v resolves through " +
       "deltas with no full checkpoint beneath — corrupt or over-vacuumed log")
-    chain.reverse.foldLeft(Map.empty[String, Seq[String]])(_ ++ _.partitions)
+    chain.reverse.foldLeft(Map.empty[String, Seq[String]]) { (acc, m) =>
+      if (m.isAppend)
+        m.partitions.foldLeft(acc) { case (a, (p, fs)) =>
+          a.updated(p, a.getOrElse(p, Nil) ++ fs) }
+      else acc ++ m.partitions
+    }
+  }
+
+  /** Does `v`'s resolve chain contain APPEND commits? When true, the
+    * snapshot's files hold multiple versions per key and readers must
+    * dedup ([[read]] does); file-level stats pruning is refused (not
+    * key-complete) until a compaction folds the appends away. */
+  private def chainHasAppends(v: Int): Boolean = {
+    val below = visibleVersions.filter(_ <= v).reverse
+    var full = false
+    var any = false
+    val it = below.iterator
+    while (!full && it.hasNext) {
+      val m = manifest(it.next())
+      any ||= m.isAppend
+      full = !m.isDelta
+    }
+    any
   }
 
   // ------------------------------------------------------------ read side
@@ -239,12 +267,37 @@ final class VersionedLakeTable(spark: SparkSession, val spec: LakeTableSpec,
     * granularity keeps rows the filter then drops). Unlike partition
     * pruning, pruning every FILE away is a legitimate outcome (a point
     * lookup of an absent key): the result is the empty table slice. */
+  private val keepAllFiles: FileStats => Boolean = _ => true
+
   def readWhereStats(version: Option[Int],
       keep: Map[String, String] => Boolean = _ => true,
-      keepFile: FileStats => Boolean = _ => true): DataFrame = {
+      keepFile: FileStats => Boolean = keepAllFiles): DataFrame =
+    readWhereStatsInternal(version, keep, keepFile,
+      filePruneKeyComplete = false)
+
+  /** `filePruneKeyComplete`: the caller asserts its `keepFile` predicate
+    * keeps EVERY file that may hold any version of a wanted key (true
+    * for the Bloom lookup, false for arbitrary stats ranges) — required
+    * for file pruning over an append chain, where dropping the winning
+    * version's file would resurrect a superseded row. */
+  private def readWhereStatsInternal(version: Option[Int],
+      keep: Map[String, String] => Boolean,
+      keepFile: FileStats => Boolean,
+      filePruneKeyComplete: Boolean): DataFrame = {
     val v = version.orElse(latestVersion).getOrElse(
       throw new IllegalStateException(
         s"VersionedLakeTable($path): no commits yet"))
+    val mor = chainHasAppends(v)
+    if (mor) {
+      require(tieBreak.nonEmpty,
+        s"VersionedLakeTable($path): reading an append (merge-on-read) " +
+          "chain needs a tieBreak — appended files carry no arrival order")
+      require((keepFile eq keepAllFiles) || filePruneKeyComplete,
+        s"VersionedLakeTable($path): file-level stats pruning is not " +
+          "key-complete over append commits — a pruned file may hold the " +
+          "WINNING version of a key whose stale version survives " +
+          "elsewhere. compactSnapshot() folds the appends, then prune.")
+    }
     val kept = resolved(v).filter { case (rel, _) =>
       keep(rel.split('/').map { seg =>
         val Array(c, value) = seg.split("=", 2)
@@ -271,7 +324,13 @@ final class VersionedLakeTable(spark: SparkSession, val spec: LakeTableSpec,
       .reduce(_ unionByName _)
       .transform(normalizeParts)
     // all files pruned: keep the slice's schema, emit zero rows
-    if (emptied) df.filter(lit(false)) else df
+    val out = if (emptied) df.filter(lit(false)) else df
+    // merge-on-read: the resolved files hold multiple versions per key —
+    // one latest-wins dedup restores the merged state (partition-level
+    // pruning is key-complete: a key lives in exactly one partition)
+    if (mor) LakeOps.latestWinsDedup(out, recordKeys, precombine,
+      tieBreak.map(c => col(c).desc))
+    else out
   }
 
   /** Stats entries (where indexed) for the given manifest-relative files:
@@ -304,6 +363,9 @@ final class VersionedLakeTable(spark: SparkSession, val spec: LakeTableSpec,
     val v = version.orElse(latestVersion).getOrElse(
       throw new IllegalStateException(
         s"VersionedLakeTable($path): no commits yet"))
+    if (chainHasAppends(v)) return read(Some(v)).count() // appended
+      // versions make the per-file row sums overcount; the exact count
+      // needs the dedup scan until a compaction folds the appends
     val files = resolved(v).values.flatten.toSeq
     val stats = statsFor(files)
     val (have, missing) = files.partition(stats.contains)
@@ -329,8 +391,13 @@ final class VersionedLakeTable(spark: SparkSession, val spec: LakeTableSpec,
     require(keys.nonEmpty && keys.forall(_.length == recordKeys.length),
       s"each key tuple must match recordKeys $recordKeys")
     val hashes = keys.map(FileStatsIndex.keyHash)
-    val pruned = readWhereStats(version, keepFile = fs => hashes.exists(h =>
-      fs.mayContainHash(keyBloomBits, FileStatsIndex.DefaultBloomK, h)))
+    // Bloom pruning IS key-complete (no false negatives: every file
+    // holding any version of a wanted key passes), so it composes with
+    // an append chain — the internal read dedups the surviving versions
+    val pruned = readWhereStatsInternal(version, _ => true,
+      keepFile = fs => hashes.exists(h =>
+        fs.mayContainHash(keyBloomBits, FileStatsIndex.DefaultBloomK, h)),
+      filePruneKeyComplete = true)
     val keyTuple = concat_ws("\u0000",
       recordKeys.map(c => col(c).cast("string")): _*)
     val wanted = keys.map(_.map(String.valueOf).mkString("\u0000"))
@@ -344,7 +411,38 @@ final class VersionedLakeTable(spark: SparkSession, val spec: LakeTableSpec,
     * read of touched partitions (manifest-resolved here), strictly-newer
     * (precombine, tieBreak) wins, ties to the incoming row only without a
     * tieBreak. Old versions stay readable until vacuumed. */
-  def upsert(df: DataFrame): Int = {
+  def upsert(df: DataFrame): Int =
+    withPrepped(df)(upsertPrepped)
+
+  /** MERGE-ON-READ commit (the [[KeyedLakeTable.upsertDeferred]] trade
+    * lifted into the commit log): APPEND the batch's winning rows as a
+    * new version without reading or rewriting any existing partition —
+    * an O(batch) stage + one append manifest, where the eager [[upsert]]
+    * pays a touched-partition read, key-join and rewrite. Readers of any
+    * snapshot whose resolve chain holds append commits dedup latest-wins
+    * (exact: the merge rule is idempotent and associative, and
+    * `(precombine, tieBreak)` must totally order a key's versions —
+    * `tieBreak` is REQUIRED, appended files carry no arrival order).
+    * Time travel works unchanged: version v sees exactly the appends at
+    * or below v. [[compactSnapshot]] folds accumulated versions back to
+    * one winner per key (its full-checkpoint commit also restores
+    * file-level stats pruning and O(metadata) [[countRows]], both of
+    * which an append chain refuses/degrades — see their docs). OCC rules
+    * are unchanged and conservative: append commits declare their
+    * partitions as touched and abort on overlap like any delta, though
+    * two appends actually commute — admitting that is future work. */
+  def upsertDeferred(df: DataFrame): Int = {
+    require(tieBreak.nonEmpty,
+      s"VersionedLakeTable($path): deferred (merge-on-read) commits need " +
+        "a tieBreak — appended files have no arrival order, so equal " +
+        "precombine values would pick a nondeterministic winner")
+    withPrepped(df)(appendPrepped)
+  }
+
+  /** Null-guard, partition-immutability guard, partition derivation and
+    * in-batch latest-wins dedup — shared by the eager and deferred write
+    * paths; `f` runs against the persisted prepped batch. */
+  private def withPrepped[T](df: DataFrame)(f: DataFrame => T): T = {
     val guarded = df.withColumn(partitionSource,
       coalesce(col(partitionSource), raise_error(lit(
         s"VersionedLakeTable($path): null $partitionSource in batch"))))
@@ -375,9 +473,53 @@ final class VersionedLakeTable(spark: SparkSession, val spec: LakeTableSpec,
         LakeOps.derivePartitionColumns(LakeOps.dropOp(guarded), partitionSource),
         recordKeys, precombine, tieBreak.map(c => col(c).desc))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try upsertPrepped(incoming)
+      try f(incoming)
       finally incoming.unpersist(false)
     } finally guarded.unpersist(false)
+  }
+
+  /** The deferred write path: stage the prepped batch as-is (no table
+    * read, no merge), claim a slot under the standard OCC rules, commit
+    * an APPEND manifest. Bootstrap falls through to the eager path (the
+    * first commit is a full checkpoint either way). */
+  private def appendPrepped(incoming: DataFrame): Int = {
+    val touched = incoming.select(partCols.map(col): _*).distinct().collect()
+      .map(partitionRelPath).toSet
+    val curV = latestVersion
+    if (touched.isEmpty)
+      return curV.getOrElse(throw new IllegalStateException(
+        s"VersionedLakeTable($path): empty bootstrap batch"))
+    if (curV.isEmpty) return upsertPrepped(incoming)
+    val stage = stageWrite(incoming)
+    val written = listWritten(stage)
+    require(written.keySet == touched,
+      s"VersionedLakeTable($path): wrote partitions ${written.keySet} " +
+        s"but batch touched $touched")
+    JFiles.writeString(stage.resolve("_intent.json"),
+      Serialization.writePretty(CommitIntent(touched.toSeq.sorted)))
+    onBeforeClaim()
+    val (v, sawInFlight) = claimSlot(stage, curV, touched)
+    val entries: Map[String, Seq[String]] = written.map { case (p, fs) =>
+      p -> fs.map(f => s"data/$v/$f").sorted
+    }
+    if (indexed) FileStatsIndex.writeSidecar(
+      spark, path, v, statsCols, recordKeys, keyBloomBits)
+    val now = java.time.Instant.now().toString
+    val ourTouched = Some(touched.toSeq.sorted)
+    val prev = versions.filter(_ < v).lastOption
+    if (v % checkpointEvery == 0 && !sawInFlight && prev.nonEmpty) {
+      // cadence checkpoint THROUGH an append: the full map is the
+      // predecessor's resolve with this commit's files EXTENDING their
+      // partitions (replacing them would drop every superseded-but-
+      // still-needed version file from the resolve)
+      val base = resolved(prev.get)
+      val full = entries.foldLeft(base) { case (a, (p, fs)) =>
+        a.updated(p, a.getOrElse(p, Nil) ++ fs) }
+      commit(CommitManifest(v, now, full, touched = ourTouched,
+        append = Some(true)))
+    } else
+      commit(CommitManifest(v, now, entries, delta = Some(true),
+        touched = ourTouched, append = Some(true)))
   }
 
   private def partitionRelPath(r: org.apache.spark.sql.Row): String =
@@ -482,8 +624,12 @@ final class VersionedLakeTable(spark: SparkSession, val spec: LakeTableSpec,
     if (prev.isEmpty)
       commit(CommitManifest(v, now, entries, touched = ourTouched))
     else if (v % checkpointEvery == 0 && !sawInFlight)
+      // a checkpoint's resolved file lists may still hold appended
+      // multi-version files — carry the append flag so readers above it
+      // keep deduping (only a compaction FOLDS versions away)
       commit(CommitManifest(v, now, resolved(prev.get) ++ entries,
-        touched = ourTouched))
+        touched = ourTouched,
+        append = if (chainHasAppends(prev.get)) Some(true) else None))
     else
       commit(CommitManifest(v, now, entries, delta = Some(true),
         touched = ourTouched))
@@ -690,7 +836,8 @@ final class VersionedLakeTable(spark: SparkSession, val spec: LakeTableSpec,
     // its slot, and committing over it must fail loudly (ATOMIC_MOVE
     // without replace), never silently shadow it
     val nextV = versions.last + 1
-    commit(CommitManifest(nextV, java.time.Instant.now().toString, target))
+    commit(CommitManifest(nextV, java.time.Instant.now().toString, target,
+      append = if (chainHasAppends(v)) Some(true) else None))
   }
 
   /** Rewrite the CURRENT snapshot wholesale under one fresh version dir
@@ -771,7 +918,9 @@ final class VersionedLakeTable(spark: SparkSession, val spec: LakeTableSpec,
     val oldest = keep.head
     if (manifest(oldest).isDelta)
       commit(CommitManifest(oldest, manifest(oldest).committedAt,
-        resolved(oldest)), replace = true)
+        resolved(oldest),
+        append = if (chainHasAppends(oldest)) Some(true) else None),
+        replace = true)
     // resolve every kept snapshot with ONE forward replay over the log
     // (delta manifests only list touched partitions — the carried-forward
     // files of untouched partitions are just as live)
@@ -779,7 +928,15 @@ final class VersionedLakeTable(spark: SparkSession, val spec: LakeTableSpec,
     val liveB = scala.collection.mutable.Set.empty[String]
     versions.foreach { v =>
       val m = manifest(v)
-      running = if (m.isDelta) running ++ m.partitions else m.partitions
+      running =
+        if (m.isAppend && m.isDelta)
+          // append deltas EXTEND their partitions (resolved()'s fold
+          // rule) — replacing here would mark superseded-but-referenced
+          // version files dead and delete them out from under readers
+          m.partitions.foldLeft(running) { case (a, (p, fs)) =>
+            a.updated(p, a.getOrElse(p, Nil) ++ fs) }
+        else if (m.isDelta) running ++ m.partitions
+        else m.partitions
       if (v >= keepFrom) liveB ++= running.values.flatten
     }
     val live: Set[String] = liveB.toSet

@@ -1,0 +1,118 @@
+package graft.sink
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.ops.LakeOps
+import graft.oracle.Workload
+
+class VersionedMorSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def newTable(checkpointEvery: Int = 10, bloomBits: Int = 0) =
+    new VersionedLakeTable(spark, LakeTableSpec(
+      path = tmpDir("vmor"), recordKeys = Seq("id"),
+      precombine = "update_at", partitionSource = "create_at",
+      tieBreak = Seq("note")),
+      checkpointEvery = checkpointEvery,
+      statsCols = if (bloomBits > 0) Seq("amount") else Nil,
+      keyBloomBits = bloomBits)
+
+  private def state(df: DataFrame): Set[Workload.Txn] =
+    LakeOps.normalizeForCompare(df).as[Workload.Txn].collect().toSet
+
+  private def expectedAfter(log: Workload.Log, batchSize: Int, k: Int) =
+    Workload.expectedTxnState(Workload.Log(log.accounts,
+      log.txns.take(k * batchSize))).toSet
+
+  test("append commits reach the eager merge state, with time travel at " +
+      "every version") {
+    val log = Workload.generate(seed = 81, n = 400)
+    val batches = log.txns.grouped(100).toSeq.map(_.toDF())
+    val eager = newTable()
+    val mor = newTable()
+    batches.foreach(eager.upsert(_))
+    val vs = batches.map(mor.upsertDeferred)
+    assert(vs === Seq(0, 1, 2, 3))
+    assert(state(mor.read()) === state(eager.read()))
+    (1 to 4).foreach { k =>
+      assert(state(mor.read(Some(k - 1))) === expectedAfter(log, 100, k),
+        s"snapshot ${k - 1}")
+    }
+  }
+
+  test("eager merges over an append chain fold their touched partitions; " +
+      "compaction folds everything and restores pruning") {
+    val log = Workload.generate(seed = 82, n = 300)
+    val t = newTable(bloomBits = 1 << 12)
+    val batches = log.txns.grouped(100).toSeq.map(_.toDF())
+    t.upsertDeferred(batches(0))
+    t.upsertDeferred(batches(1))
+    t.upsert(batches(2)) // eager on top of appends
+    val expect = expectedAfter(log, 100, 3)
+    assert(state(t.read()) === expect)
+    // file-level stats pruning refuses while appends are in the chain
+    val e = intercept[IllegalArgumentException] {
+      t.readWhereStats(None, keepFile =
+        FileStatsIndex.range("amount", Some(0), Some(10))).collect()
+    }
+    assert(e.getMessage.contains("key-complete"))
+    // ... but the Bloom lookup composes (key-complete) and dedups
+    val id = log.txns.head.id
+    val hit = t.lookupKeys(Seq(Seq(id))).select("id").as[String].collect()
+    assert(hit.toSeq === Seq(id), "one winning row per looked-up key")
+    // countRows degrades to the exact dedup scan
+    assert(t.countRows() === expect.size.toLong)
+    // compaction folds the versions: pruning works again, counts are
+    // O(metadata) again, state unchanged
+    t.compactSnapshot()
+    assert(state(t.read()) === expect)
+    t.readWhereStats(None, keepFile =
+      FileStatsIndex.range("amount", Some(0), Some(10))).collect()
+    assert(t.countRows() === expect.size.toLong)
+  }
+
+  test("a cadence checkpoint through appends keeps every version file " +
+      "and readers keep deduping above it") {
+    val log = Workload.generate(seed = 83, n = 500)
+    val t = newTable(checkpointEvery = 2)
+    val batches = log.txns.grouped(100).toSeq.map(_.toDF())
+    batches.foreach(t.upsertDeferred(_)) // v2 and v4 are checkpoints
+    (1 to 5).foreach { k =>
+      assert(state(t.read(Some(k - 1))) === expectedAfter(log, 100, k),
+        s"snapshot ${k - 1}")
+    }
+  }
+
+  test("vacuum over an append chain keeps superseded-version files that " +
+      "kept snapshots still reference") {
+    val log = Workload.generate(seed = 84, n = 300)
+    val t = newTable()
+    log.txns.grouped(100).foreach(b => t.upsertDeferred(b.toDF()))
+    t.vacuumBefore(keepFrom = 1)
+    // v1 resolves through v0's appended files: they must survive
+    assert(state(t.read(Some(1))) === expectedAfter(log, 100, 2))
+    assert(state(t.read()) === expectedAfter(log, 100, 3))
+  }
+
+  test("rollback onto an appended snapshot keeps the dedup semantics") {
+    val log = Workload.generate(seed = 85, n = 300)
+    val t = newTable()
+    val batches = log.txns.grouped(100).toSeq.map(_.toDF())
+    batches.foreach(t.upsertDeferred(_))
+    t.rollback(1)
+    assert(state(t.read()) === expectedAfter(log, 100, 2))
+  }
+
+  test("deferred commits need a tieBreak, loudly") {
+    val noTie = new VersionedLakeTable(spark, LakeTableSpec(
+      path = tmpDir("vmor_notie"), recordKeys = Seq("id"),
+      precombine = "update_at", partitionSource = "create_at"))
+    val log = Workload.generate(seed = 86, n = 50)
+    val e = intercept[IllegalArgumentException](
+      noTie.upsertDeferred(log.txns.toDF()))
+    assert(e.getMessage.contains("tieBreak"))
+  }
+}
