@@ -72,10 +72,17 @@ object CdcStreamIngest {
     * re-runs the same latest-wins merge (a no-change merge still commits
     * a version, which is harmless and vacuumable). */
   def toVersionedTable(stream: DataFrame, table: graft.sink.VersionedLakeTable,
-      checkpointDir: String): Unit = {
+      checkpointDir: String, deferred: Boolean = false): Unit = {
     val query = stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) { table.upsert(batch); () }
+        // `deferred` commits each micro-batch as an APPEND manifest
+        // (VersionedLakeTable.upsertDeferred) — the classic streaming
+        // merge-on-read shape: frequent cheap commits, reads dedup,
+        // compactSnapshot folds on a maintenance cadence
+        if (!batch.isEmpty) {
+          if (deferred) table.upsertDeferred(batch) else table.upsert(batch)
+          ()
+        }
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

@@ -167,17 +167,21 @@ class CdcStreamIngestSpec extends AnyFunSuite with SparkSpec {
     assert(got.sorted === Seq("e1", "e2", "e3"))
   }
 
-  test("streamed micro-batches commit a time-travelable version history") {
+  for (deferred <- Seq(false, true))
+  test("streamed micro-batches commit a time-travelable version history" +
+      s" (deferred=$deferred)") {
     val log = Workload.generate(seed = 63, n = 300)
     val srcDir = tmpDir("vstream-src")
     val df = log.txns.toDF()
     df.repartition(3).write.mode("overwrite").parquet(srcDir)
     val table = new graft.sink.VersionedLakeTable(spark, graft.sink.LakeTableSpec(
       tmpDir("vstream-lake"), recordKeys = Seq("id"), precombine = "update_at",
-      partitionSource = "create_at"))
+      partitionSource = "create_at",
+      tieBreak = if (deferred) Seq("note") else Nil))
     val stream = CdcStreamIngest.fileStream(spark, srcDir, df.schema,
       maxFilesPerTrigger = 1)
-    CdcStreamIngest.toVersionedTable(stream, table, tmpDir("vstream-ckpt"))
+    CdcStreamIngest.toVersionedTable(stream, table, tmpDir("vstream-ckpt"),
+      deferred = deferred)
     // one commit per micro-batch, final state == one-shot merge state
     assert(table.versions.length === 3)
     val got = LakeOps.normalizeForCompare(table.read())
