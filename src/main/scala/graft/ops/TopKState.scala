@@ -70,7 +70,8 @@ object TopKState {
     val cands = all.filter(col("token").isNotNull)
       .groupBy(col("token")).agg(sum(col("cnt")).as("cnt"))
     val meta = all.filter(col("token").isNull)
-      .agg(sum(col("cnt")).as("n"), sum(col("err")).as("e")).head()
+      .agg(coalesce(sum(col("cnt")), lit(0L)).as("n"),
+        coalesce(sum(col("err")), lit(0L)).as("e")).head()
     compact(cands, capacity,
       nExtra = lit(meta.getLong(0)), errExtra = lit(meta.getLong(1)),
       nFrom = None)
@@ -212,7 +213,10 @@ object TopKState {
     * [[exact]] closes the gap with one scan. */
   def certified(state: DataFrame, k: Int): DataFrame = {
     val meta = state.filter(col("token").isNull)
-      .select(col("cnt")).head()
+      .select(col("cnt")).collect().headOption.getOrElse(
+        throw new IllegalArgumentException(
+          "TopKState.certified: no meta row (token = null) in the state " +
+            "frame — pass batchState/merge output, not raw counts"))
     state.filter(col("token").isNotNull)
       .filter(col("cnt") * k > lit(meta.getLong(0)))
       .select(col("token"), col("cnt").as("cnt_lower"))
