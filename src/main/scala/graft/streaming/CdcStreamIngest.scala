@@ -72,15 +72,29 @@ object CdcStreamIngest {
     * re-runs the same latest-wins merge (a no-change merge still commits
     * a version, which is harmless and vacuumable). */
   def toVersionedTable(stream: DataFrame, table: graft.sink.VersionedLakeTable,
-      checkpointDir: String, deferred: Boolean = false): Unit = {
+      checkpointDir: String, deferred: Boolean = false,
+      compactEvery: Int = 0): Unit = {
+    require(compactEvery == 0 || deferred,
+      "compactEvery is the merge-on-read maintenance cadence — it needs " +
+        "deferred = true (eager merges have nothing to fold)")
+    var appendsSinceCompact = 0
     val query = stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // `deferred` commits each micro-batch as an APPEND manifest
         // (VersionedLakeTable.upsertDeferred) — the classic streaming
-        // merge-on-read shape: frequent cheap commits, reads dedup,
-        // compactSnapshot folds on a maintenance cadence
+        // merge-on-read shape: frequent cheap commits, reads dedup — and
+        // `compactEvery` bounds the read amplification by folding the
+        // accumulated versions every N appended batches (a fresh FULL
+        // commit; safe here because the stream is the only writer)
         if (!batch.isEmpty) {
-          if (deferred) table.upsertDeferred(batch) else table.upsert(batch)
+          if (deferred) {
+            table.upsertDeferred(batch)
+            appendsSinceCompact += 1
+            if (compactEvery > 0 && appendsSinceCompact >= compactEvery) {
+              table.compactSnapshot()
+              appendsSinceCompact = 0
+            }
+          } else table.upsert(batch)
           ()
         }
       }

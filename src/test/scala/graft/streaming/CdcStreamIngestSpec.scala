@@ -181,9 +181,11 @@ class CdcStreamIngestSpec extends AnyFunSuite with SparkSpec {
     val stream = CdcStreamIngest.fileStream(spark, srcDir, df.schema,
       maxFilesPerTrigger = 1)
     CdcStreamIngest.toVersionedTable(stream, table, tmpDir("vstream-ckpt"),
-      deferred = deferred)
-    // one commit per micro-batch, final state == one-shot merge state
-    assert(table.versions.length === 3)
+      deferred = deferred,
+      compactEvery = if (deferred) 2 else 0)
+    // one commit per micro-batch (+ the deferred run's one cadence
+    // compaction after its second append), final state == one-shot merge
+    assert(table.versions.length === (if (deferred) 4 else 3))
     val got = LakeOps.normalizeForCompare(table.read())
       .as[Workload.Txn].collect().toSet
     assert(got === Workload.expectedTxnState(log).toSet)
