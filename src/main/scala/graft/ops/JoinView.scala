@@ -37,8 +37,10 @@ import graft.sink.{KeyedLakeTable, LakeTableSpec}
   * rows). The dim snapshot is consumed only for `fk ∈ factΔ` (a semi-join
   * a stats/Bloom-indexed dim answers with pruned reads); the only
   * view-sized read is the refresh's `fk ∈ dimΔ` slice of the live view —
-  * a broadcast semi-join that file-prunes when the view is clustered on
-  * the foreign key. Nothing ever re-joins the full fact table. All
+  * a semi-join AQE broadcasts when the delta measures small (no forced
+  * hint, so a wide delta degrades to a shuffled join instead of blowing
+  * the driver's broadcast limit) and that file-prunes when the view is
+  * clustered on the foreign key. Nothing ever re-joins the full fact table. All
   * writes funnel into ONE view upsert and ONE orphan upsert per cycle
   * (the fact-side / promote / refresh batches are key-disjoint by
   * construction — fact-touched keys are excluded from the dim-side
@@ -141,6 +143,14 @@ final class JoinView(
       dimSnap: DataFrame, dimKey: String): Unit = {
     cycle += 1
     val c = cycle
+    // Burn the cycle ordinal BEFORE any write, atomically (temp file +
+    // ATOMIC_MOVE): a crash mid-cycle then restarts on a FRESH ordinal, so
+    // the replay strictly outranks any partial write — reusing the ordinal
+    // would make (cycle, factPrecombine) tie between the partial write and
+    // the replay and pick a nondeterministic winner in deferred mode. A
+    // torn counter file can no longer exist; a burned-but-unused ordinal
+    // is harmless (the precombine only needs to be monotone, not dense).
+    persistCycle(c)
     val dsnap = dimSnap.withColumnRenamed(dimKey, dimk)
     val ddelta = dimDelta.withColumnRenamed(dimKey, dimk)
     val imageCols = factChanges.schema("new_image")
@@ -164,8 +174,13 @@ final class JoinView(
         imageCols.filterNot(factKeys.contains)
           .map(f => col("new_image").getField(f).as(f)): _*)
       .localCheckpoint(true) // batch-bounded; feeds several branches
-    val dimLookup = broadcast(dsnap.join(
-      fd.select(col(fkCol).as(dimk)).distinct(), Seq(dimk), "left_semi"))
+    // No forced broadcast hint: the semi-joined snapshot is bounded by the
+    // fact delta's DISTINCT fk count, but a wide delta against a fat
+    // dimension can still exceed the driver's broadcast limit — AQE
+    // broadcasts when the pruned side measures small and falls back to a
+    // shuffled join when it doesn't, instead of failing the cycle.
+    val dimLookup = dsnap.join(
+      fd.select(col(fkCol).as(dimk)).distinct(), Seq(dimk), "left_semi")
     val joined = fd.join(dimLookup, col(fkCol) === col(dimk), "left")
     val isDelete = col("change_type") === "delete"
     val hasDim = col(dimk).isNotNull
@@ -190,7 +205,7 @@ final class JoinView(
       if (!hasDimDelta || !orphans.exists) None
       else Some(notFactTouched(
           live(orphans).select(rowCols.map(col): _*))
-        .join(broadcast(ddelta), col(fkCol) === col(dimk))
+        .join(ddelta, col(fkCol) === col(dimk)) // AQE broadcasts small deltas
         .localCheckpoint(true)) // one source, two writes (view + tombstone)
     val promoteView = promoted.map(_.select(
       rowCols.map(col) ++ dimAttrs.map(col) :+
@@ -201,7 +216,7 @@ final class JoinView(
       if (!hasDimDelta || !view.exists) None
       else Some(notFactTouched(
           live(view).select(rowCols.map(col): _*))
-        .join(broadcast(ddelta), col(fkCol) === col(dimk))
+        .join(ddelta, col(fkCol) === col(dimk)) // AQE broadcasts small deltas
         .select(rowCols.map(col) ++ dimAttrs.map(col) :+
           lit(false).as(dead) :+ lit(c).as(cycleCol): _*))
 
@@ -229,6 +244,13 @@ final class JoinView(
     val orphanBatch = (Seq(orphanAdds, orphanKills) ++ promoteOrphanGone)
       .reduce(_ unionByName _)
     if (!orphanBatch.isEmpty) write(orphans, orphanBatch)
-    java.nio.file.Files.writeString(cyclePath, cycle.toString)
+  }
+
+  private def persistCycle(c: Long): Unit = {
+    val tmp = cyclePath.resolveSibling(cyclePath.getFileName.toString + ".tmp")
+    java.nio.file.Files.writeString(tmp, c.toString)
+    java.nio.file.Files.move(tmp, cyclePath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 }

@@ -429,9 +429,19 @@ final class KeyedLakeTable(spark: SparkSession, val spec: LakeTableSpec) {
     }).drop("__src")
 
     // The change feed must be computed (and materialized — it reads the
-    // partitions the write below replaces) BEFORE the overwrite.
+    // partitions the write below replaces) BEFORE the overwrite. The
+    // existing side is deduped first: after [[upsertDeferred]] appends a
+    // key holds MULTIPLE accumulated versions in the raw read, and
+    // joining incoming against them would emit one change row per stale
+    // version — downstream IncrementalAgg would retract every old image
+    // and drift. On an eagerly-merged table the dedup finds one version
+    // per key and passes rows through; its by-key window partitioning is
+    // the same key the changelog join shuffles on.
     val changes =
-      if (withChanges) Some(changelog(existing, incoming).localCheckpoint(true))
+      if (withChanges) Some(changelog(
+        LakeOps.latestWinsDedup(existing, recordKeys, precombine,
+          tieBreak.map(c => col(c).desc)),
+        incoming).localCheckpoint(true))
       else None
 
     // The merged frame reads from `path`; truncate lineage before the

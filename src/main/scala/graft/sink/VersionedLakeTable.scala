@@ -40,8 +40,14 @@ final case class CommitManifest(version: Int, committedAt: String,
 
 /** The claim marker a writer stages with its data: records the touched
   * partitions so CONCURRENT writers can check disjointness against an
-  * in-flight commit before its manifest exists. */
-private[sink] final case class CommitIntent(touched: Seq[String])
+  * in-flight commit before its manifest exists, and whether the claim is
+  * an APPEND (merge-on-read) commit — two appends commute even on
+  * overlapping partitions, so an append walker may pass an append claim.
+  * Older intents without the field parse as non-append (conservative). */
+private[sink] final case class CommitIntent(touched: Seq[String],
+    append: Option[Boolean] = None) {
+  def isAppend: Boolean = append.contains(true)
+}
 
 /** Multi-version keyed lake table: the [[KeyedLakeTable]] merge semantics
   * under a commit log, giving snapshot reads (time travel), rollback, and
@@ -222,17 +228,28 @@ final class VersionedLakeTable(spark: SparkSession, val spec: LakeTableSpec,
     * snapshot's files hold multiple versions per key and readers must
     * dedup ([[read]] does); file-level stats pruning is refused (not
     * key-complete) until a compaction folds the appends away. */
-  private def chainHasAppends(v: Int): Boolean = {
+  private def chainHasAppends(v: Int): Boolean = appendChainLength(v) > 0
+
+  /** Number of APPEND commits in the latest version's resolve chain (i.e.
+    * since the last FULL commit) — the durable read-amplification gauge.
+    * Streaming writers derive their compaction cadence from THIS rather
+    * than an in-memory counter: a restart from checkpoint then resumes the
+    * count where the manifest chain actually is, instead of resetting to
+    * zero and letting the chain grow unboundedly past the knob. */
+  def appendChainLength(): Int =
+    latestVersion.map(appendChainLength).getOrElse(0)
+
+  private def appendChainLength(v: Int): Int = {
     val below = visibleVersions.filter(_ <= v).reverse
     var full = false
-    var any = false
+    var n = 0
     val it = below.iterator
     while (!full && it.hasNext) {
       val m = manifest(it.next())
-      any ||= m.isAppend
+      if (m.isAppend) n += 1
       full = !m.isDelta
     }
-    any
+    n
   }
 
   // ------------------------------------------------------------ read side
@@ -427,10 +444,14 @@ final class VersionedLakeTable(spark: SparkSession, val spec: LakeTableSpec,
     * or below v. [[compactSnapshot]] folds accumulated versions back to
     * one winner per key (its full-checkpoint commit also restores
     * file-level stats pruning and O(metadata) [[countRows]], both of
-    * which an append chain refuses/degrades — see their docs). OCC rules
-    * are unchanged and conservative: append commits declare their
-    * partitions as touched and abort on overlap like any delta, though
-    * two appends actually commute — admitting that is future work. */
+    * which an append chain refuses/degrades — see their docs). OCC rules:
+    * append commits declare their partitions as touched, and TWO APPENDS
+    * COMMUTE — overlapping append claims/commits both land (an append
+    * never reads the table, so it cannot be stale; the read-side dedup
+    * over the required total order yields the sequential result either
+    * way). Overlap between an append and an eager delta still aborts the
+    * later writer — the eager delta REPLACES its partitions and would
+    * drop append files its base read never saw. */
   def upsertDeferred(df: DataFrame): Int = {
     require(tieBreak.nonEmpty,
       s"VersionedLakeTable($path): deferred (merge-on-read) commits need " +
@@ -496,9 +517,10 @@ final class VersionedLakeTable(spark: SparkSession, val spec: LakeTableSpec,
       s"VersionedLakeTable($path): wrote partitions ${written.keySet} " +
         s"but batch touched $touched")
     JFiles.writeString(stage.resolve("_intent.json"),
-      Serialization.writePretty(CommitIntent(touched.toSeq.sorted)))
+      Serialization.writePretty(CommitIntent(touched.toSeq.sorted,
+        append = Some(true))))
     onBeforeClaim()
-    val (v, sawInFlight) = claimSlot(stage, curV, touched)
+    val (v, sawInFlight) = claimSlot(stage, curV, touched, ourAppend = true)
     val entries: Map[String, Seq[String]] = written.map { case (p, fs) =>
       p -> fs.map(f => s"data/$v/$f").sorted
     }
@@ -659,10 +681,18 @@ final class VersionedLakeTable(spark: SparkSession, val spec: LakeTableSpec,
     * dir into it. Every slot walked past is an interleaved commit: a
     * committed manifest is checked through its `changed` set, an in-flight
     * claim through its staged intent — any overlap with `touched` aborts
-    * (the caller's merge is stale for those partitions). Returns the
-    * claimed version and whether any slot below it is still in flight. */
+    * (the caller's merge is stale for those partitions), EXCEPT when both
+    * this commit and the interleaved one are APPENDs: an append never
+    * reads the table, so it cannot be stale, and two appends to the same
+    * partition commute by construction — the read-side latest-wins dedup
+    * over a REQUIRED total order `(precombine, tieBreak)` yields the
+    * sequential result whichever lands first. Mixed overlap (eager walking
+    * past an append, or any append below an eager) still aborts: the
+    * eager merge's delta REPLACES the partition, so it would drop append
+    * files its base read never saw. Returns the claimed version and
+    * whether any slot below it is still in flight. */
   private def claimSlot(stage: java.nio.file.Path, baseV: Option[Int],
-      touched: Set[String]): (Int, Boolean) = {
+      touched: Set[String], ourAppend: Boolean = false): (Int, Boolean) = {
     var v = baseV.map(_ + 1).getOrElse(0)
     var sawInFlight = false
     while (true) {
@@ -675,19 +705,22 @@ final class VersionedLakeTable(spark: SparkSession, val spec: LakeTableSpec,
       val manifestP = commitsDir.resolve(f"$v%08d.json")
       val dirP = Paths.get(path, "data", v.toString)
       if (JFiles.exists(manifestP)) {
-        val ov = manifest(v).changed match {
+        val m = manifest(v)
+        val ov = m.changed match {
           case Some(ch) => touched intersect ch
           case None     => touched // rollback/compaction/pre-OCC: all
         }
-        if (ov.nonEmpty) abortStale(stage, v, ov, "committed")
+        if (ov.nonEmpty && !(ourAppend && m.isAppend))
+          abortStale(stage, v, ov, "committed")
         v += 1
       } else if (JFiles.exists(dirP)) {
         val intentP = dirP.resolve("_intent.json")
         if (JFiles.exists(intentP)) {
           val theirs = JsonMethods.parse(JFiles.readString(intentP))
-            .extract[CommitIntent].touched.toSet
-          val ov = touched intersect theirs
-          if (ov.nonEmpty) abortStale(stage, v, ov, "claimed in flight")
+            .extract[CommitIntent]
+          val ov = touched intersect theirs.touched.toSet
+          if (ov.nonEmpty && !(ourAppend && theirs.isAppend))
+            abortStale(stage, v, ov, "claimed in flight")
           sawInFlight = true
           v += 1
         } else {

@@ -77,7 +77,6 @@ object CdcStreamIngest {
     require(compactEvery == 0 || deferred,
       "compactEvery is the merge-on-read maintenance cadence — it needs " +
         "deferred = true (eager merges have nothing to fold)")
-    var appendsSinceCompact = 0
     val query = stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // `deferred` commits each micro-batch as an APPEND manifest
@@ -85,15 +84,16 @@ object CdcStreamIngest {
         // merge-on-read shape: frequent cheap commits, reads dedup — and
         // `compactEvery` bounds the read amplification by folding the
         // accumulated versions every N appended batches (a fresh FULL
-        // commit; safe here because the stream is the only writer)
+        // commit; safe here because the stream is the only writer). The
+        // cadence reads the table's DURABLE append-chain length, not a
+        // local counter: a restart from checkpoint resumes mid-chain
+        // instead of resetting to zero and letting repeated restarts grow
+        // the chain unboundedly past the knob.
         if (!batch.isEmpty) {
           if (deferred) {
             table.upsertDeferred(batch)
-            appendsSinceCompact += 1
-            if (compactEvery > 0 && appendsSinceCompact >= compactEvery) {
+            if (compactEvery > 0 && table.appendChainLength() >= compactEvery)
               table.compactSnapshot()
-              appendsSinceCompact = 0
-            }
           } else table.upsert(batch)
           ()
         }

@@ -76,6 +76,29 @@ class MergeOnReadSpec extends AnyFunSuite with SparkSpec {
     assert(t.readLiveMerged().filter($"id" === "b").count() === 0)
   }
 
+  test("upsertChanges after deferred appends emits ONE change row per key") {
+    def r(id: String, v: Int, value: Long) =
+      MorRow(id, "2024-01-01 00:00:00.000000",
+        f"2024-01-01 00:00:0$v%d.000000", value, v.toLong, false)
+    val t = newTable("feed")
+    // three accumulated versions of `a` in the raw files
+    t.upsertDeferred(Seq(r("a", 1, 10), r("b", 1, 20)).toDF())
+    t.upsertDeferred(Seq(r("a", 2, 11)).toDF())
+    t.upsertDeferred(Seq(r("a", 3, 12)).toDF())
+    val feed = t.upsertChanges(Seq(r("a", 4, 13), r("c", 1, 30)).toDF())
+    val byKey = feed.groupBy("id").count()
+      .as[(String, Long)].collect().toMap
+    assert(byKey === Map("a" -> 1L, "c" -> 1L),
+      "one change row per key, not one per accumulated stale version")
+    val aRow = feed.filter($"id" === "a").collect().head
+    assert(aRow.getAs[String]("change_type") === "update")
+    assert(aRow.getAs[org.apache.spark.sql.Row]("old_image")
+      .getAs[Long]("value") === 12L,
+      "old image must be the LATEST accumulated version, not a stale one")
+    assert(feed.filter($"id" === "c")
+      .collect().head.getAs[String]("change_type") === "insert")
+  }
+
   test("deferred mode guards loudly") {
     val noTie = new KeyedLakeTable(spark, LakeTableSpec(
       tmpDir("mor_notie"), recordKeys = Seq("id"),

@@ -106,6 +106,67 @@ class VersionedMorSpec extends AnyFunSuite with SparkSpec {
     assert(state(t.read()) === expectedAfter(log, 100, 2))
   }
 
+  private def morTxn(key: String, minute: Int, at: Int, amount: Int) =
+    Workload.Txn(key, "a1", f"2024-01-01T00:$minute%02d:01.000000+0000",
+      f"2024-01-01T00:$minute%02d:0$at.000000+0000", "fuel", amount, 0, "v")
+
+  test("two interleaved APPENDs to the SAME partition both commit and " +
+      "read equals the sequential result") {
+    val path = tmpDir("vmor_occ_commute")
+    def mk() = new VersionedLakeTable(spark, LakeTableSpec(
+      path = path, recordKeys = Seq("id"),
+      precombine = "update_at", partitionSource = "create_at",
+      tieBreak = Seq("note")))
+    val a = mk()
+    val b = mk()
+    a.upsertDeferred(Seq(morTxn("x", 1, 1, 10)).toDF()) // v0 bootstrap
+    // A stages an append to minute 01; in its claim window B COMMITS an
+    // append to the same partition — appends commute, so A walks past and
+    // both land instead of A aborting stale
+    a.onBeforeClaim = () =>
+      assert(b.upsertDeferred(
+        Seq(morTxn("x", 1, 2, 11), morTxn("y", 1, 1, 20)).toDF()) === 1)
+    val v = try a.upsertDeferred(Seq(morTxn("x", 1, 3, 12)).toDF())
+    finally a.onBeforeClaim = () => ()
+    assert(v === 2, "A claims the slot above B's interleaved append")
+    val head = a.read().select($"id", $"amount")
+      .as[(String, Int)].collect().toMap
+    assert(head === Map("x" -> 12, "y" -> 20),
+      "read-side dedup must equal the sequential apply order")
+    // time travel coherent: v1 sees B's append but not A's
+    val atV1 = a.read(Some(1)).select($"id", $"amount")
+      .as[(String, Int)].collect().toMap
+    assert(atV1 === Map("x" -> 11, "y" -> 20))
+  }
+
+  test("mixed eager/append overlap still aborts in BOTH directions") {
+    val path = tmpDir("vmor_occ_mixed")
+    def mk() = new VersionedLakeTable(spark, LakeTableSpec(
+      path = path, recordKeys = Seq("id"),
+      precombine = "update_at", partitionSource = "create_at",
+      tieBreak = Seq("note")))
+    val a = mk()
+    val b = mk()
+    a.upsert(Seq(morTxn("x", 1, 1, 10)).toDF()) // v0
+    // eager A walking past B's committed APPEND on the same partition:
+    // A's delta would REPLACE the partition and drop B's append files
+    a.onBeforeClaim = () =>
+      { b.upsertDeferred(Seq(morTxn("x", 1, 2, 11)).toDF()); () }
+    try intercept[java.util.ConcurrentModificationException] {
+      a.upsert(Seq(morTxn("x", 1, 3, 12)).toDF())
+    } finally a.onBeforeClaim = () => ()
+    // append A walking past B's committed EAGER merge on the same
+    // partition: conservative abort (the eager side of the pair already
+    // rewrote the partition A declared)
+    a.onBeforeClaim = () =>
+      { b.upsert(Seq(morTxn("x", 1, 4, 13)).toDF()); () }
+    try intercept[java.util.ConcurrentModificationException] {
+      a.upsertDeferred(Seq(morTxn("x", 1, 5, 14)).toDF())
+    } finally a.onBeforeClaim = () => ()
+    // the table is intact and the surviving commits are readable
+    assert(a.read().select($"amount").as[Int].collect().toSet === Set(13))
+  }
+
   test("deferred commits need a tieBreak, loudly") {
     val noTie = new VersionedLakeTable(spark, LakeTableSpec(
       path = tmpDir("vmor_notie"), recordKeys = Seq("id"),
