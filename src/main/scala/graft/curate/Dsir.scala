@@ -1,6 +1,8 @@
 package graft.curate
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
 
@@ -13,29 +15,61 @@ import org.apache.spark.sql.functions._
   * smoothed) is the resampling key: sample raw docs ∝ exp(weight) to shift
   * the corpus toward the target domain without a trained classifier.
   *
-  * Scale shape: the computation is inherently TWO reads of the tokenized
-  * corpus — once to build the bucket distributions, once to score against
-  * them — so the collapsed per-(doc, bucket) table (`buckets`-bounded per
-  * doc, far smaller than the text) is MATERIALIZED once and both reads
-  * hit the materialization; the corpus text itself is scanned and
-  * tokenized exactly once. That is the same move a columnar engine makes
-  * when it materializes the shared CTE, and measurement says it is the
-  * whole game (see the perf-anatomy note in the code): without it, Spark
-  * re-tokenizes the corpus once per consumer of the shared subplan
-  * (adaptive exchange reuse does not bridge the broadcast boundary —
-  * observed 3 tokenize passes, 70 s where the materialized form costs
-  * ~1.2 passes). Both distributions come from ONE conditional aggregate;
-  * the ≤`buckets`-row distribution table is broadcast back into the
-  * scoring join; one doc-keyed sum finishes. No windows, no driver state,
-  * nothing all-pairs.
+  * Scale shape — the whole computation is VECTORS, not rows: each doc's
+  * feature distribution is one dense `buckets`-slot count vector emitted
+  * by the fused [[graft.functions.TokenBucketCounts]] kernel in a single
+  * corpus pass. The two bucket distributions are ONE element-wise
+  * vector-sum aggregate over those vectors (a two-phase Aggregator: the
+  * shuffle carries one `buckets`-long buffer per partition per flag value,
+  * never the corpus), collected to the driver as 2×`buckets` longs; the
+  * per-bucket log ratios are computed driver-side (pure math over ≤
+  * `buckets` values) and re-enter the plan as a LITERAL array, so the
+  * score is a per-row dot product — no explode, no per-(doc, bucket)
+  * shuffle, no scoring join, no final left join (a token-less doc's zero
+  * vector scores 0.0 by arithmetic). The per-doc vector table is
+  * materialized once (localCheckpoint, or parquet under `scratchDir`) so
+  * the corpus is tokenized exactly once across the distribution pass and
+  * the scoring pass. Earlier shapes and their measurements (the collapsed
+  * (doc, bucket, multiplicity) table + broadcast join; the pre-kernel
+  * regex tokenizer) are in git history — the vector shape removed the two
+  * remaining shuffles and the 256-row broadcast join from the plan.
   *
   * Exactness contract: feature hashing reuses [[Sampling.bucket32]]'s
   * md5-prefix bucketing (identical in any engine with md5); the counts are
-  * exact integers; `ln` is the one transcendental, so cross-engine oracles
-  * compare the final weight at fixed precision (`round(score, 6)` both
-  * sides — the q99 contract).
+  * exact integers; the per-bucket ratio is the identical
+  * `ln((c+α)/(t+αB))` double expression as before (driver vs executor
+  * evaluation of the same IEEE ops); `ln` is the one transcendental, so
+  * cross-engine oracles compare the final weight at fixed precision
+  * (`round(score, 6)` both sides — the q99 contract).
   */
 object Dsir {
+
+  /** Element-wise sum of dense `Array[Int]` count vectors into
+    * `Array[Long]` — two-phase (partial per partition, buffers merged), so
+    * the shuffle carries one vector per partition per group. */
+  private object IntVectorSum
+      extends Aggregator[Array[Int], Array[Long], Array[Long]] {
+    override def zero: Array[Long] = Array.emptyLongArray
+    override def reduce(b: Array[Long], a: Array[Int]): Array[Long] = {
+      if (a == null) return b
+      val s = if (b.isEmpty) new Array[Long](a.length) else b
+      var i = 0
+      while (i < a.length) { s(i) += a(i); i += 1 }
+      s
+    }
+    override def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+      if (x.isEmpty) return y
+      if (y.isEmpty) return x
+      var i = 0
+      while (i < x.length) { x(i) += y(i); i += 1 }
+      x
+    }
+    override def finish(b: Array[Long]): Array[Long] = b
+    override def bufferEncoder: Encoder[Array[Long]] =
+      ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] =
+      ExpressionEncoder[Array[Long]]()
+  }
 
   /** Per-document importance weights against the rows where `isTarget` is
     * true. Output: (idCol, is_target, n_tokens, logw) with `logw` the SUM
@@ -43,83 +77,67 @@ object Dsir {
     * docs score themselves like any raw doc — DSIR resamples from the raw
     * pool, the flag is provenance).
     *
-    * `scratchDir`: when set, the collapsed (doc, bucket, multiplicity)
-    * table is eagerly written under it as parquet and every downstream
-    * consumer reads the materialization — the corpus is tokenized ONCE
-    * (the CTE-materialization analog). The fused token_buckets kernel
-    * has since closed the bench-scale gap between the strategies: a
-    * three-way re-measurement (2026-08-14, min-of-3, ×10 and ×100
-    * corpus) put lazy / localCheckpoint / parquet-scratch at
-    * 1.37 / 1.11 / 1.36 s (×10) and 2.90 / 3.10 / 2.98 s (×100) —
-    * within this host's run-to-run variance of each other, so the
-    * choice no longer matters at bench scale. The at-scale guidance is
-    * unchanged — at 100 TB the collapsed table is orders of magnitude
-    * smaller than the text, so materializing it beats even one extra
-    * kernel pass — pass a scratch dir for anything big; None is
-    * correct (and fine) for small one-shots. */
+    * `scratchDir`: where the per-doc count-vector table materializes.
+    * None (default) uses `localCheckpoint` — executor memory/disk, right
+    * for anything the cluster's storage fraction holds. A scratch dir
+    * writes it as parquet instead: at 100 TB the vector table is
+    * `docs × 4·buckets` bytes — far smaller than the text, but bigger
+    * than you want pinned in the block manager. */
   def importanceWeights(df: DataFrame, idCol: String, textCol: String,
       isTarget: Column, buckets: Int = 256, alpha: Double = 1.0,
       scratchDir: Option[String] = None): DataFrame = {
     require(buckets >= 2, s"need >= 2 feature buckets, got $buckets")
     require(alpha > 0, s"smoothing alpha must be > 0, got $alpha")
     val id = col(idCol)
-    // PERF anatomy (measured at ×100 corpus scale, 32 cores): the cost of
-    // this stage was ENTIRELY the two regexp_replace passes of the
-    // composed tokenizer (~25 s/corpus pass; the per-occurrence md5
-    // pipelined behind them for ~nothing). The fused token_buckets
-    // kernel (graft.functions.TokenBuckets — Spark's own lower(), then
-    // one byte pass + md5 bucket, spec-pinned byte-equal to the composed
-    // form) removes the regex entirely, and exploding int buckets beats
-    // exploding token strings. Tokenizing the corpus ONCE still matters:
-    // hashing a distinct-word vocabulary instead was tried and is a net
-    // LOSS (it needs its own corpus-tokenizing pass or a per-(doc, word)
-    // string shuffle to save hash work that costs ~0).
-    val base = df.select(id, isTarget.cast("boolean").as("is_target"),
+    val plan = df.select(id, isTarget.cast("boolean").as("is_target"),
       org.apache.spark.sql.graft.ColumnBridge.column(
-        graft.functions.TokenBuckets(
+        graft.functions.TokenBucketCounts(
           org.apache.spark.sql.graft.ColumnBridge.expression(col(textCol)),
           org.apache.spark.sql.graft.ColumnBridge.expression(lit(buckets))))
-        .as("bs"))
-    val tokPlan = base
-      .select(id, col("is_target"), explode(col("bs")).as("b"))
-      .groupBy(id, col("is_target"), col("b"))
-      .agg(count(lit(1)).as("m"))
-    val tok = scratchDir match {
+        .as("cv"))
+    // materialize ONCE: the distribution aggregate and the scoring pass
+    // both read the vectors; without this each would re-tokenize the text
+    val base = scratchDir match {
       case Some(dir) =>
-        // materialize the collapsed table: tok feeds two consumers (the
-        // distribution aggregate and the scoring join) and adaptive
-        // exchange reuse does not deduplicate the shared subtree across
-        // the broadcast boundary — without this, each consumer
-        // re-tokenizes the whole corpus (measured, not theoretical)
-        val p = s"$dir/dsir_tok"
-        tokPlan.write.mode("overwrite").parquet(p)
+        val p = s"$dir/dsir_cv"
+        plan.write.mode("overwrite").parquet(p)
         df.sparkSession.read.parquet(p)
-      case None => tokPlan
+      case None => plan.localCheckpoint(true)
     }
-    // BOTH distributions from one conditional aggregate over `tok` (the
-    // r7 form computed the target side as tok.filter(is_target), whose
-    // pushed-down filter forked the plan into a separate corpus pass).
-    val dist = tok.groupBy(col("b")).agg(
-      sum(col("m")).as("c_raw"),
-      sum(when(col("is_target"), col("m")).otherwise(lit(0L))).as("c_tgt"))
-    val totals = dist.agg(sum(col("c_raw")).as("t_raw"),
-      sum(col("c_tgt")).as("t_tgt"))
+    // one vector-sum aggregate; ≤ 3 driver rows (true / false / null flag)
+    val sums = base.groupBy(col("is_target"))
+      .agg(udaf(IntVectorSum).apply(col("cv")).as("s"))
+      .collect()
+    val cRaw = new Array[Long](buckets)
+    val cTgt = new Array[Long](buckets)
+    sums.foreach { r =>
+      val s = r.getSeq[Long](1)
+      if (s.nonEmpty) {
+        val tgt = !r.isNullAt(0) && r.getBoolean(0)
+        var i = 0
+        while (i < buckets) {
+          cRaw(i) += s(i)
+          if (tgt) cTgt(i) += s(i)
+          i += 1
+        }
+      }
+    }
+    var tRaw = 0L; var tTgt = 0L
+    var i = 0
+    while (i < buckets) { tRaw += cRaw(i); tTgt += cTgt(i); i += 1 }
     val aB = alpha * buckets
-    val ratio =
-      log((col("c_tgt").cast("double") + alpha)
-          / (col("t_tgt").cast("double") + aB)) -
-      log((col("c_raw").cast("double") + alpha)
-          / (col("t_raw").cast("double") + aB))
-    val scored = tok
-      .join(broadcast(dist.crossJoin(totals)), Seq("b"))
-      .select(id, col("m"), ratio.as("r"))
-      .groupBy(id)
-      .agg(sum(col("m")).as("n_tokens"),
-        sum(col("m").cast("double") * col("r")).as("logw"))
-    base.select(id, col("is_target"))
-      .join(scored, Seq(idCol), "left")
-      .select(id, col("is_target"),
-        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
-        coalesce(col("logw"), lit(0.0)).as("logw"))
+    // identical IEEE expression to the in-plan form this replaced:
+    // ln((c_tgt+α)/(t_tgt+αB)) − ln((c_raw+α)/(t_raw+αB)) per bucket
+    val ratio = Array.tabulate(buckets) { b =>
+      math.log((cTgt(b).toDouble + alpha) / (tTgt.toDouble + aB)) -
+        math.log((cRaw(b).toDouble + alpha) / (tRaw.toDouble + aB))
+    }
+    val rLit = typedLit(ratio)
+    base.select(id, col("is_target"),
+      coalesce(aggregate(col("cv"), lit(0L),
+        (acc, x) => acc + x.cast("long")), lit(0L)).as("n_tokens"),
+      coalesce(aggregate(zip_with(col("cv"), rLit,
+          (c, r) => c.cast("double") * r), lit(0.0),
+        (acc, x) => acc + x), lit(0.0)).as("logw"))
   }
 }

@@ -90,11 +90,32 @@ object TokenBuckets {
 
   /** Per-row kernel shared by interpreted eval and generated code. */
   def compute(text: UTF8String, buckets: Int): ArrayData = {
+    var out = new Array[Int](8)
+    var n = 0
+    foreachBucket(text, buckets) { b =>
+      if (n == out.length) out = java.util.Arrays.copyOf(out, n * 2)
+      out(n) = b
+      n += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, n))
+  }
+
+  /** [[TokenBucketCounts]]' kernel: the same byte pass folded straight
+    * into a dense `buckets`-slot count vector — no per-occurrence array
+    * ever materializes. */
+  def computeCounts(text: UTF8String, buckets: Int): ArrayData = {
+    val out = new Array[Int](buckets)
+    foreachBucket(text, buckets)(b => out(b) += 1)
+    new GenericArrayData(out)
+  }
+
+  /** The shared tokenize-and-hash byte pass (see the class scaladoc for
+    * the exact composed-form semantics this replicates). */
+  @inline private def foreachBucket(text: UTF8String, buckets: Int)(
+      f: Int => Unit): Unit = {
     val bytes = text.toLowerCase.getBytes
     val md = mdTl.get()
     val digest = new Array[Byte](16)
-    var out = new Array[Int](8)
-    var n = 0
     var tok = new Array[Byte](64)
     var tlen = 0
     def closeToken(): Unit = {
@@ -104,9 +125,7 @@ object TokenBuckets {
         md.digest(digest, 0, 16)
         val v = ((digest(0) & 0xffL) << 24) | ((digest(1) & 0xffL) << 16) |
           ((digest(2) & 0xffL) << 8) | (digest(3) & 0xffL)
-        if (n == out.length) out = java.util.Arrays.copyOf(out, n * 2)
-        out(n) = (v % buckets).toInt
-        n += 1
+        f((v % buckets).toInt)
         tlen = 0
       }
     }
@@ -122,6 +141,65 @@ object TokenBuckets {
       i += 1
     }
     closeToken()
-    new GenericArrayData(java.util.Arrays.copyOf(out, n))
   }
+}
+
+/** `token_bucket_counts(text, buckets)`: [[TokenBuckets]] folded into a
+  * DENSE per-row count vector — `array<int>` of length `buckets` where
+  * slot b holds the number of token occurrences hashing to bucket b.
+  * Exactly `aggregate(token_buckets(text, B), zeros(B), inc-at-slot)`,
+  * in one pass with no intermediate per-occurrence array. Null text →
+  * null. The DSIR scorer is the motivating consumer: a corpus row's
+  * whole feature distribution rides as one fixed-width vector, so the
+  * bucket-distribution aggregate is an element-wise vector sum and the
+  * per-doc score a dot product — no explode, no per-(doc, bucket)
+  * shuffle. */
+case class TokenBucketCounts(child: Expression, bucketsExpr: Expression)
+    extends Expression {
+
+  override def children: Seq[Expression] = Seq(child, bucketsExpr)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"token_bucket_counts expects a string column, got ${child.dataType}")
+    else if (!(bucketsExpr.dataType == IntegerType && bucketsExpr.foldable))
+      TypeCheckResult.TypeCheckFailure(
+        "token_bucket_counts expects a literal int bucket count")
+    else TypeCheckResult.TypeCheckSuccess
+
+  private lazy val buckets: Int = {
+    val b = bucketsExpr.eval().asInstanceOf[Int]
+    require(b >= 1, s"token_bucket_counts: bucket count must be >= 1, got $b")
+    b
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val t = child.eval(input)
+    if (t == null) null
+    else TokenBuckets.computeCounts(t.asInstanceOf[UTF8String], buckets)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val code =
+      code"""
+        |${childGen.code}
+        |boolean ${ev.isNull} = ${childGen.isNull};
+        |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+        |if (!${ev.isNull}) {
+        |  ${ev.value} = graft.functions.TokenBuckets.computeCounts(
+        |    ${childGen.value}, $buckets);
+        |}
+      """.stripMargin
+    ev.copy(code = code)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TokenBucketCounts =
+    copy(child = newChildren(0), bucketsExpr = newChildren(1))
+
+  override def prettyName: String = "token_bucket_counts"
 }

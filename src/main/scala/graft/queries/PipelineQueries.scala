@@ -1840,9 +1840,7 @@ object PipelineQueries {
       .select((col("doc_id") * 10 + col("r")).as("doc_id"), col("text"),
         col("lang"))
     Dsir.importanceWeights(rep, "doc_id", "text", col("lang") === "en",
-        buckets = 256, alpha = 1.0,
-        scratchDir = Some(java.nio.file.Files
-          .createTempDirectory("graft_q115_dsir").toString))
+        buckets = 256, alpha = 1.0)
       .withColumn("logw", round(col("logw"), 6))
       .orderBy("doc_id")
   }
@@ -1866,9 +1864,7 @@ object PipelineQueries {
       .select((col("doc_id") * 100 + col("r")).as("doc_id"), col("text"),
         col("lang"))
     Dsir.importanceWeights(rep, "doc_id", "text", col("lang") === "en",
-        buckets = 256, alpha = 1.0,
-        scratchDir = Some(java.nio.file.Files
-          .createTempDirectory("graft_q117_dsir").toString))
+        buckets = 256, alpha = 1.0)
       .withColumn("logw", round(col("logw"), 6))
       .orderBy("doc_id")
   }

@@ -65,6 +65,32 @@ class TokenBucketsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("token_bucket_counts == dense histogram of token_buckets, " +
+    "all corners") {
+    val df = rows.toDF("text").withColumn("id", monotonically_increasing_id())
+    for (buckets <- Seq(2, 256)) {
+      val perOcc = df.select(col("id"),
+        call_function("token_buckets", col("text"), lit(buckets)).as("bs"))
+        .as[(Long, Option[Seq[Int]])].collect().toMap
+      val counts = df.select(col("id"),
+        org.apache.spark.sql.graft.ColumnBridge.column(
+          graft.functions.TokenBucketCounts(
+            org.apache.spark.sql.graft.ColumnBridge.expression(col("text")),
+            org.apache.spark.sql.graft.ColumnBridge.expression(lit(buckets))))
+          .as("cv"))
+        .as[(Long, Option[Seq[Int]])].collect().toMap
+      perOcc.keys.foreach { id =>
+        (perOcc(id), counts(id)) match {
+          case (None, cv) => assert(cv.isEmpty, s"null text row $id")
+          case (Some(bs), cv) =>
+            val expect = Seq.tabulate(buckets)(b => bs.count(_ == b))
+            assert(cv.contains(expect),
+              s"row $id (buckets=$buckets): '${rows(id.toInt)}'")
+        }
+      }
+    }
+  }
+
   test("kernel stays inside whole-stage codegen") {
     val dir = tmpDir("tokbuckets")
     rows.filter(_ != null).toDF("text").write.mode("overwrite").parquet(dir)
