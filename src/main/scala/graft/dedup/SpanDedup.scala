@@ -20,14 +20,16 @@ case class SpanBatch(cleaned: DataFrame, newSpans: DataFrame)
   * including repeats inside the same document, is dropped, and each
   * document is reassembled from its surviving spans in order.
   *
-  * Scale shape: explode (×spans/doc) → one groupBy shuffle on the span's
-  * md5 (the 16-byte hash, not the span text, is the shuffle key, so key
-  * width is bounded no matter how long spans get) with a map-side-combined
-  * struct-min → one hash-keyed join back (a hot span — boilerplate repeated
-  * across millions of pages, the exact motivation for the operator — is ONE
-  * row on the build side; the probe fan-out is the occurrence count, which
-  * AQE skew-join splits) → one doc-keyed reassembly aggregation. No windows,
-  * no driver-side state; every aggregate is partial-aggregatable.
+  * Scale shape: explode (×spans/doc) → ONE groupBy shuffle on the span's
+  * md5 with a map-side-combined struct-min whose payload CARRIES the
+  * winning occurrence's (doc, index, text) — the surviving span set is a
+  * projection of that aggregate, so there is no join back at all (the
+  * earlier shape probed the full span stream against the winner table; a
+  * hot span — boilerplate repeated across millions of pages, the exact
+  * motivation for the operator — now collapses map-side to one struct per
+  * input partition and is never probed). Then one doc-keyed reassembly
+  * aggregation over the survivors only. No windows, no driver-side state;
+  * every aggregate is partial-aggregatable.
   */
 object SpanDedup {
 
@@ -54,16 +56,20 @@ object SpanDedup {
     (base, spans)
   }
 
-  /** Batch-first-occurrence filter + per-doc reassembly over a span set. */
+  /** Batch-first-occurrence filter + per-doc reassembly over a span set.
+    * The struct-min carries the span text alongside the (doc, index)
+    * order key: (d, i) uniquely identifies an occurrence, so the min over
+    * (d, i, span) IS the winning row — `kept` is a projection of the
+    * aggregate, no join back against the span stream. */
   private def dedupAndRebuild(base: DataFrame, spans: DataFrame,
       idCol: String): DataFrame = {
     val id = col(idCol)
-    val winners = spans
-      .groupBy(col("h"))
-      .agg(min(struct(id.as("d"), col("span_idx").as("i"))).as("w"))
     val kept = spans
-      .join(winners, "h")
-      .where(id === col("w.d") && col("span_idx") === col("w.i"))
+      .groupBy(col("h"))
+      .agg(min(struct(id.as("d"), col("span_idx").as("i"),
+        col("span").as("s"))).as("w"))
+      .select(col("w.d").as(idCol), col("w.i").as("span_idx"),
+        col("w.s").as("span"))
     val rebuilt = kept
       .groupBy(id)
       .agg(count(lit(1)).as("n_kept"),
