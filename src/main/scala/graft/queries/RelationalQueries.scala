@@ -293,27 +293,46 @@ object RelationalQueries {
       |ORDER BY rep ASC NULLS FIRST, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
 
   // ---------------------------------------------------------------- q87
-  /** The ×100 JOIN-class scale point (q64's shape at 10× its scale): a
-    * ×100-replicated lineitem broadcast-joined to orders, revenue summed
-    * fixed-point. The fact stream — ~60M rows at bench sf0.1 — joins
-    * map-side inside the scan's codegen pipeline (dim side is two columns,
-    * explicitly broadcast) and never shuffles; the only exchange carries
-    * 500 groups. Completes the ×100 evidence across all three headline
-    * classes: aggregation (q75/q79), rollup (q83), join (here). */
+  /** The ×100 JOIN-class scale point (q64's shape at 10× its scale):
+    * lineitem broadcast-joined to orders map-side inside the scan's
+    * codegen pipeline (dim side is two columns, explicitly broadcast),
+    * replicated ×100 above the join, revenue summed fixed-point over the
+    * resulting ~60M-row stream (bench sf0.1); nothing shuffles except the
+    * 500-group exchange. Completes the ×100 evidence across all three
+    * headline classes: aggregation (q75/q79), rollup (q83), join (here). */
   def q87Scale100Join(s: SparkSession, dir: String): DataFrame = {
-    import graft.ops.AggOps.{fixedPointSum, unscaledLong}
+    import graft.ops.AggOps.fixedPointSum
+    // The ×100 replication sits ABOVE the join: the replica id is
+    // independent of the join key, so the replication commutes with the
+    // join — each fact row probes once and the aggregate consumes the
+    // full ×100 stream. This is the SAME shape DuckDB derives from the
+    // oracle SQL (its optimizer hoists the range(100) cross product above
+    // the hash join), so the recorded pair compares like for like. The
+    // replicate+partial-agg is the fused kernel ([[graft.ops
+    // .ReplicateAgg]]); join and unscaled projection stay in the scan's
+    // codegen span ([[q87Pre]], plan-linted).
+    graft.ops.ReplicateAgg
+      .partials(q87Pre(s, dir), Seq("o_orderpriority"), 100, Seq("urev"))
+      .groupBy(col("o_orderpriority"), col("rep"))
+      .agg(
+        fixedPointSum(col("urev"), 6, "revenue"),
+        sum(col("__pn")).as("n_rows"))
+      .orderBy("o_orderpriority", "rep")
+  }
+
+  /** q87's pre-replication frame: broadcast join + unscaled revenue
+    * projection — exposed so PlanLintSpec can walk the join plan that
+    * feeds the fused kernel (an RDD boundary hides it from the final
+    * frame's executedPlan). */
+  def q87Pre(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.AggOps.unscaledLong
     val li = t(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
-      .withColumn("rep", graft.ops.Replicate.rep(100))
     val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"))
     val revU = unscaledLong(col("l_extendedprice"), 2) *
       (lit(10000L) - unscaledLong(col("l_discount"), 4))
     li.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("o_orderpriority"), col("rep"))
-      .agg(
-        fixedPointSum(revU, 6, "revenue"),
-        count(lit(1)).as("n_rows"))
-      .orderBy("o_orderpriority", "rep")
+      .select(col("o_orderpriority"), revU.as("urev"))
   }
 
   val q87Scale100JoinSql: String =
@@ -333,8 +352,8 @@ object RelationalQueries {
     * the broadcast threshold, and the "pay the shuffle once at ingest"
     * half of the bucketing story (the write shuffles once; every
     * subsequent join reads co-located). The ×100 explode sits ABOVE the
-    * bucketed scan (Generate preserves partitioning), and the only
-    * exchange in the plan carries the 500 output groups.
+    * join (Generate preserves partitioning), and the only exchange in
+    * the plan carries the 500 output groups.
     *
     * Join strategy is a measured choice ([[graft.Q94Profile]], ×100 bench
     * scale): with buckets co-located the per-bucket build side is tiny
@@ -349,20 +368,35 @@ object RelationalQueries {
     * converting back to broadcast. Oracle: identical values to q87
     * (same SQL), so hash-green proves the bucketed path exact. */
   def q94BucketedJoin(s: SparkSession, dir: String): DataFrame = {
-    import graft.ops.AggOps.{fixedPointSum, unscaledLong}
+    import graft.ops.AggOps.fixedPointSum
+    // ×100 above the join, like q87 (and like DuckDB's own plan for the
+    // oracle SQL): the co-located join probes each fact row once, the
+    // fused replicate+partial-agg kernel consumes the join output
+    // ([[graft.ops.ReplicateAgg]]). The join plan itself ([[q94Pre]])
+    // stays exchange- and sort-free (PlanLintSpec asserts it).
+    graft.ops.ReplicateAgg
+      .partials(q94Pre(s, dir), Seq("o_orderpriority"), 100, Seq("urev"))
+      .groupBy(col("o_orderpriority"), col("rep"))
+      .agg(
+        fixedPointSum(col("urev"), 6, "revenue"),
+        sum(col("__pn")).as("n_rows"))
+      .orderBy("o_orderpriority", "rep")
+  }
+
+  /** q94's pre-replication frame: the co-located shuffled-hash join over
+    * the bucketed tables + unscaled revenue projection — exposed for the
+    * PlanLintSpec exchange/sort-free assertion (the fused kernel's RDD
+    * boundary hides it from the final frame's executedPlan). */
+  def q94Pre(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.AggOps.unscaledLong
     ensureBucketedTables(s, dir)
     val (liT, oT) = bucketedNames(dir)
     val li = s.table(liT)
-      .withColumn("rep", graft.ops.Replicate.rep(100))
     val o = s.table(oT)
     val revU = unscaledLong(col("l_extendedprice"), 2) *
       (lit(10000L) - unscaledLong(col("l_discount"), 4))
     li.join(o.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("o_orderpriority"), col("rep"))
-      .agg(
-        fixedPointSum(revU, 6, "revenue"),
-        count(lit(1)).as("n_rows"))
-      .orderBy("o_orderpriority", "rep")
+      .select(col("o_orderpriority"), revU.as("urev"))
   }
 
   private def bucketedNames(dir: String): (String, String) = {
@@ -418,13 +452,22 @@ object RelationalQueries {
     val qtyU = unscaledLong(col("l_quantity"), 2) // cents-like 2dp units
     val priceU = unscaledLong(col("l_extendedprice"), 2)
     val oneMinusDiscU = lit(10000L) - unscaledLong(col("l_discount"), 4)
-    li.filter(col("l_shipdate") <= lit("1998-09-02"))
-      .withColumn("rep", graft.ops.Replicate.rep(100))
+    // unscaled projection runs inside the scan's codegen span; the ×100
+    // replication + partial aggregation is the fused kernel (see
+    // [[graft.ops.ReplicateAgg]] for why the Generate form's per-output-
+    // row pipeline cost is the constant this removes); the finishing
+    // aggregate keeps the proven fixedPointSum exactness contract.
+    val pre = li.filter(col("l_shipdate") <= lit("1998-09-02"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        qtyU.as("uq"), (priceU * oneMinusDiscU).as("urev"))
+    graft.ops.ReplicateAgg
+      .partials(pre, Seq("l_returnflag", "l_linestatus"), 100,
+        Seq("uq", "urev"))
       .groupBy(col("l_returnflag"), col("l_linestatus"), col("rep"))
       .agg(
-        fixedPointSum(qtyU, 2, "sum_qty"),
-        fixedPointSum(priceU * oneMinusDiscU, 6, "sum_disc_price"),
-        count(lit(1)).as("count_order"))
+        fixedPointSum(col("uq"), 2, "sum_qty"),
+        fixedPointSum(col("urev"), 6, "sum_disc_price"),
+        sum(col("__pn")).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus", "rep")
   }
 

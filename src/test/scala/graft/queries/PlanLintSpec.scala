@@ -109,7 +109,8 @@ class PlanLintSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("the x100 fact join broadcasts the dim side — the fact rows never shuffle (q87)") {
-    val plan = graft.SparkEntry.queries("q87_scale100_join")(spark, sfDir)
+    // q87Pre: the join frame feeding the fused replicate+agg kernel
+    val plan = graft.queries.RelationalQueries.q87Pre(spark, sfDir)
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"q87 must broadcast:\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"q87 must not SMJ:\n$plan")
@@ -130,9 +131,11 @@ class PlanLintSpec extends AnyFunSuite with SparkSpec {
     // ShuffleExchange BELOW the join means bucketing was not picked up
     // and the fact stream re-shuffled, and any Sort below it means the
     // strategy regressed to sort-merge (the measured-slower form at this
-    // build-side size — see Q94Profile). (The single exchange above the
-    // join carries only the 500 output groups.)
-    val plan = SparkEntry.queries("q94_bucketed_join")(spark, sfDir)
+    // build-side size — see Q94Profile). The walk targets the
+    // pre-replication join frame (q94Pre): the fused ReplicateAgg kernel
+    // sits behind an RDD boundary, so the registered query's own
+    // executedPlan no longer shows the join.
+    val plan = graft.queries.RelationalQueries.q94Pre(spark, sfDir)
       .queryExecution.executedPlan
     def findJoin(p: SparkPlan): Seq[SparkPlan] = p match {
       case a: AdaptiveSparkPlanExec => findJoin(a.executedPlan)
