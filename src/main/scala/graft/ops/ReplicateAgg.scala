@@ -43,7 +43,10 @@ import org.apache.spark.sql.types._
   * fast path). A null measure contributes 0 to its sum while the row
   * still counts (SQL sum-ignores-null semantics, except an all-null
   * group reports 0 rather than NULL — pre-coalesce if that distinction
-  * matters). Group columns may be any hashable type, nulls included.
+  * matters). Group columns may be any hashable type, nulls included;
+  * array-valued group columns (BinaryType surfaces as `Array[Byte]`,
+  * which compares by REFERENCE) are normalized to a value-equal wrapper
+  * before keying, so equal byte strings land in one group slot.
   */
 object ReplicateAgg {
 
@@ -67,14 +70,24 @@ object ReplicateAgg {
     val spark = df.sparkSession
     val partRdd = df.rdd.mapPartitions { it =>
       val ids = scala.collection.mutable.HashMap.empty[IndexedSeq[Any], Int]
+      val rawKeys = scala.collection.mutable.ArrayBuffer.empty[IndexedSeq[Any]]
       val sums = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
       val counts = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
       val vals = new Array[Long](nSums)
+      // Array values (BinaryType -> Array[Byte]) hash/compare by
+      // reference: key on a value-equal wrapper, emit the raw original
+      def norm(v: Any): Any = v match {
+        case a: Array[_] =>
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(a)
+        case other => other
+      }
       while (it.hasNext) {
         val row = it.next()
         // loop-invariant per input row: key resolution + measure eval
-        val key: IndexedSeq[Any] = gIdx.map(row.get(_)).toIndexedSeq
+        val raw: IndexedSeq[Any] = gIdx.map(row.get(_)).toIndexedSeq
+        val key: IndexedSeq[Any] = raw.map(norm)
         val id = ids.getOrElseUpdate(key, {
+          rawKeys += raw
           sums += new Array[Long](reps * nSums)
           counts += new Array[Long](reps)
           sums.length - 1
@@ -96,7 +109,8 @@ object ReplicateAgg {
           r += 1
         }
       }
-      ids.iterator.flatMap { case (key, id) =>
+      ids.valuesIterator.flatMap { id =>
+        val key = rawKeys(id)
         val acc = sums(id)
         val cnt = counts(id)
         (0 until reps).iterator.map { r =>

@@ -230,12 +230,25 @@ final class VersionedLakeTable(spark: SparkSession, val spec: LakeTableSpec,
     * key-complete) until a compaction folds the appends away. */
   private def chainHasAppends(v: Int): Boolean = appendChainLength(v) > 0
 
-  /** Number of APPEND commits in the latest version's resolve chain (i.e.
-    * since the last FULL commit) — the durable read-amplification gauge.
-    * Streaming writers derive their compaction cadence from THIS rather
-    * than an in-memory counter: a restart from checkpoint then resumes the
-    * count where the manifest chain actually is, instead of resetting to
-    * zero and letting the chain grow unboundedly past the knob. */
+  /** Number of APPEND commits since the last NON-APPEND full commit
+    * (bootstrap, compaction, or an eager checkpoint over a clean chain) —
+    * the durable read-amplification gauge. Streaming writers derive their
+    * compaction cadence from THIS rather than an in-memory counter: a
+    * restart from checkpoint then resumes the count where the manifest
+    * chain actually is, instead of resetting to zero and letting the
+    * chain grow unboundedly past the knob.
+    *
+    * The walk deliberately does NOT stop at an append-flagged FULL
+    * manifest: a cadence checkpoint written through an append (or an
+    * eager checkpoint above appends) shortens the RESOLVE chain but folds
+    * nothing — its resolved lists still carry every multi-version file,
+    * so the read amplification it gauges is unchanged. Stopping there
+    * would reset the gauge to 1 at every `checkpointEvery`-th commit and
+    * a `compactEvery >= checkpointEvery` cadence would never fire. Only a
+    * commit whose files are actually key-unique (append = None full) ends
+    * the count. An eager checkpoint that carries the append flag for its
+    * readers counts as one layer too — a slight overcount (its own batch
+    * merged eagerly) that at worst fires compaction one commit early. */
   def appendChainLength(): Int =
     latestVersion.map(appendChainLength).getOrElse(0)
 
@@ -247,7 +260,7 @@ final class VersionedLakeTable(spark: SparkSession, val spec: LakeTableSpec,
     while (!full && it.hasNext) {
       val m = manifest(it.next())
       if (m.isAppend) n += 1
-      full = !m.isDelta
+      full = !m.isDelta && !m.isAppend
     }
     n
   }

@@ -86,6 +86,25 @@ class VersionedMorSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("appendChainLength counts through cadence checkpoints and only a " +
+      "compaction resets it") {
+    val log = Workload.generate(seed = 87, n = 500)
+    val t = newTable(checkpointEvery = 2)
+    val batches = log.txns.grouped(100).toSeq.map(_.toDF())
+    t.upsertDeferred(batches(0)) // v0 bootstrap (eager full, non-append)
+    assert(t.appendChainLength() === 0)
+    batches.tail.zipWithIndex.foreach { case (b, i) =>
+      t.upsertDeferred(b)
+      // v2 and v4 are append-flagged FULL checkpoints — they shorten the
+      // resolve chain but fold nothing, so the gauge must keep counting
+      assert(t.appendChainLength() === i + 1,
+        s"gauge after append commit v${i + 1}")
+    }
+    t.compactSnapshot()
+    assert(t.appendChainLength() === 0, "compaction folds the chain")
+    assert(state(t.read()) === expectedAfter(log, 100, 5))
+  }
+
   test("vacuum over an append chain keeps superseded-version files that " +
       "kept snapshots still reference") {
     val log = Workload.generate(seed = 84, n = 300)
