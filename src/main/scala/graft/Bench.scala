@@ -129,7 +129,23 @@ object Bench {
         }
         name -> (if (ts.isEmpty) -1.0 else ts.min)
       }
-    val results = shortResults ++ longResults ++ maintResults
+    // Paired A/B entries: the comparison IS the claim, so one invocation
+    // times both sides strictly interleaved (ScaleBench.abMin3) and
+    // reports each side's min — a host-variance patch cannot land on one
+    // whole side's sequential block the way the per-entry loop allows.
+    val pairedResults = graft.bench.ScaleBench.pairedEntries
+      .filter { case ((a, b), _) =>
+        only.forall(o => o.contains(a) || o.contains(b)) }
+      .flatMap { case ((na, nb), mk) =>
+        try {
+          val (ta, tb) = mk(spark, runDir)()
+          Seq(na -> ta, nb -> tb)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $na/$nb failed: ${e.getMessage}")
+          Seq(na -> -1.0, nb -> -1.0)
+        }
+      }
+    val results = shortResults ++ longResults ++ maintResults ++ pairedResults
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

@@ -35,20 +35,24 @@ import graft.text.{HeavyHitters, TextOps}
   *    ~2.7 s at 20M — flat, k-bounded state and shuffle) while the
   *    groupBy grows with the vocabulary it must carry (~0.5 s → ~2.1 s
   *    across the 670× step, state + shuffle rows ∝ distinct tokens).
-  *    The wide2 decade then records the crossover REGION in absolute
-  *    seconds (2026-08-14, min-of-2, two runs): MG 19.4 vs groupBy
-  *    20.5 s isolated, MG 22.0 vs groupBy 17.9 s in the full-bench run
-  *    — at 250M tokens / 200M distinct the strategies are WITHIN HOST
-  *    VARIANCE of each other, after the groupBy led 4× at 30k distinct.
-  *    Across the wide→wide2 step MG grew 7.3× (token-bound: the step is
-  *    10× tokens) while the groupBy grew 9.8× (its 200M-entry hash
-  *    state spills past cache and its shuffle carries the vocabulary):
-  *    the curves meet at ~2·10^8 distinct, and only the groupBy's keeps
-  *    climbing with vocabulary beyond it. Where the vocabulary is small the groupBy
+  *    The wide2 pair is recorded INTERLEAVED ([[pairedEntries]]/
+  *    [[abMin3]]: A,B,A,B,A,B in one invocation, per-side min-of-3) —
+  *    sequential per-side timing let a host-variance patch land on one
+  *    whole side and flipped the recorded winner across rounds. The
+  *    comparison claim at this decade is whatever the current
+  *    BENCH_r*.json interleaved pair itself shows — this doc
+  *    deliberately carries no absolute number for it (three rounds of
+  *    prose/artifact contradiction earned that rule; BENCH_COMPARE.md
+  *    records each round's pair with its spread).
+  *    What the artifacts DO support across the wide→wide2 decade is the
+  *    SLOPES: MG grows with the token count it scans (~7× over the 10×
+  *    step) while the groupBy additionally carries the vocabulary in
+  *    state + shuffle (~10× and climbing — its 200M-entry hash state
+  *    spills past cache). Where the vocabulary is small the groupBy
   *    rightly wins (MG is two aggregation-grade passes against one —
-  *    use groupBy there); at the 100 TB tail (billions distinct) the
-  *    groupBy line keeps climbing and MG's follows the token count
-  *    only. (Round 8's version of this pair derived
+  *    use groupBy there); the slopes put the crossover REGION around
+  *    this decade, and at the 100 TB tail (billions distinct) only the
+  *    groupBy line keeps climbing with vocabulary. (Round 8's version of this pair derived
   *    tokens lazily and un-symmetrically, measuring tokenizer passes,
   *    not strategy; round 9 also fixed the fixture's file count, which
   *    had capped scan parallelism for every consumer.)
@@ -112,6 +116,32 @@ object ScaleBench {
       })
     }
     s.read.parquet(path)
+  }
+
+  /** The ×100 lineitem stream MATERIALIZED TO PARQUET as 60M real rows —
+    * no replicate anywhere near a timed region. The replicated ×100
+    * entries (q75/q87/q94) are exact, but their fused replicate kernel
+    * ([[graft.ops.ReplicateAgg]]) exploits the fixture's replica
+    * structure, which no real 100× dataset has; the `m_q75_mat` /
+    * `m_q87_mat` twins scan THIS fixture instead, so the recorded number
+    * is the general-case engine speed over 60M distinct stored rows, and
+    * DuckDB twins read the identical files (BENCH_COMPARE). The path is
+    * STABLE across JVMs (keyed by the source row count, so sf0.001 smoke
+    * and sf0.1 runs never collide) — built once, ~2 GB scratch, reused by
+    * later bench runs and by the DuckDB re-time in the same session. */
+  def lineitemX100Path(s: SparkSession, dir: String): String = {
+    val li = graft.Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+        col("l_shipdate"))
+    val n = li.count()
+    val path = s"/tmp/graft_matfix_li100_$n"
+    if (!Files.exists(java.nio.file.Paths.get(s"$path/_SUCCESS"))) {
+      li.select(col("*"), graft.ops.Replicate.rep(100).as("rep"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(path)
+    }
+    path
   }
 
   /** The ×`times` token stream of the documents table, materialized. */
@@ -267,16 +297,44 @@ object ScaleBench {
           .filter(col("cnt") * 200 > n))
       }
     }),
-    "m_hh_mg_wide2" -> ((s, dir) => {
-      val toks = tokensWide2Fixture(s)
-      () => noop(HeavyHitters.exact(toks, k = 200))
-    }),
-    "m_hh_full_wide2" -> ((s, dir) => {
-      val toks = tokensWide2Fixture(s)
+    "m_q75_mat" -> ((s, dir) => {
+      // q75's pricing aggregate over the MATERIALIZED 60M-row stream:
+      // same shape, no replicate in the timed region — general-case
+      // engine speed on real stored rows (DuckDB twin reads these files)
+      val path = lineitemX100Path(s, dir)
       () => {
-        val n = toks.count()
-        noop(toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-          .filter(col("cnt") * 200 > n))
+        val li = s.read.parquet(path)
+        val dq = col("l_quantity").cast("decimal(12,2)")
+        val dp = col("l_extendedprice").cast("decimal(12,2)")
+        val dd = col("l_discount").cast("decimal(6,4)")
+        val one = lit(1).cast("decimal(6,4)")
+        noop(li.filter(col("l_shipdate") <= lit("1998-09-02"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"), col("rep"))
+          .agg(sum(dq).cast("double").as("sum_qty"),
+            sum(dp * (one - dd)).cast("double").as("sum_disc_price"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus", "rep"))
+      }
+    }),
+    "m_q87_mat" -> ((s, dir) => {
+      // q87's broadcast join + revenue aggregate over the materialized
+      // stream: 60M real probes, fixed-point sum, no replicate kernel
+      val path = lineitemX100Path(s, dir)
+      val orders = graft.Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      () => {
+        import graft.ops.AggOps.{fixedPointSum, unscaledLong}
+        val li = s.read.parquet(path)
+          .select(col("l_orderkey"), col("l_extendedprice"),
+            col("l_discount"), col("rep"))
+        val revU = unscaledLong(col("l_extendedprice"), 2) *
+          (lit(10000L) - unscaledLong(col("l_discount"), 4))
+        noop(li.join(broadcast(orders),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"), col("rep"))
+          .agg(fixedPointSum(revU, 6, "revenue"),
+            count(lit(1)).as("n_rows"))
+          .orderBy("o_orderpriority", "rep"))
       }
     }),
     "m_pq_encode_x200" -> ((s, dir) => {
@@ -395,5 +453,46 @@ object ScaleBench {
       val dims = asofFixture(s, dir, "dims")
       () => noop(graft.operators.AsofJoin.asof(facts, dims,
         "user_id", "ts_us", Seq("state_id", "state_value")))
+    }))
+
+  /** Time each side strictly interleaved — A,B,A,B,A,B — and report the
+    * per-side minimum. Both sides ride the same host conditions within
+    * one invocation, so a slow patch hits adjacent runs of BOTH sides
+    * instead of one whole side's sequential block; the min then compares
+    * like with like. No separate warmup: the sides are tens of seconds,
+    * so first-read file-index listing is sub-1% and pass 1 is an honest
+    * sample (min-of-3 discards it if slow anyway). */
+  private def abMin3(a: () => Unit, b: () => Unit): (Double, Double) = {
+    def time(f: () => Unit): Double = {
+      val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
+    }
+    var (ma, mb) = (Double.MaxValue, Double.MaxValue)
+    var i = 0
+    while (i < 3) {
+      ma = math.min(ma, time(a))
+      mb = math.min(mb, time(b))
+      i += 1
+    }
+    (ma, mb)
+  }
+
+  /** A/B pairs whose recorded CLAIM is the comparison itself, on a host
+    * whose run-to-run swing is the size of the effect: the wide2
+    * heavy-hitters pair flipped winners between isolated and full-bench
+    * runs twice (r10: 19.4-vs-20.5 isolated but 22.0-vs-17.9 in the run
+    * of record; r11: 26.7 vs 15.5), so sequential per-side timing cannot
+    * support any within-variance prose. One invocation runs both sides
+    * through [[abMin3]] and the bench records both names from it. */
+  def pairedEntries: Seq[((String, String),
+      (SparkSession, String) => () => (Double, Double))] = Seq(
+    ("m_hh_mg_wide2", "m_hh_full_wide2") -> ((s, dir) => {
+      val toks = tokensWide2Fixture(s)
+      val mg = () => noop(HeavyHitters.exact(toks, k = 200))
+      val full = () => {
+        val n = toks.count()
+        noop(toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") * 200 > n))
+      }
+      () => abMin3(mg, full)
     }))
 }
