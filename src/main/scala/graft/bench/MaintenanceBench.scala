@@ -371,6 +371,19 @@ object MaintenanceBench {
       val (jv, batch, dim, fact) = jviewFixture(s, dir, 100)
       () => jv.applyCycle(fact.upsertChanges(batch), dim.limit(0), dim, "dkey")
     }),
+    // deferred (merge-on-read) fold: the same cycle with the view's two
+    // state tables taking O(batch) APPEND commits instead of eager
+    // touched-partition merges — the m_kmerge pair prices that swap at
+    // ~2.4-2.7x cheaper writes, so this is the mode that should carry
+    // the fold below the eager fold's two-merge constant at small knobs
+    "m_jview_fold_mor_x10" -> ((s, dir) => {
+      val (jv, batch, dim, fact) = jviewFixture(s, dir, 10, deferred = true)
+      () => jv.applyCycle(fact.upsertChanges(batch), dim.limit(0), dim, "dkey")
+    }),
+    "m_jview_fold_mor_x100" -> ((s, dir) => {
+      val (jv, batch, dim, fact) = jviewFixture(s, dir, 100, deferred = true)
+      () => jv.applyCycle(fact.upsertChanges(batch), dim.limit(0), dim, "dkey")
+    }),
     "m_jview_rebuild_x10" -> ((s, dir) => {
       val (_, _, dim, fact) = jviewFixture(s, dir, 10)
       val out = new KeyedLakeTable(s, LakeTableSpec(

@@ -297,6 +297,23 @@ object ScaleBench {
           .filter(col("cnt") * 200 > n))
       }
     }),
+    "m_corpus_release_x10" -> ((s, dir) => {
+      // the FIVE-STAGE q89 release over a ×10 corpus, materialized with
+      // per-replica-distinct ids and tail-perturbed text (identical
+      // replicas would collapse in the pipeline's own exact-dedup stage
+      // and time a 1/10th corpus): records where q89's per-stage
+      // constants — ~2 s at ×1, broadcast builds + window setup +
+      // checkpoint round-trip — amortize against real per-row work
+      val d10 = materialized(s, "docs_x10") {
+        graft.Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("text"),
+            graft.ops.Replicate.rep(10).as("r"))
+          .select((col("doc_id") * 10 + col("r")).as("doc_id"), col("lang"),
+            concat(col("text"), lit(" zq"), col("r").cast("string"))
+              .as("text"))
+      }
+      () => noop(graft.queries.PipelineQueries.corpusRelease(d10))
+    }),
     "m_q75_mat" -> ((s, dir) => {
       // q75's pricing aggregate over the MATERIALIZED 60M-row stream:
       // same shape, no replicate in the timed region — general-case

@@ -1062,8 +1062,15 @@ object PipelineQueries {
     * fingerprint group, the broadcast shingle join, the lang window, the
     * map-side sample filter, and the two-pass pack — no stage collects or
     * re-shuffles the corpus beyond its own declared exchange. */
-  def q89CorpusRelease(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
+  def q89CorpusRelease(s: SparkSession, dir: String): DataFrame =
+    corpusRelease(docs(s, dir))
+
+  /** [[q89CorpusRelease]]'s pipeline over an arbitrary `(doc_id, lang,
+    * text)` frame — factored out so the scale bench can run the SAME
+    * five-stage composition over a ×10 materialized corpus
+    * (`m_corpus_release_x10`) and record where the per-stage constants
+    * amortize. */
+  def corpusRelease(d: DataFrame): DataFrame = {
     // 1. exact dedup, min-id canonical per fingerprint
     val withFp = d.withColumn("fp", TextOps.fingerprint(col("text")))
     val canon = withFp.groupBy("fp").agg(min("doc_id").as("keep_id"))
