@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Attributes the q87 (broadcast over raw parquet) vs q94 (co-located
+  * bucketed SHJ) gap under the CURRENT fused ReplicateAgg formulation —
+  * the r11 verdict's open question: identical aggregate, identical row
+  * count, ~0.18 s apart. Components:
+  *
+  *   raw_nojoin    — raw lineitem scan + urev projection + fused ×100 agg
+  *                   keyed on a scan column (no join): the raw-path floor.
+  *   bkt_nojoin    — same over the bucketed lineitem table: the bucketed-
+  *                   path floor. (floor difference = scan difference)
+  *   q87_current   — raw scan + BROADCAST join + fused agg (the recorded
+  *                   q87 shape).
+  *   q94_current   — bucketed SHJ + fused agg (the recorded q94 shape).
+  *   q87_shj_raw   — raw scans + shuffle_hash join (both sides exchange):
+  *                   isolates the broadcast BUILD+PROBE vs a shuffled
+  *                   build of the same dim.
+  *   bcast_build   — the broadcast join probed by ONE row: approximately
+  *                   the driver-side collect + HashedRelation build +
+  *                   re-broadcast constant that q94 never pays.
+  *
+  * Prints one JSON line of seconds per component (min-of-3, warm). */
+object Q87Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val d = java.nio.file.Files.createTempDirectory("graft_q87prof").toString
+    Seq("lineitem", "orders").foreach { t =>
+      spark.read.parquet(s"$sfDir/$t.parquet")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .write.parquet(s"$d/$t.parquet")
+    }
+    import graft.ops.AggOps.{fixedPointSum, unscaledLong}
+    import graft.queries.RelationalQueries
+
+    def li = Tables.load(spark, d, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    def ord = Tables.load(spark, d, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    def revU = unscaledLong(col("l_extendedprice"), 2) *
+      (lit(10000L) - unscaledLong(col("l_discount"), 4))
+
+    RelationalQueries.ensureBucketedTables(spark, d)
+    val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+    def liB = spark.table(s"lineitem_bkt_$tag")
+    def ordB = spark.table(s"orders_bkt_$tag")
+
+    def finish(pre: DataFrame, keyCol: String): DataFrame =
+      graft.ops.ReplicateAgg.partials(pre, Seq(keyCol), 100, Seq("urev"))
+        .groupBy(col(keyCol), col("rep"))
+        .agg(fixedPointSum(col("urev"), 6, "revenue"),
+          sum(col("__pn")).as("n_rows"))
+        .orderBy(keyCol, "rep")
+
+    val variants: Seq[(String, () => DataFrame)] = Seq(
+      "raw_nojoin" -> (() => finish(
+        li.select(pmod(col("l_orderkey"), lit(5)).cast("string").as("k"),
+          revU.as("urev")), "k")),
+      "bkt_nojoin" -> (() => finish(
+        liB.select(pmod(col("l_orderkey"), lit(5)).cast("string").as("k"),
+          revU.as("urev")), "k")),
+      "q87_current" -> (() => finish(
+        li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_orderpriority"), revU.as("urev")),
+        "o_orderpriority")),
+      "q94_current" -> (() => finish(
+        liB.join(ordB.hint("shuffle_hash"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_orderpriority"), revU.as("urev")),
+        "o_orderpriority")),
+      "q87_shj_raw" -> (() => finish(
+        li.join(ord.hint("shuffle_hash"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_orderpriority"), revU.as("urev")),
+        "o_orderpriority")),
+      "bcast_build" -> (() =>
+        li.limit(1)
+          .join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_orderpriority")))
+    )
+
+    def run(mk: () => DataFrame): Double = {
+      val t0 = System.nanoTime()
+      mk().write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val results = variants.map { case (name, mk) =>
+      run(mk) // warmup
+      (name, (1 to 3).map(_ => run(mk)).min)
+    }
+    println(results.map { case (n, s) => f""""$n":$s%.3f""" }
+      .mkString("{", ",", "}"))
+    spark.stop()
+  }
+}

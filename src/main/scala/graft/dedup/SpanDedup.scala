@@ -20,20 +20,44 @@ case class SpanBatch(cleaned: DataFrame, newSpans: DataFrame)
   * including repeats inside the same document, is dropped, and each
   * document is reassembled from its surviving spans in order.
   *
-  * Scale shape: explode (×spans/doc) → ONE groupBy shuffle on the span's
-  * md5 with a map-side-combined struct-min whose payload CARRIES the
-  * winning occurrence's (doc, index, text) — the surviving span set is a
-  * projection of that aggregate, so there is no join back at all (the
-  * earlier shape probed the full span stream against the winner table; a
-  * hot span — boilerplate repeated across millions of pages, the exact
-  * motivation for the operator — now collapses map-side to one struct per
-  * input partition and is never probed). Then one doc-keyed reassembly
-  * aggregation over the survivors only. No windows, no driver-side state;
-  * every aggregate is partial-aggregatable.
+  * Scale shape: NO span text crosses any exchange — in fact no span
+  * STRING is ever built on the dedup path. The explode emits
+  * `(doc, span_idx, h)` where `h` is a 16-byte binary span key from the
+  * [[graft.functions.SpanHashes]] kernel (one native pass over the
+  * doc's word array inside the scan-side codegen span); one groupBy
+  * shuffle on `h` with a
+  * map-side-combined struct-min over `(doc, idx)` picks each span's
+  * first occurrence (a hot span — boilerplate repeated across millions
+  * of pages, the exact motivation for the operator — collapses map-side
+  * to one 32-byte struct per input partition and is never probed); a
+  * second light shuffle folds the winning indices per doc into a sorted
+  * long array; and the reassembly JOIN back to the doc's own words array
+  * rebuilds the surviving span text locally — each doc carries the text
+  * of its own winners by construction, so the heavy payload rides the
+  * scan, not the shuffles. (The earlier shapes shuffled the span text
+  * twice: once under the struct-min, once under the per-doc reassembly
+  * collect_list. At 100 TB the span-text stream is the corpus ×
+  * ~duplication factor; this shape's exchanges carry 32–48 bytes per
+  * span and ~8 bytes per survivor.) The key is 128-bit (two independent
+  * xxhash64 lanes — see [[graft.functions.SpanHashes]] for the collision
+  * arithmetic): at corpus scale (billions of distinct spans) a single
+  * 64-bit key would already be birthday-colliding and silently merging
+  * unrelated spans. No windows, no driver-side state; every aggregate
+  * is partial-aggregatable.
   */
 object SpanDedup {
 
-  /** (base: id|ws|n_spans, spans: id|span_idx|span|h). */
+  /** The span text at index `i` of words array `ws` — built on demand
+    * (map-side, codegen'd) wherever a span string is needed; never
+    * stored, never shuffled. */
+  private def spanText(ws: Column, i: Column, k: Int): Column =
+    concat_ws(" ", slice(ws, (i * k + 1).cast("int"), lit(k)))
+
+  /** (base: id|ws|n_spans, spans: id|span_idx|h) — `h` the 16-byte
+    * binary span key from the [[graft.functions.SpanHashes]] kernel
+    * (one native pass per doc: no per-span index/slice/concat/md5
+    * allocation chain), computed inside the map-side projection so only
+    * (id, idx, h) ever reaches an exchange. */
   private def spansOf(df: DataFrame, idCol: String, textCol: String,
       k: Int): (DataFrame, DataFrame) = {
     require(k >= 1, s"span size must be >= 1, got $k")
@@ -43,46 +67,41 @@ object SpanDedup {
       .select(id, col("ws"),
         floor((size(col("ws")) + (k - 1)) / k.toDouble).cast("long")
           .as("n_spans"))
-    // Guarded: sequence(0, -1) would yield [0, -1] (Spark picks step -1),
-    // so a NULL-text doc (size(null) = -1 → n_spans 0) must short-circuit.
-    val spanArr: Column =
-      when(col("n_spans") > 0,
-        transform(sequence(lit(0L), col("n_spans") - 1), i =>
-          concat_ws(" ", slice(col("ws"), (i * k + 1).cast("int"), lit(k)))))
-        .otherwise(array())
+    // null text ⇒ null ws ⇒ null kernel result: coalesce to no spans
+    val hashArr: Column = coalesce(
+      org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.functions.SpanHashes(
+          org.apache.spark.sql.graft.ColumnBridge.expression(col("ws")), k)),
+      array())
     val spans = base
-      .select(id, posexplode(spanArr).as(Seq("span_idx", "span")))
-      .withColumn("h", md5(col("span")))
+      .select(id, posexplode(hashArr).as(Seq("span_idx", "h")))
     (base, spans)
   }
 
-  /** Batch-first-occurrence filter + per-doc reassembly over a span set.
-    * The struct-min carries the span text alongside the (doc, index)
-    * order key: (d, i) uniquely identifies an occurrence, so the min over
-    * (d, i, span) IS the winning row — `kept` is a projection of the
-    * aggregate, no join back against the span stream. */
+  /** Batch-first-occurrence filter + per-doc reassembly over a hashed
+    * span set. (d, i) uniquely identifies an occurrence, so the
+    * struct-min over (d, i) per hash IS the winning occurrence; the
+    * winners fold to one sorted index array per doc, and the join back
+    * to `base` rebuilds each survivor's text from the doc's own words
+    * array — the only place span text exists after the scan. */
   private def dedupAndRebuild(base: DataFrame, spans: DataFrame,
-      idCol: String): DataFrame = {
+      idCol: String, k: Int): DataFrame = {
     val id = col(idCol)
-    val kept = spans
+    val keptIdx = spans
       .groupBy(col("h"))
-      .agg(min(struct(id.as("d"), col("span_idx").as("i"),
-        col("span").as("s"))).as("w"))
-      .select(col("w.d").as(idCol), col("w.i").as("span_idx"),
-        col("w.s").as("span"))
-    val rebuilt = kept
-      .groupBy(id)
-      .agg(count(lit(1)).as("n_kept"),
-        array_join(
-          transform(
-            array_sort(collect_list(struct(col("span_idx"), col("span")))),
-            s => s.getField("span")),
-          " ").as("clean_text"))
-    base.select(id, col("n_spans"))
-      .join(rebuilt, Seq(idCol), "left")
+      .agg(min(struct(id.as("d"), col("span_idx").as("i"))).as("w"))
+      .groupBy(col("w.d").as(idCol))
+      .agg(sort_array(collect_list(col("w.i"))).as("keep_idx"))
+    base
+      .join(keptIdx, Seq(idCol), "left")
+      // null text ⇒ null ws/n_spans upstream: report 0 spans, empty text
       .select(id, coalesce(col("n_spans"), lit(0L)).as("n_spans"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"))
+        coalesce(size(col("keep_idx")), lit(0)).cast("long").as("n_kept"),
+        coalesce(
+          array_join(
+            transform(col("keep_idx"), i => spanText(col("ws"), i, k)),
+            " "),
+          lit("")).as("clean_text"))
   }
 
   /** Per-document result: `n_spans`, `n_kept` (spans surviving corpus-level
@@ -93,25 +112,26 @@ object SpanDedup {
   def clean(df: DataFrame, idCol: String, textCol: String, k: Int = 3)
       : DataFrame = {
     val (base, spans) = spansOf(df, idCol, textCol, k)
-    dedupAndRebuild(base, spans, idCol)
+    dedupAndRebuild(base, spans, idCol, k)
   }
 
   /** Incremental form — the production shape for a continuously-ingested
     * corpus: dedup ONE batch against the accumulated span registry without
-    * ever re-reading the lake. `registry` needs a single column `h` (md5
-    * of the span text — what [[SpanBatch.newSpans]] emits; bucket-write it
-    * on `h` and the anti-join below consumes bucketing exchange-free). A
-    * batch span survives iff its hash is NOT in the registry (anti-join)
-    * AND it is the batch-first occurrence (same winner rule as [[clean]]).
-    * Appending `newSpans` to the registry makes consecutive batches
-    * equivalent to one [[clean]] over their concatenation in batch order.
-    * Never call an action on `cleaned`/`newSpans` twice without persisting
-    * if the batch source is non-deterministic. */
+    * ever re-reading the lake. `registry` needs a single column `h` (the
+    * 16-byte BINARY [[graft.functions.SpanHashes]] key — what [[SpanBatch.newSpans]]
+    * emits; bucket-write it on `h` and the anti-join below consumes
+    * bucketing exchange-free). A batch span survives iff its hash is NOT
+    * in the registry (anti-join) AND it is the batch-first occurrence
+    * (same winner rule as [[clean]]). Appending `newSpans` to the
+    * registry makes consecutive batches equivalent to one [[clean]] over
+    * their concatenation in batch order. Never call an action on
+    * `cleaned`/`newSpans` twice without persisting if the batch source is
+    * non-deterministic. */
   def incremental(batch: DataFrame, idCol: String, textCol: String,
       registry: DataFrame, k: Int = 3): SpanBatch = {
     val (base, spans) = spansOf(batch, idCol, textCol, k)
     val fresh = spans.join(registry.select(col("h")), Seq("h"), "left_anti")
-    val cleaned = dedupAndRebuild(base, fresh, idCol)
+    val cleaned = dedupAndRebuild(base, fresh, idCol, k)
     SpanBatch(cleaned, fresh.select(col("h")).distinct())
   }
 }

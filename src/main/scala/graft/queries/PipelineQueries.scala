@@ -1539,7 +1539,8 @@ object PipelineQueries {
     val d = docs(s, dir)
     val registry = SpanDedup
       .incremental(d.where(col("doc_id") % 2 === 0), "doc_id", "text",
-        s.emptyDataFrame.select(lit("").as("h")).limit(0), k = 3)
+        s.emptyDataFrame.select(lit("").cast("binary").as("h")).limit(0),
+        k = 3)
       .newSpans
     SpanDedup
       .incremental(d.where(col("doc_id") % 2 === 1), "doc_id", "text",

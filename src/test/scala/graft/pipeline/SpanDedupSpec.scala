@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.Row
-import org.apache.spark.sql.functions.md5
+import org.apache.spark.sql.functions.{md5, unhex}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkSpec
@@ -81,7 +81,7 @@ class SpanDedupSpec extends AnyFunSuite with SparkSpec {
     val all = docs
     val b1 = all.where($"doc_id" <= 2)
     val b2 = all.where($"doc_id" > 2)
-    val empty = Seq.empty[String].toDF("h")
+    val empty = Seq.empty[Array[Byte]].toDF("h")
     val s1 = SpanDedup.incremental(b1, "doc_id", "text", empty, k = 2)
     val reg = s1.newSpans.cache()
     val s2 = SpanDedup.incremental(b2, "doc_id", "text", reg, k = 2)
@@ -97,15 +97,45 @@ class SpanDedupSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("a registry hit drops the span even as the batch's first occurrence") {
-    val reg = Seq("a b").toDF("span").select(md5($"span").as("h"))
+    // the registry contract is newSpans' own 16-byte binary key — build
+    // the "already seen" set by running the span through the operator,
+    // so the test holds under any key algorithm
+    val reg = SpanDedup.incremental(
+      Seq((1L, "a b")).toDF("doc_id", "text"), "doc_id", "text",
+      Seq.empty[Array[Byte]].toDF("h"), k = 2).newSpans
     val out = SpanDedup.incremental(
       Seq((9L, "a b c d")).toDF("doc_id", "text"), "doc_id", "text",
       reg, k = 2)
     val r = out.cleaned.collect()(0)
     assert(r.getLong(2) == 1L && r.getString(3) == "c d")
-    assert(out.newSpans.collect().map(_.getString(0)).toSet
-      == Seq("c d").map(s => java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes).map("%02x".format(_)).mkString).toSet)
+    // exactly one genuinely new span ("c d"), 16 bytes, distinct from
+    // the registry key
+    val fresh = out.newSpans.collect().map(_.getAs[Array[Byte]](0).toSeq)
+    val regKeys = reg.collect().map(_.getAs[Array[Byte]](0).toSeq).toSet
+    assert(fresh.length == 1 && fresh.head.size == 16 &&
+      !regKeys.contains(fresh.head))
+  }
+
+  test("SpanHashes kernel: word-sequence equality iff key equality") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    def keys(words: Seq[String], k: Int): Seq[Seq[Byte]] = {
+      val arr = new GenericArrayData(
+        words.map(w => UTF8String.fromString(w)).toArray[Any])
+      val out = graft.functions.SpanHashes.compute(arr, k)
+      (0 until out.numElements()).map(i => out.getBinary(i).toSeq)
+    }
+    // identical word runs key identically regardless of position/doc
+    assert(keys(Seq("a", "b", "c", "d"), 2) ==
+      Seq(keys(Seq("a", "b"), 2).head, keys(Seq("c", "d"), 2).head))
+    // word boundaries are significant: ["ab","c"] != ["a","bc"]
+    assert(keys(Seq("ab", "c"), 2) != keys(Seq("a", "bc"), 2))
+    // word order is significant
+    assert(keys(Seq("a", "b"), 2) != keys(Seq("b", "a"), 2))
+    // a short tail span keys differently from the padded span
+    assert(keys(Seq("a"), 2).head != keys(Seq("a", ""), 2).head)
+    // 16 bytes, empty array yields no spans
+    assert(keys(Seq("x"), 3).head.size == 16 && keys(Seq(), 3).isEmpty)
   }
 
   test("reassembly preserves original span order, not hash order") {
