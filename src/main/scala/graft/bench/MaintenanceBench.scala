@@ -352,17 +352,21 @@ object MaintenanceBench {
     // write — what a non-incremental pipeline runs every batch; a bare
     // un-written join would not produce the artifact and is not the
     // alternative). The fold reads O(batch + touched slice); the rebuild
-    // reads and writes O(fact). Measured (2026-08-14, min-of-2, 720
-    // partition dirs): fold 6.8 -> 8.6 s across x10 -> x100 (1M -> 10M
-    // fact rows) vs rebuild 4.5 -> 8.4 s — the curves MEET at 10M rows.
-    // The fold's constant is two keyed merges (fact feed + view write,
-    // each ~1.5-2 s of merge machinery plus O(dirs) partition listing —
-    // the same constant the m_vmerge pair records), so below ~10M rows
-    // the one-pass rebuild is simply cheaper; beyond it the rebuild's
-    // line keeps climbing with the table while the fold's inputs stay
-    // the batch and the touched slice. The asymptotic is carried by the
-    // m_vmerge flatness pair (merge cost follows TOUCHED partitions,
-    // not table size); this pair records where the constant amortizes.
+    // reads and writes O(fact). Measured (2026-08-14 r12 full run, 720
+    // partition dirs): fold 5.9 -> 7.2 s across x10 -> x100 (1M -> 10M
+    // fact rows) vs rebuild 4.4 -> 7.6 s — BELOW ~10M rows the one-pass
+    // rebuild simply wins and the fold's claim is scoped to the x100
+    // decade and beyond, where the rebuild's line keeps climbing with
+    // the table while the fold's inputs stay the batch and the touched
+    // slice. The deferred (merge-on-read) fold mode measures WITHIN
+    // NOISE of the eager fold at both knobs (5.95/7.18 vs 5.89/7.21):
+    // the fold's constant is NOT the two view-table merge writes the
+    // m_kmerge pair prices (those the deferred mode does make ~2.5x
+    // cheaper) but the fact-side change-feed computation plus O(dirs)
+    // listings, which both modes share. The asymptotic is carried by
+    // the m_vmerge flatness pair (merge cost follows TOUCHED
+    // partitions, not table size); this pair records where the
+    // constant amortizes.
     "m_jview_fold_x10" -> ((s, dir) => {
       val (jv, batch, dim, fact) = jviewFixture(s, dir, 10)
       () => jv.applyCycle(fact.upsertChanges(batch), dim.limit(0), dim, "dkey")

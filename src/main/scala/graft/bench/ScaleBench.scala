@@ -483,14 +483,20 @@ object ScaleBench {
     def time(f: () => Unit): Double = {
       val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
     }
-    var (ma, mb) = (Double.MaxValue, Double.MaxValue)
+    val as = new Array[Double](3)
+    val bs = new Array[Double](3)
     var i = 0
     while (i < 3) {
-      ma = math.min(ma, time(a))
-      mb = math.min(mb, time(b))
+      as(i) = time(a)
+      bs(i) = time(b)
       i += 1
     }
-    (ma, mb)
+    // the per-run spread is the evidence a min-only record can't carry —
+    // stderr, so the bench's JSON line stays clean
+    System.err.println(
+      f"[bench] abMin3 A ${as.map(t => f"$t%.2f").mkString(" ")} | " +
+        f"B ${bs.map(t => f"$t%.2f").mkString(" ")}")
+    (as.min, bs.min)
   }
 
   /** A/B pairs whose recorded CLAIM is the comparison itself, on a host

@@ -1,0 +1,96 @@
+#!/usr/bin/env python3
+"""Same-session DuckDB re-time of the headline oracles — the other half of
+the BENCH_COMPARE protocol (recorded rule: DuckDB drifts across days, so a
+ratio is only honest when both sides ran in the same session on the same
+layout).
+
+Usage: python3 tools/oracle_time.py <verify_out_dir> [bench_relayout_dir]
+
+Reads oracle SQL from <verify_out_dir>/oracle_sql.json, times each headline
+query on the bench's own 32-file relayout (newest /tmp/graft_bench_par* if
+not given) with one warmup + min-of-3 at 32 threads, and also times the two
+materialized-fixture twins (m_q75_mat / m_q87_mat) over the SAME
+/tmp/graft_matfix_li100_* parquet files the Spark entries scan. Prints one
+JSON line."""
+import glob
+import json
+import os
+import sys
+import time
+
+import duckdb
+
+HEADLINE = [
+    "q75_scale100_pricing", "q79_scale100_fixedpoint", "q83_scale100_rollup",
+    "q87_scale100_join", "q94_bucketed_join", "q98_span_dedup",
+    "q100_spandedup_scale10", "q102_incremental_spans",
+    "q115_dsir_scale10", "q117_dsir_scale100",
+]
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+MAT_Q75 = """
+SELECT l_returnflag, l_linestatus, rep,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+    (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DOUBLE)
+    AS sum_disc_price,
+  COUNT(*) AS count_order
+FROM mat WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
+
+MAT_Q87 = """
+SELECT o_orderpriority, rep,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+    (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DOUBLE)
+    AS revenue,
+  COUNT(*) AS n_rows
+FROM mat JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+def newest(pattern):
+    cands = glob.glob(pattern)
+    return max(cands, key=os.path.getmtime) if cands else None
+
+
+def time_sql(con, sql, runs=3):
+    con.execute(sql).fetchall()  # warmup
+    ts = []
+    for _ in range(runs):
+        t0 = time.time()
+        con.execute(sql).fetchall()
+        ts.append(time.time() - t0)
+    return min(ts), ts
+
+
+def main():
+    out_dir = sys.argv[1]
+    layout = sys.argv[2] if len(sys.argv) > 2 else newest("/tmp/graft_bench_par*")
+    oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    con = duckdb.connect()
+    con.execute("SET threads=32")
+    for t in TABLES:
+        p = os.path.join(layout, f"{t}.parquet")
+        src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet({src})")
+    results = {}
+    for name in HEADLINE:
+        if name not in oracles:
+            continue
+        best, ts = time_sql(con, oracles[name])
+        results[name] = {"min": round(best, 3),
+                         "runs": [round(x, 3) for x in ts]}
+    mat = newest("/tmp/graft_matfix_li100_*")
+    if mat:
+        con.execute("CREATE VIEW mat AS SELECT * FROM "
+                    f"read_parquet('{mat}/*.parquet')")
+        for name, sql in [("m_q75_mat", MAT_Q75), ("m_q87_mat", MAT_Q87)]:
+            best, ts = time_sql(con, sql)
+            results[name] = {"min": round(best, 3),
+                             "runs": [round(x, 3) for x in ts]}
+    print(json.dumps({"layout": layout, "mat": mat, "results": results}))
+
+
+if __name__ == "__main__":
+    main()
