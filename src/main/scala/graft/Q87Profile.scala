@@ -101,6 +101,47 @@ object Q87Profile {
     }
     println(results.map { case (n, s) => f""""$n":$s%.3f""" }
       .mkString("{", ",", "}"))
+
+    // ---- materialized-twin decomposition (the m_q87_mat/m_q94_mat
+    // general-case residual): 60M REAL stored rows, no replicate kernel.
+    // Components isolate scan, numeric-key agg, join probe, and the
+    // string-vs-int group-key cost of the final aggregate.
+    val matPath = graft.bench.ScaleBench.lineitemX100Path(spark, d)
+    def mat = spark.read.parquet(matPath)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"),
+        col("rep"))
+    def ordCoded = ord.withColumn("code",
+      dense_rank().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("o_orderpriority"))))
+      .select(col("o_orderkey"), col("code"), col("o_orderpriority"))
+    val matVariants: Seq[(String, () => DataFrame)] = Seq(
+      "mat_scan" -> (() => mat),
+      "mat_agg_intkey" -> (() =>
+        mat.groupBy(col("rep"))
+          .agg(fixedPointSum(revU, 6, "revenue"), count(lit(1)).as("n_rows"))
+          .orderBy("rep")),
+      "mat_join_agg_strkey" -> (() => // the recorded m_q87_mat shape
+        mat.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"), col("rep"))
+          .agg(fixedPointSum(revU, 6, "revenue"), count(lit(1)).as("n_rows"))
+          .orderBy("o_orderpriority", "rep")),
+      "mat_join_agg_intkey" -> (() => // surrogate-code agg, map back after
+        mat.join(broadcast(ordCoded.select(col("o_orderkey"), col("code"))),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("code"), col("rep"))
+          .agg(fixedPointSum(revU, 6, "revenue"), count(lit(1)).as("n_rows"))
+          .join(broadcast(ordCoded.select(col("code"), col("o_orderpriority"))
+            .distinct()), Seq("code"))
+          .select(col("o_orderpriority"), col("rep"), col("revenue"),
+            col("n_rows"))
+          .orderBy("o_orderpriority", "rep"))
+    )
+    val matResults = matVariants.map { case (name, mk) =>
+      run(mk) // warmup
+      (name, (1 to 3).map(_ => run(mk)).min)
+    }
+    println(matResults.map { case (n, s) => f""""$n":$s%.3f""" }
+      .mkString("{", ",", "}"))
     spark.stop()
   }
 }

@@ -354,6 +354,48 @@ object ScaleBench {
           .orderBy("o_orderpriority", "rep"))
       }
     }),
+    "m_q94_mat" -> ((s, dir) => {
+      // the same 60M-row join CO-LOCATED: both sides bucket-written on
+      // the join key at ingest (untimed, one file per bucket), so the
+      // timed plan has no exchange and no broadcast build — what the
+      // engine runs at 100 TB when the ingest paid the shuffle once.
+      // Compare against m_q87_mat (same logical query, generic path) and
+      // its DuckDB twin (DuckDB has no bucketing concept; the files it
+      // reads are m_q87_mat's).
+      val path = lineitemX100Path(s, dir)
+      def ensure(name: String, build: => org.apache.spark.sql.DataFrame,
+          key: String): Unit =
+        if (!s.catalog.tableExists(name)) {
+          // a previous JVM may have left files the in-memory catalog
+          // forgot — drop the stale location before the bucketed write
+          val wh = new org.apache.hadoop.fs.Path(
+            s.sessionState.conf.warehousePath, name.toLowerCase)
+          val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (fs.exists(wh)) fs.delete(wh, true)
+          build.repartition(32, col(key)).write.mode("overwrite")
+            .bucketBy(32, key).sortBy(key).saveAsTable(name)
+        }
+      ensure("mat_li100_bkt",
+        s.read.parquet(path).select(col("l_orderkey"),
+          col("l_extendedprice"), col("l_discount"), col("rep")),
+        "l_orderkey")
+      ensure("mat_ord_bkt",
+        graft.Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority")),
+        "o_orderkey")
+      () => {
+        import graft.ops.AggOps.{fixedPointSum, unscaledLong}
+        val revU = unscaledLong(col("l_extendedprice"), 2) *
+          (lit(10000L) - unscaledLong(col("l_discount"), 4))
+        noop(s.table("mat_li100_bkt")
+          .join(s.table("mat_ord_bkt").hint("shuffle_hash"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"), col("rep"))
+          .agg(fixedPointSum(revU, 6, "revenue"),
+            count(lit(1)).as("n_rows"))
+          .orderBy("o_orderpriority", "rep"))
+      }
+    }),
     "m_pq_encode_x200" -> ((s, dir) => {
       val base = graft.Tables.load(s, dir, "embeddings")
       val model = ProductQuantize.train(base, "vec_id", "embedding",
