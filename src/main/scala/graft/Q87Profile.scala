@@ -125,6 +125,19 @@ object Q87Profile {
           .groupBy(col("o_orderpriority"), col("rep"))
           .agg(fixedPointSum(revU, 6, "revenue"), count(lit(1)).as("n_rows"))
           .orderBy("o_orderpriority", "rep")),
+      // NOTE a "perfect-hash" dense-ordinal dim lookup (driver-built
+      // int[] key→ordinal + UTF8String[] values, custom codegen'd
+      // expressions, no hash probe) was built and REFUTED here: join-only
+      // it measured 1.09 s vs the broadcast join's 0.70 s on the same 60M
+      // rows (a typedlit/element_at spelling was worse still, 2.6× —
+      // boxed GenericArrayData per row). Spark's LongHashedRelation
+      // already addresses dense integral keys array-style inside the
+      // fused BHJ probe, so the kernel only added expression-evaluation
+      // overhead. The operator was removed; the residual vs DuckDB at
+      // this scale is scan-bound (mat_scan ≈ DuckDB's whole query).
+      "mat_joinonly_bhj" -> (() =>
+        mat.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_orderpriority"), revU.as("urev"))),
       "mat_join_agg_intkey" -> (() => // surrogate-code agg, map back after
         mat.join(broadcast(ordCoded.select(col("o_orderkey"), col("code"))),
             col("l_orderkey") === col("o_orderkey"))
