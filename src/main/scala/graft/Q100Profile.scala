@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** One-off stage decomposition for q100 (×10 span dedup) — mirrors
@@ -43,10 +43,18 @@ object Q100Profile {
 
     import graft.text.TextOps
     val k = 3
+    def kernelHashArr: Column = coalesce(
+      org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.functions.SpanHashes(
+          org.apache.spark.sql.graft.ColumnBridge.expression(
+            TextOps.tokens(col("text"))), k)),
+      array())
+    def kernelSpans = rep10
+      .select(col("doc_id"), posexplode(kernelHashArr).as(Seq("span_idx", "h")))
     time("tokenize_only") {
       noop(rep10.select(TextOps.tokens(col("text")).as("ws")))
     }
-    time("spans_hash_floor") { // tokenize + span hash explode, no agg
+    time("spans_hash_floor_md5") { // the composed pre-kernel spelling
       val base = rep10.select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
         .select(col("doc_id"), col("ws"),
           floor((size(col("ws")) + (k - 1)) / k.toDouble).cast("long").as("n_spans"))
@@ -56,16 +64,11 @@ object Q100Profile {
         .otherwise(array())
       noop(base.select(col("doc_id"), posexplode(hashArr).as(Seq("span_idx", "h"))))
     }
-    time("winner_agg") { // + the h-keyed struct-min + per-doc fold
-      val base = rep10.select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
-        .select(col("doc_id"), col("ws"),
-          floor((size(col("ws")) + (k - 1)) / k.toDouble).cast("long").as("n_spans"))
-      val hashArr = when(col("n_spans") > 0,
-        transform(sequence(lit(0L), col("n_spans") - 1), i =>
-          unhex(md5(concat_ws(" ", slice(col("ws"), (i * k + 1).cast("int"), lit(k)))))))
-        .otherwise(array())
-      val spans = base.select(col("doc_id"), posexplode(hashArr).as(Seq("span_idx", "h")))
-      noop(spans.groupBy(col("h"))
+    time("spans_hash_floor_kernel") { // the SpanHashes spelling
+      noop(kernelSpans)
+    }
+    time("winner_agg_kernel") { // + the h-keyed struct-min + per-doc fold
+      noop(kernelSpans.groupBy(col("h"))
         .agg(min(struct(col("doc_id").as("d"), col("span_idx").as("i"))).as("w"))
         .groupBy(col("w.d").as("doc_id"))
         .agg(sort_array(collect_list(col("w.i"))).as("keep_idx")))

@@ -20,8 +20,8 @@ case class SpanBatch(cleaned: DataFrame, newSpans: DataFrame)
   * including repeats inside the same document, is dropped, and each
   * document is reassembled from its surviving spans in order.
   *
-  * Scale shape: NO span text crosses any exchange — in fact no span
-  * STRING is ever built on the dedup path. The explode emits
+  * Scale shape: the DEDUP exchanges carry no text — no span STRING is
+  * ever built on the dedup path. The explode emits
   * `(doc, span_idx, h)` where `h` is a 16-byte binary span key from the
   * [[graft.functions.SpanHashes]] kernel (one native pass over the
   * doc's word array inside the scan-side codegen span); one groupBy
@@ -31,14 +31,17 @@ case class SpanBatch(cleaned: DataFrame, newSpans: DataFrame)
   * of pages, the exact motivation for the operator — collapses map-side
   * to one 32-byte struct per input partition and is never probed); a
   * second light shuffle folds the winning indices per doc into a sorted
-  * long array; and the reassembly JOIN back to the doc's own words array
-  * rebuilds the surviving span text locally — each doc carries the text
-  * of its own winners by construction, so the heavy payload rides the
-  * scan, not the shuffles. (The earlier shapes shuffled the span text
-  * twice: once under the struct-min, once under the per-doc reassembly
-  * collect_list. At 100 TB the span-text stream is the corpus ×
-  * ~duplication factor; this shape's exchanges carry 32–48 bytes per
-  * span and ~8 bytes per survivor.) The key is 128-bit (two independent
+  * long array. Text then crosses exactly ONE exchange: the reassembly
+  * join's base side ships each doc's words array ONCE to meet its
+  * keep-list, and the surviving span strings are rebuilt from it
+  * locally. (The earlier shapes shuffled span text TWICE — under the
+  * struct-min and under the reassembly collect_list — with hot spans
+  * duplicated per occurrence. At 100 TB the span-text stream is the
+  * corpus × ~duplication factor; now the dedup exchanges carry 32–48
+  * bytes per span and ~8 per survivor, and the one text exchange is
+  * corpus-sized exactly once — or zero on a corpus ingested bucketed by
+  * doc id, where the join consumes the bucketing. PlanLintSpec pins the
+  * no-text-in-dedup-exchanges property on q98's physical plan.) The key is 128-bit (two independent
   * xxhash64 lanes — see [[graft.functions.SpanHashes]] for the collision
   * arithmetic): at corpus scale (billions of distinct spans) a single
   * 64-bit key would already be birthday-colliding and silently merging
@@ -79,19 +82,47 @@ object SpanDedup {
   }
 
   /** Batch-first-occurrence filter + per-doc reassembly over a hashed
-    * span set. (d, i) uniquely identifies an occurrence, so the
-    * struct-min over (d, i) per hash IS the winning occurrence; the
-    * winners fold to one sorted index array per doc, and the join back
-    * to `base` rebuilds each survivor's text from the doc's own words
-    * array — the only place span text exists after the scan. */
+    * span set. (d, i) uniquely identifies an occurrence, so the minimum
+    * over (d, i) per hash IS the winning occurrence; the winners fold to
+    * one sorted index array per doc, and the join back to `base`
+    * rebuilds each survivor's text from the doc's own words array — the
+    * only place span text exists after the scan.
+    *
+    * The argmin is computed over ONE packed `decimal(38,0)` —
+    * `d·2³² + i` — rather than `min(struct(d, i))`: a struct buffer is
+    * not HashAggregate-mutable, so the struct spelling silently planned
+    * a SortAggregate with an in-task sort of the FULL span stream on
+    * both sides of the exchange (profiled at most of the winner stage's
+    * cost). The packing is order-isomorphic to lexicographic (d, i) for
+    * every long d, negative included, because 0 ≤ i < 2³² (span_idx is
+    * a generator position, capped at 2³¹) and the arithmetic is exact
+    * integer decimal — |d|·2³² + i < 4·10²⁸ ≪ 10³⁸, and the unpack
+    * divides back exactly. Integral ids are required (the operator's
+    * corpus-order contract needs an ordered id anyway); a null id never
+    * wins a span (SQL min ignores null packed keys — the struct-min
+    * spelling's NULLS FIRST ordering would instead let a null-id row
+    * win and then reassemble NOTHING, dropping the span everywhere). */
   private def dedupAndRebuild(base: DataFrame, spans: DataFrame,
       idCol: String, k: Int): DataFrame = {
     val id = col(idCol)
+    import org.apache.spark.sql.types._
+    base.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"SpanDedup: id column $idCol must be integral (corpus order), " +
+          s"got $other")
+    }
+    val two32 = lit(new java.math.BigDecimal(4294967296L))
+    val packed = (id.cast(DecimalType(38, 0)) * two32 +
+      col("span_idx").cast(DecimalType(38, 0))).as("p")
     val keptIdx = spans
       .groupBy(col("h"))
-      .agg(min(struct(id.as("d"), col("span_idx").as("i"))).as("w"))
-      .groupBy(col("w.d").as(idCol))
-      .agg(sort_array(collect_list(col("w.i"))).as("keep_idx"))
+      .agg(min(packed).as("p"))
+      .select((pmod(col("p"), two32)).cast("int").as("i"),
+        ((col("p") - pmod(col("p"), two32)) / two32)
+          .cast(base.schema(idCol).dataType).as(idCol))
+      .groupBy(id)
+      .agg(sort_array(collect_list(col("i"))).as("keep_idx"))
     base
       .join(keptIdx, Seq(idCol), "left")
       // null text ⇒ null ws/n_spans upstream: report 0 spans, empty text

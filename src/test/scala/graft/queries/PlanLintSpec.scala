@@ -87,6 +87,40 @@ class PlanLintSpec extends AnyFunSuite with SparkSpec {
       s"windows in curation plans:\n${offenders.mkString("\n")}")
   }
 
+  test("span-dedup DEDUP exchanges carry no text; at most one exchange " +
+      "ships the corpus words (q98)") {
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    def exchanges(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => exchanges(a.executedPlan)
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e +: e.children.flatMap(exchanges)
+      case other => other.children.flatMap(exchanges)
+    }
+    def carriesText(p: SparkPlan): Boolean = p.output.exists(a =>
+      a.dataType == StringType || a.dataType == ArrayType(StringType) ||
+        a.dataType == ArrayType(StringType, containsNull = true))
+    val plan = SparkEntry.queries("q98_span_dedup")(spark, sfDir)
+      .queryExecution.executedPlan
+    val ex = exchanges(plan)
+    assert(ex.nonEmpty, s"expected shuffle exchanges in q98:\n$plan")
+    // the h-keyed winner aggregate's exchange must be text-free (16-byte
+    // binary key + (doc, idx) struct only)
+    val hEx = ex.filter(_.output.exists(_.name == "h"))
+    assert(hEx.nonEmpty && hEx.forall(!carriesText(_)),
+      s"span text leaked into a dedup exchange:\n${hEx.mkString("\n")}")
+    // across the whole plan, at most one HASH exchange may carry the
+    // corpus text (the reassembly join's base side, when keptIdx is not
+    // broadcast). A RangePartitioning exchange is result delivery for
+    // the query's orderBy and a RoundRobin one is the input fixture's
+    // repartition — neither is a dedup exchange.
+    val textEx = ex.filter(e =>
+      e.outputPartitioning
+        .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] &&
+        carriesText(e))
+    assert(textEx.size <= 1,
+      s"more than one corpus-text dedup exchange:\n${textEx.mkString("\n")}")
+  }
+
   test("no query plans an unhinted cartesian product") {
     // CartesianProductExec shuffles |left|×|right| — every intentional
     // cross join in the engine is broadcast (BroadcastNestedLoopJoin over
