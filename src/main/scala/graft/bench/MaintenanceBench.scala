@@ -351,22 +351,21 @@ object MaintenanceBench {
     // materialized view from scratch (full fact-dim join + full table
     // write — what a non-incremental pipeline runs every batch; a bare
     // un-written join would not produce the artifact and is not the
-    // alternative). The fold reads O(batch + touched slice); the rebuild
-    // reads and writes O(fact). Measured (2026-08-14 r12 full run, 720
-    // partition dirs): fold 5.9 -> 7.2 s across x10 -> x100 (1M -> 10M
-    // fact rows) vs rebuild 4.4 -> 7.6 s — BELOW ~10M rows the one-pass
-    // rebuild simply wins and the fold's claim is scoped to the x100
-    // decade and beyond, where the rebuild's line keeps climbing with
-    // the table while the fold's inputs stay the batch and the touched
-    // slice. The deferred (merge-on-read) fold mode measures WITHIN
-    // NOISE of the eager fold at both knobs (5.95/7.18 vs 5.89/7.21):
-    // the fold's constant is NOT the two view-table merge writes the
-    // m_kmerge pair prices (those the deferred mode does make ~2.5x
-    // cheaper) but the fact-side change-feed computation plus O(dirs)
-    // listings, which both modes share. The asymptotic is carried by
-    // the m_vmerge flatness pair (merge cost follows TOUCHED
-    // partitions, not table size); this pair records where the
-    // constant amortizes.
+    // alternative — and BOTH cycles pay their own batch ingest: the
+    // fold's upsertChanges, the rebuild's plain upsert; r10/r11's pairs
+    // rebuilt the STALE fact with no ingest at all, which is what made
+    // the fold appear to lose at x10). The fold reads O(batch + touched
+    // slice); the rebuild reads and writes O(fact). Measured under the
+    // fair pair (2026-08-15 r12, 720 partition dirs): fold 5.8 -> 6.7 s
+    // across x10 -> x100 (1M -> 10M fact rows) vs rebuild 6.9 -> 10.5 s
+    // — the fold wins at BOTH knobs and the gap widens with the table,
+    // because the fold's inputs stay the batch and the touched slice.
+    // The deferred (merge-on-read) fold mode measures WITHIN NOISE of
+    // the eager fold (6.1/6.3 s): the fold's constant is the fact-side
+    // change-feed computation plus O(dirs) listings, which both modes
+    // share — not the view-table merge writes the m_kmerge pair prices.
+    // The asymptotic is carried by the m_vmerge flatness pair (merge
+    // cost follows TOUCHED partitions, not table size).
     "m_jview_fold_x10" -> ((s, dir) => {
       val (jv, batch, dim, fact) = jviewFixture(s, dir, 10)
       () => jv.applyCycle(fact.upsertChanges(batch), dim.limit(0), dim, "dkey")
@@ -388,21 +387,34 @@ object MaintenanceBench {
       val (jv, batch, dim, fact) = jviewFixture(s, dir, 100, deferred = true)
       () => jv.applyCycle(fact.upsertChanges(batch), dim.limit(0), dim, "dkey")
     }),
+    // the rebuild cycle must pay its OWN batch ingest: the alternative to
+    // an incremental fold is still a pipeline that lands the batch in the
+    // fact table (a plain upsert — it needs no change feed) and THEN
+    // rebuilds the view. r12 found the prior thunks rebuilding the STALE
+    // fact (no ingest at all) while the fold's thunk carried
+    // upsertChanges — an unfair pair penalizing the fold by one keyed
+    // merge at every knob.
     "m_jview_rebuild_x10" -> ((s, dir) => {
-      val (_, _, dim, fact) = jviewFixture(s, dir, 10)
+      val (_, batch, dim, fact) = jviewFixture(s, dir, 10)
       val out = new KeyedLakeTable(s, LakeTableSpec(
         tmp("graft_mbench_jvrebuild_x10"), recordKeys = Seq("id"),
         precombine = "update_at", partitionSource = "create_at"))
-      () => out.overwrite(fact.readLive().join(broadcast(dim),
-        col("fk") === col("dkey")).drop("dkey"))
+      () => {
+        fact.upsert(batch)
+        out.overwrite(fact.readLive().join(broadcast(dim),
+          col("fk") === col("dkey")).drop("dkey"))
+      }
     }),
     "m_jview_rebuild_x100" -> ((s, dir) => {
-      val (_, _, dim, fact) = jviewFixture(s, dir, 100)
+      val (_, batch, dim, fact) = jviewFixture(s, dir, 100)
       val out = new KeyedLakeTable(s, LakeTableSpec(
         tmp("graft_mbench_jvrebuild_x100"), recordKeys = Seq("id"),
         precombine = "update_at", partitionSource = "create_at"))
-      () => out.overwrite(fact.readLive().join(broadcast(dim),
-        col("fk") === col("dkey")).drop("dkey"))
+      () => {
+        fact.upsert(batch)
+        out.overwrite(fact.readLive().join(broadcast(dim),
+          col("fk") === col("dkey")).drop("dkey"))
+      }
     }),
     "m_vlookup_bloom_f400" -> ((s, dir) => {
       val (table, rows) = buildIndexed(s, dir, partitions = 400)
