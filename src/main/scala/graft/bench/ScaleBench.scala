@@ -144,6 +144,40 @@ object ScaleBench {
     path
   }
 
+  /** The ×`times` documents corpus with per-replica-distinct ids and
+    * tail-perturbed text (identical replicas would collapse in any dedup
+    * stage and measure a 1/times corpus), materialized. */
+  private def docsTimes(s: SparkSession, dir: String, times: Int): DataFrame =
+    materialized(s, s"docs_x$times") {
+      graft.Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"),
+          graft.ops.Replicate.rep(times).as("r"))
+        .select((col("doc_id") * times + col("r")).as("doc_id"), col("lang"),
+          concat(col("text"), lit(" zq"), col("r").cast("string"))
+            .as("text"))
+    }
+
+  /** The accumulated span registry of the ×`times` corpus (distinct
+    * 16-byte span keys — what SpanBatch.newSpans emits), materialized:
+    * the state an incremental span-dedup pipeline stores between
+    * batches. */
+  private def spanRegistry(s: SparkSession, dir: String,
+      times: Int): DataFrame =
+    materialized(s, s"span_reg_x$times") {
+      graft.dedup.SpanDedup.incremental(docsTimes(s, dir, times),
+        "doc_id", "text",
+        s.emptyDataFrame.select(lit("").cast("binary").as("h")).limit(0),
+        k = 3).newSpans
+    }
+
+  /** One arriving ×1 batch: fresh (negative) ids, text sharing most
+    * spans with the corpus replicas plus a new per-doc tail span — the
+    * mostly-duplicate arrival the incremental path exists for. */
+  private def spanBatchDf(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.load(s, dir, "documents")
+      .select((-col("doc_id") - 1).as("doc_id"),
+        concat(col("text"), lit(" zb")).as("text"))
+
   /** The ×`times` token stream of the documents table, materialized. */
   private def tokensFixture(s: SparkSession, dir: String, times: Int): DataFrame =
     materialized(s, s"toks_x$times") {
@@ -304,15 +338,48 @@ object ScaleBench {
       // and time a 1/10th corpus): records where q89's per-stage
       // constants — ~2 s at ×1, broadcast builds + window setup +
       // checkpoint round-trip — amortize against real per-row work
-      val d10 = materialized(s, "docs_x10") {
-        graft.Tables.load(s, dir, "documents")
-          .select(col("doc_id"), col("lang"), col("text"),
-            graft.ops.Replicate.rep(10).as("r"))
-          .select((col("doc_id") * 10 + col("r")).as("doc_id"), col("lang"),
-            concat(col("text"), lit(" zq"), col("r").cast("string"))
-              .as("text"))
-      }
+      val d10 = docsTimes(s, dir, 10)
       () => noop(graft.queries.PipelineQueries.corpusRelease(d10))
+    }),
+    // -------- incremental span dedup (SpanDedup.incremental, pinned by
+    // q102): dedup ONE arriving batch against the accumulated span
+    // registry vs RE-CLEANING the whole corpus plus the batch — the same
+    // knob-pair shape the topk/hll/dds maintenance entries record. The
+    // fold reads the batch + the registry (hash-only columns); the
+    // rescan re-tokenizes, re-hashes, and re-aggregates the ENTIRE
+    // corpus. The ×100→×300 corpus knob shows the rescan growing with the
+    // corpus while the fold follows the batch + registry scan (the
+    // ×10/×30 first cut sat entirely inside the ~0.8 s job-constant
+    // floor on BOTH sides — the SpanHashes kernel made the data work
+    // invisible below ~500k docs).
+    "m_span_incr_x100" -> ((s, dir) => {
+      val reg = spanRegistry(s, dir, 100)
+      val batch = spanBatchDf(s, dir)
+      () => noop(graft.dedup.SpanDedup
+        .incremental(batch, "doc_id", "text", reg, k = 3).cleaned)
+    }),
+    "m_span_incr_x300" -> ((s, dir) => {
+      val reg = spanRegistry(s, dir, 300)
+      val batch = spanBatchDf(s, dir)
+      () => noop(graft.dedup.SpanDedup
+        .incremental(batch, "doc_id", "text", reg, k = 3).cleaned)
+    }),
+    "m_span_rescan_x100" -> ((s, dir) => {
+      val corpus = docsTimes(s, dir, 100)
+      val batch = spanBatchDf(s, dir)
+      // no batch-only filter: the rescan pipeline's artifact is the FULL
+      // cleaned corpus (a filter would let Catalyst prune the reassembly
+      // to the batch and benchmark accidental incrementality)
+      () => noop(graft.dedup.SpanDedup
+        .clean(corpus.select(col("doc_id"), col("text")).unionByName(batch),
+          "doc_id", "text", k = 3))
+    }),
+    "m_span_rescan_x300" -> ((s, dir) => {
+      val corpus = docsTimes(s, dir, 300)
+      val batch = spanBatchDf(s, dir)
+      () => noop(graft.dedup.SpanDedup
+        .clean(corpus.select(col("doc_id"), col("text")).unionByName(batch),
+          "doc_id", "text", k = 3))
     }),
     "m_q75_mat" -> ((s, dir) => {
       // q75's pricing aggregate over the MATERIALIZED 60M-row stream:
