@@ -65,8 +65,18 @@ def time_sql(con, sql, runs=3):
 
 
 def main():
-    out_dir = sys.argv[1]
-    layout = sys.argv[2] if len(sys.argv) > 2 else newest("/tmp/graft_bench_par*")
+    # --sweep <bench_out.json>: instead of the headline set, time EVERY
+    # oracled query recorded in the bench JSON (the full-surface ratio
+    # sweep; warm min-of-2 to keep the pass bounded) and print per-query
+    # spark/duck/ratio.
+    sweep = None
+    args = [a for a in sys.argv[1:]]
+    if "--sweep" in args:
+        i = args.index("--sweep")
+        sweep = args[i + 1]
+        del args[i:i + 2]
+    out_dir = args[0]
+    layout = args[1] if len(args) > 1 else newest("/tmp/graft_bench_par*")
     oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     con = duckdb.connect()
     con.execute("SET threads=32")
@@ -75,6 +85,19 @@ def main():
         src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet({src})")
     results = {}
+    if sweep:
+        bench = json.load(open(sweep))["queries"]
+        for name in sorted(bench):
+            if name not in oracles or bench[name] < 0:
+                continue
+            best, ts = time_sql(con, oracles[name], runs=2)
+            results[name] = {"min": round(best, 3),
+                             "runs": [round(x, 3) for x in ts],
+                             "spark": bench[name],
+                             "ratio": round(bench[name] / best, 2)
+                             if best > 0 else None}
+        print(json.dumps({"layout": layout, "results": results}))
+        return
     for name in HEADLINE:
         if name not in oracles:
             continue
