@@ -138,6 +138,44 @@ class SpanDedupSpec extends AnyFunSuite with SparkSpec {
     assert(keys(Seq("x"), 3).head.size == 16 && keys(Seq(), 3).isEmpty)
   }
 
+  test("SpanHashes property: key equality iff span word-sequence equality " +
+      "(1000 random docs, tiny vocab)") {
+    // a 3-word vocabulary and short docs force MANY genuinely-equal spans
+    // across docs, so both directions are exercised: a hashing
+    // inconsistency breaks ⇒, a collision between distinct spans breaks ⇐
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "bb", "c")
+    for (k <- 1 to 4) {
+      val seen = scala.collection.mutable.Map.empty[Seq[Byte], Seq[String]]
+      for (_ <- 1 to 1000) {
+        val words = Vector.fill(rnd.nextInt(9))(vocab(rnd.nextInt(3)))
+        val arr = new GenericArrayData(
+          words.map(w => UTF8String.fromString(w)).toArray[Any])
+        val keys = graft.functions.SpanHashes.compute(arr, k)
+        val nSpans = (words.length + k - 1) / k
+        assert(keys.numElements() === nSpans)
+        for (i <- 0 until nSpans) {
+          val span = words.slice(i * k, math.min((i + 1) * k, words.length))
+          val key = keys.getBinary(i).toSeq
+          seen.get(key) match {
+            case Some(prev) => assert(prev === span,
+              s"collision: $prev and $span share a key at k=$k")
+            case None =>
+              // ⇒ direction: an equal span elsewhere must have produced
+              // this exact key already or will match it later — enforced
+              // by the map converging to one entry per distinct span
+              seen(key) = span
+          }
+        }
+      }
+      // every distinct span seen maps to exactly one key and vice versa
+      assert(seen.values.toSeq.distinct.size === seen.size,
+        s"two keys map to one span sequence at k=$k")
+    }
+  }
+
   test("reassembly preserves original span order, not hash order") {
     val df = Seq((1L, "m m z z a a m m b b")).toDF("doc_id", "text")
     val r = SpanDedup.clean(df, "doc_id", "text", k = 2).collect()(0)
