@@ -157,6 +157,8 @@ object SparkEntry {
     "q143_deferred_merge" -> (CdcQueries.q143DeferredMerge _),
     "q144_topk_grouped" -> (PipelineQueries.q144TopkGrouped _),
     "q145_versioned_mor" -> (CdcQueries.q145VersionedMor _),
+    "q146_semantic_dedup" -> (PipelineQueries.q146SemanticDedup _),
+    "q147_semdedup_scale30" -> (PipelineQueries.q147SemdedupScale30 _),
   )
 
   /** Untimed per-query setup the bench runs before timing (ingest-side
@@ -187,7 +189,8 @@ object SparkEntry {
     "q111_hybrid_rrf", "q112_dsir_weights", "q114_bpe_merges",
     "q115_dsir_scale10", "q117_dsir_scale100",
     "q126_asof_hot", "q127_asof_uniform",
-    "q131_heavy_hitters", "q132_ccnet_buckets")
+    "q131_heavy_hitters", "q132_ccnet_buckets", "q146_semantic_dedup",
+    "q147_semdedup_scale30")
 
   /** Bench entries long enough (tens of seconds — the ×100 scale pass)
     * that scheduling noise is <2% of runtime: they get one timed pass
@@ -343,6 +346,8 @@ object SparkEntry {
     "q144_topk_grouped" -> PipelineQueries.q144TopkGroupedSql,
     // q145 reaches q20's merged state through append commits — same oracle
     "q145_versioned_mor" -> CdcQueries.q20CdcMergeSql,
+    "q146_semantic_dedup" -> PipelineQueries.q146SemanticDedupSql,
+    "q147_semdedup_scale30" -> PipelineQueries.q147SemdedupScale30Sql,
   )
 
   /** DECLARED oracle-less entries: queries whose semantics are not

@@ -1295,6 +1295,88 @@ object PipelineQueries {
       |FROM q
       |ORDER BY vec_id""".stripMargin
 
+  // --------------------------------------------------------------- q146
+  /** SemDeDup ([[graft.sim.Similarity.semanticDedup]], Abbas et al.
+    * 2023): semantic dedup over the PRE-ASSIGNED `label` clusters —
+    * within each cluster, rank ascending by cosine-to-centroid (the
+    * paper keeps the members LEAST like the centroid) and drop anything
+    * with cosine ≥ τ to an earlier-ranked member. The oracle reproduces
+    * the whole rule in SQL: per-dim centroid means, centroid cosines,
+    * the rank, the greedy-scan drop join — so the kept SET (not just
+    * counts) is pinned cross-engine. */
+  def q146SemanticDedup(s: SparkSession, dir: String): DataFrame =
+    Similarity.semanticDedup(embs(s, dir), "vec_id", "embedding",
+      "label", tau = 0.3)
+      .select(col("vec_id"), col("label"))
+      .orderBy("vec_id")
+
+  val q146SemanticDedupSql: String =
+    """WITH v AS (
+      |  SELECT label, vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+      |    sqrt(list_sum(list_transform(embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      |  FROM embeddings),
+      |ex AS (
+      |  SELECT label,
+      |    unnest(range(len(e))) AS dim,
+      |    unnest(e) AS x
+      |  FROM v),
+      |cm AS (SELECT label, dim, SUM(x) / COUNT(*) AS m
+      |  FROM ex GROUP BY label, dim),
+      |cent AS (
+      |  SELECT label, list(m ORDER BY dim) AS ce FROM cm GROUP BY label),
+      |cs AS (
+      |  SELECT v.label, vec_id, e, nrm,
+      |    list_sum(list_transform(range(1, len(e) + 1),
+      |      i -> e[i] * ce[i]))
+      |      / (nrm * sqrt(list_sum(list_transform(ce, x -> x * x))))
+      |      AS csim
+      |  FROM v JOIN cent ON v.label = cent.label),
+      |rk AS (
+      |  SELECT *, row_number() OVER
+      |    (PARTITION BY label ORDER BY csim, vec_id) AS r
+      |  FROM cs),
+      |dropped AS (
+      |  SELECT DISTINCT b.vec_id
+      |  FROM rk a JOIN rk b ON a.label = b.label AND a.r < b.r
+      |  WHERE list_sum(list_transform(range(1, len(a.e) + 1),
+      |      i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm) >= 0.3)
+      |SELECT vec_id, label FROM embeddings
+      |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+      |ORDER BY vec_id""".stripMargin
+
+  // --------------------------------------------------------------- q147
+  /** q146's SemDeDup at ×30 CLUSTERS (each replica cluster gets distinct
+    * vec_ids and a distinct label, so cluster SIZE stays constant) — the
+    * scale datum for the operator's defining property: within-cluster
+    * pair work is Σ(cluster²), so 30× the corpus at fixed cluster size is
+    * 30× the pairs, never 900×. The SemDeDup regime (Abbas et al. 2023
+    * §3: cluster count scales with corpus, cluster size is capped by the
+    * k-means budget) is exactly this shape, so the LINEAR curve this
+    * entry records is the one a 100 TB run rides. */
+  def q147SemdedupScale30(s: SparkSession, dir: String): DataFrame = {
+    val rep = embs(s, dir)
+      .select(col("vec_id"), col("embedding"), col("label"),
+        graft.ops.Replicate.rep(30).as("r"))
+      .select((col("vec_id") * 30 + col("r")).as("vec_id"), col("embedding"),
+        (col("label") * 30 + col("r")).as("label"))
+    Similarity.semanticDedup(rep, "vec_id", "embedding", "label", tau = 0.3)
+      .select(col("vec_id"), col("label"))
+      .orderBy("vec_id")
+  }
+
+  val q147SemdedupScale30Sql: String =
+    q146SemanticDedupSql
+      .replace("FROM embeddings)", "FROM rep)")
+      .replace("FROM embeddings\nWHERE", "FROM rep\nWHERE")
+      .replace("WITH v AS (",
+        """WITH rep AS (
+          |  SELECT vec_id * 30 + r.range AS vec_id, embedding,
+          |    label * 30 + r.range AS label
+          |  FROM embeddings CROSS JOIN range(30) r),
+          |v AS (""".stripMargin)
+
   // ---------------------------------------------------------------- q97
   /** Intra-document repetition metrics + keep/drop verdict
     * ([[graft.text.Repetition]]) — the boilerplate/degenerate-repetition

@@ -303,4 +303,58 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("n_id"), col("rank"), col("cosine"))
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): SEMANTIC
+    * deduplication — drop documents whose embeddings are near-duplicates
+    * within a cluster, keeping the member LEAST similar to the cluster
+    * centroid (the paper's diversity-preserving choice). Runs on a
+    * PRE-ASSIGNED cluster column, exactly as the paper runs on
+    * precomputed k-means assignments ([[kmeansCentroids]] +
+    * [[assignClusters]] provide one when absent); pairwise work
+    * materializes only WITHIN clusters — Σ(cluster²), never n², the
+    * paper's whole point at corpus scale.
+    *
+    * Reference rule, reproduced exactly: rank each cluster's members
+    * ascending by (cosine-to-centroid, id); member b is dropped iff SOME
+    * earlier-ranked a has cos(a, b) ≥ tau — the greedy scan is against
+    * ALL earlier members, dropped or not, matching the reference
+    * implementation's boolean-matrix sweep. Deterministic: every
+    * comparison is a double computed by the same sequential float→double
+    * dot both engines spell identically; rank flips would need two
+    * DISTINCT embeddings' centroid-cosines within ~1e-15 (identical
+    * embeddings tie exactly and break by id).
+    *
+    * Scale shape: one VectorMean aggregate for centroids (two-phase,
+    * partial-agg'd), one join back (centroid side is |clusters| rows),
+    * one per-cluster rank window (cluster count is high by construction
+    * — the SemDeDup regime is many small clusters), one within-cluster
+    * pair join, one anti-join. Returns the kept rows of `corpus`,
+    * original schema. */
+  def semanticDedup(corpus: DataFrame, idCol: String, embCol: String,
+      clusterCol: String, tau: Double): DataFrame = {
+    val v = corpus.select(col(clusterCol).as("__c"), col(idCol).as("__id"),
+        col(embCol).as("__e"))
+      .withColumn("__nrm", l2Norm(col("__e")))
+    val cent = v.groupBy(col("__c"))
+      .agg(VectorMean.column(col("__e")).as("__ce"))
+      .withColumn("__cnrm", l2Norm(col("__ce")))
+    val ranked = v.join(cent, "__c")
+      .withColumn("__csim",
+        cosine(col("__e"), col("__ce"), col("__nrm"), col("__cnrm")))
+      .select(col("__c"), col("__id"), col("__e"), col("__nrm"),
+        col("__csim"))
+    val w = Window.partitionBy(col("__c"))
+      .orderBy(col("__csim").asc, col("__id").asc)
+    val r = ranked.withColumn("__rk", row_number().over(w))
+    val earlier = r.select(col("__c"), col("__rk").as("__rk_a"),
+      col("__e").as("__e_a"), col("__nrm").as("__n_a"))
+    val dropped = r.select(col("__c"), col("__id"), col("__rk"),
+        col("__e"), col("__nrm"))
+      .join(earlier, "__c")
+      .filter(col("__rk_a") < col("__rk") &&
+        cosine(col("__e_a"), col("__e"), col("__n_a"), col("__nrm")) >= tau)
+      .select(col("__id"))
+      .distinct()
+    corpus.join(dropped, corpus(idCol) === dropped("__id"), "left_anti")
+  }
 }

@@ -1,0 +1,73 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.sim.Similarity
+
+/** [[Similarity.semanticDedup]] — the SemDeDup rule pinned at unit size:
+  * keep-least-centroid-similar, greedy scan against ALL earlier-ranked
+  * members (dropped or not), clusters fully isolated. */
+class SemanticDedupSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def df(rows: (Long, Int, Seq[Float])*) =
+    rows.toDF("id", "c", "e")
+      .select(col("id"), col("c"), col("e").cast("array<float>"))
+
+  private def kept(d: org.apache.spark.sql.DataFrame, tau: Double): Set[Long] =
+    Similarity.semanticDedup(d, "id", "e", "c", tau)
+      .select("id").as[Long].collect().toSet
+
+  test("the least-centroid-similar member survives; its near-dups drop") {
+    // cluster 0: two near-identical vectors + one off-axis outlier. The
+    // centroid leans toward the pair, so the OUTLIER ranks first (lowest
+    // centroid cosine) and survives; of the pair, the earlier-ranked one
+    // survives and the other drops (cos(pair) ≈ 1 > tau).
+    val d = df(
+      (1L, 0, Seq(1f, 0f)), (2L, 0, Seq(0.999f, 0.04f)),
+      (3L, 0, Seq(0.2f, 0.98f)))
+    val k = kept(d, tau = 0.9)
+    assert(k.contains(3L), "the outlier must survive")
+    assert(k.size == 2 && (k.contains(1L) ^ k.contains(2L)),
+      s"exactly one of the near-dup pair survives: $k")
+  }
+
+  test("greedy scan counts DROPPED earlier members too") {
+    // a ~ b (cos > tau), b ~ c, a !~ c. Rank order (by centroid-sim asc,
+    // id) puts a first. b drops against a; c must STILL drop against b —
+    // the reference implementation scans all earlier-ranked members,
+    // dropped or not — even though c's only above-threshold neighbor was
+    // itself dropped.
+    val a = Seq(1f, 0f, 0f)
+    val b = Seq(0.77f, 0.638f, 0f) // cos(a,b) ≈ 0.77, cos(b,c) ≈ 0.77
+    val c = Seq(0.186f, 0.982f, 0f) // cos(a,c) ≈ 0.19
+    val d = df((1L, 0, a), (2L, 0, b), (3L, 0, c))
+    val k = kept(d, tau = 0.75)
+    // rank is by centroid cosine: verify the premise that a or c ranks
+    // before b (b is centroid-most by construction: it IS the middle)
+    assert(!k.contains(2L), "b drops against an earlier member")
+    assert(k.size == 1 || k.size == 2,
+      s"c's fate follows the greedy rule, never a revival: $k")
+    // exact expectation: centroid ≈ normalize(a+b+c); b is closest to it,
+    // so rank = (a or c), (the other), b. cos(a,c) < tau keeps both; b
+    // drops against whichever of a/b pair-threshold hits first.
+    assert(k == Set(1L, 3L), s"a and c survive, b drops: $k")
+  }
+
+  test("clusters are fully isolated: identical vectors in different " +
+      "clusters both survive") {
+    val v = Seq(1f, 0f)
+    val d = df((1L, 0, v), (2L, 1, v), (3L, 0, v))
+    val k = kept(d, tau = 0.9)
+    assert(k.contains(2L), "the other cluster's copy is untouched")
+    assert((k - 2L).size == 1, s"within cluster 0 one copy survives: $k")
+  }
+
+  test("tau above every pairwise cosine keeps everything") {
+    val d = df((1L, 0, Seq(1f, 0f)), (2L, 0, Seq(0f, 1f)),
+      (3L, 1, Seq(0.6f, 0.8f)))
+    assert(kept(d, tau = 0.99) == Set(1L, 2L, 3L))
+  }
+}
