@@ -20,6 +20,12 @@ import org.apache.spark.sql.functions._
   * All arithmetic is float→double casts + sequential double sums, matching
   * the DuckDB oracle's `list_sum(list_transform(...))` bit for bit.
   */
+/** One incremental SemDeDup step: `kept` — the batch rows surviving the
+  * sweep (original schema) — and `newMembers`, the per-cluster
+  * (cluster, nrm, emb) rows of ALL batch members (kept and dropped), to
+  * be appended to the registry for the next batch. */
+case class SemDedupBatch(kept: DataFrame, newMembers: DataFrame)
+
 object Similarity {
 
   /** Sequential-order double dot product of two float arrays — the native
@@ -325,36 +331,101 @@ object Similarity {
     * embeddings tie exactly and break by id).
     *
     * Scale shape: one VectorMean aggregate for centroids (two-phase,
-    * partial-agg'd), one join back (centroid side is |clusters| rows),
-    * one per-cluster rank window (cluster count is high by construction
-    * — the SemDeDup regime is many small clusters), one within-cluster
-    * pair join, one anti-join. Returns the kept rows of `corpus`,
-    * original schema. */
+    * partial-agg'd), one join back (centroid side is |clusters| rows —
+    * broadcast), one collect-per-cluster shuffle where each embedding
+    * crosses EXACTLY ONCE, the O(m²) greedy sweep run locally per group
+    * by the native [[graft.functions.SemDedupDrops]] kernel (early-break;
+    * rank order computed in-kernel, so no window), one anti-join on the
+    * dropped ids. The declarative within-cluster pair join this replaced
+    * shuffled |cluster|² rows each carrying two embedding arrays (~6 GB
+    * at the q147 bench's 12M pairs); this shape's shuffle is linear in
+    * the corpus. `maxCluster` is the loud-failure knob (the LSH family's
+    * maxBucket): a cluster beyond it means the pre-clustering k is wrong
+    * for the corpus — refuse clearly rather than grind O(m²) or OOM the
+    * collected group. Returns the kept rows of `corpus`, original
+    * schema. */
   def semanticDedup(corpus: DataFrame, idCol: String, embCol: String,
-      clusterCol: String, tau: Double): DataFrame = {
+      clusterCol: String, tau: Double,
+      maxCluster: Int = 200 * 1000): DataFrame = {
     val v = corpus.select(col(clusterCol).as("__c"), col(idCol).as("__id"),
         col(embCol).as("__e"))
       .withColumn("__nrm", l2Norm(col("__e")))
     val cent = v.groupBy(col("__c"))
       .agg(VectorMean.column(col("__e")).as("__ce"))
       .withColumn("__cnrm", l2Norm(col("__ce")))
-    val ranked = v.join(cent, "__c")
+    val members = v.join(broadcast(cent), "__c")
       .withColumn("__csim",
         cosine(col("__e"), col("__ce"), col("__nrm"), col("__cnrm")))
-      .select(col("__c"), col("__id"), col("__e"), col("__nrm"),
-        col("__csim"))
-    val w = Window.partitionBy(col("__c"))
-      .orderBy(col("__csim").asc, col("__id").asc)
-    val r = ranked.withColumn("__rk", row_number().over(w))
-    val earlier = r.select(col("__c"), col("__rk").as("__rk_a"),
-      col("__e").as("__e_a"), col("__nrm").as("__n_a"))
-    val dropped = r.select(col("__c"), col("__id"), col("__rk"),
-        col("__e"), col("__nrm"))
-      .join(earlier, "__c")
-      .filter(col("__rk_a") < col("__rk") &&
-        cosine(col("__e_a"), col("__e"), col("__n_a"), col("__nrm")) >= tau)
-      .select(col("__id"))
-      .distinct()
+      .groupBy(col("__c"))
+      .agg(collect_list(struct(col("__id"), col("__csim"), col("__nrm"),
+        col("__e"))).as("__ms"))
+    val dropsCol = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.SemDedupDrops(
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("__ms")),
+        tau, maxCluster))
+    val dropped = members.select(explode(dropsCol).as("__id"))
     corpus.join(dropped, corpus(idCol) === dropped("__id"), "left_anti")
+  }
+
+  /** Incremental SemDeDup — the production shape for a continuously-
+    * ingested corpus: dedup ONE batch of embeddings against the
+    * accumulated per-cluster member registry, without re-reading or
+    * re-deciding anything already ingested.
+    *
+    * The semantics are the batch rule with rank = (ARRIVAL, csim, id):
+    * every registry member outranks every batch member; within the batch
+    * the order is [[semanticDedup]]'s (csim to the FIXED `centroids`,
+    * id). Registry decisions are immutable — a batch member can never
+    * drop a registry member — and the registry carries ALL prior members
+    * (kept AND dropped: the paper's sweep counts dropped earlier members,
+    * so forgetting them would change later batches). Appending
+    * `newMembers` after each call makes consecutive calls EQUIVALENT to
+    * one pass over the concatenation with that rank — the prefix
+    * property q148's oracle pins cross-engine.
+    *
+    * `centroids` are the one-time k-means assignment's, passed in fixed
+    * ([[kmeansCentroids]] output: one row per cluster, columns
+    * (`clusterCol`, `embCol`)) — recomputing them per batch would
+    * reorder history. `registry` needs columns (`clusterCol`, `nrm`,
+    * `embCol`) — exactly what `newMembers` emits (ids are not needed:
+    * registry members never re-sweep each other and their internal order
+    * cannot affect the batch); pass an empty frame on the first call.
+    * Per cluster the sweep costs O(|registry|·|batch| + |batch|²) in the
+    * native [[graft.functions.SemDedupSweep]] kernel — registry members
+    * are seeds, never re-paired among themselves — and each embedding
+    * still crosses exactly one exchange. `maxCluster` bounds
+    * |registry| + |batch| per cluster, loudly. */
+  def semanticDedupIncremental(batch: DataFrame, idCol: String,
+      embCol: String, clusterCol: String, centroids: DataFrame,
+      registry: DataFrame, tau: Double,
+      maxCluster: Int = 200 * 1000): SemDedupBatch = {
+    val v = batch.select(col(clusterCol).as("__c"), col(idCol).as("__id"),
+        col(embCol).as("__e"))
+      .withColumn("__nrm", l2Norm(col("__e")))
+    val cent = centroids.select(col(clusterCol).as("__c"),
+        col(embCol).as("__ce"))
+      .withColumn("__cnrm", l2Norm(col("__ce")))
+    val members = v.join(broadcast(cent), "__c")
+      .withColumn("__csim",
+        cosine(col("__e"), col("__ce"), col("__nrm"), col("__cnrm")))
+      .groupBy(col("__c"))
+      .agg(collect_list(struct(col("__id"), col("__csim"), col("__nrm"),
+        col("__e"))).as("__ms"))
+    val seeds = registry.select(col(clusterCol).as("__c"),
+        col("nrm").cast("double").as("__snrm"), col(embCol).as("__se"))
+      .groupBy(col("__c"))
+      .agg(collect_list(struct(col("__snrm"), col("__se"))).as("__ss"))
+    val sweepCol = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.SemDedupSweep(
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("__ms")),
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("__ss")),
+        tau, maxCluster))
+    val dropped = members.join(seeds, Seq("__c"), "left")
+      .select(explode(sweepCol).as("__id"))
+    val kept = batch.join(dropped, batch(idCol) === dropped("__id"),
+      "left_anti")
+    val newMembers = v.select(col("__c").as(clusterCol),
+      col("__nrm").as("nrm"), col("__e").as(embCol))
+    SemDedupBatch(kept, newMembers)
   }
 }

@@ -70,4 +70,18 @@ class SemanticDedupSpec extends AnyFunSuite with SparkSpec {
       (3L, 1, Seq(0.6f, 0.8f)))
     assert(kept(d, tau = 0.99) == Set(1L, 2L, 3L))
   }
+
+  test("a cluster over maxCluster fails loudly, naming the knob") {
+    val d = df((1L, 0, Seq(1f, 0f)), (2L, 0, Seq(0f, 1f)),
+      (3L, 0, Seq(0.6f, 0.8f)))
+    val e = intercept[Exception] {
+      Similarity.semanticDedup(d, "id", "e", "c", tau = 0.9, maxCluster = 2)
+        .count()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(m =>
+      m.contains("maxMembers") && m.contains("re-cluster")),
+      s"expected the loud guard message, got: ${chain(e)}")
+  }
 }

@@ -121,6 +121,48 @@ class PlanLintSpec extends AnyFunSuite with SparkSpec {
       s"more than one corpus-text dedup exchange:\n${textEx.mkString("\n")}")
   }
 
+  test("semantic dedup ships each embedding through at most one exchange " +
+      "and plans no window (q146)") {
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    def exchanges(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => exchanges(a.executedPlan)
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e +: e.children.flatMap(exchanges)
+      case other => other.children.flatMap(exchanges)
+    }
+    def windows(p: SparkPlan): Seq[WindowExec] = p match {
+      case a: AdaptiveSparkPlanExec => windows(a.executedPlan)
+      case w: WindowExec => w +: w.children.flatMap(windows)
+      case other => other.children.flatMap(windows)
+    }
+    val plan = SparkEntry.queries("q146_semantic_dedup")(spark, sfDir)
+      .queryExecution.executedPlan
+    // the rank order is computed inside the SemDedupDrops kernel — a
+    // WindowExec here is a regression to the per-cluster sort shuffle
+    assert(windows(plan).isEmpty, s"q146 planned a window:\n$plan")
+    // embeddings may cross exactly one HASH exchange: collected
+    // per-cluster member buffers. (RoundRobin exchanges are the input
+    // fixture's repartition, as in the q98 lint.) The pair-join spelling
+    // this lint guards against shipped |cluster|² rows with TWO
+    // embedding arrays each.
+    def hasFloatArray(t: org.apache.spark.sql.types.DataType): Boolean =
+      t match {
+        case ArrayType(FloatType, _) => true
+        case ArrayType(e, _) => hasFloatArray(e)
+        case s: org.apache.spark.sql.types.StructType =>
+          s.fields.exists(f => hasFloatArray(f.dataType))
+        case m: org.apache.spark.sql.types.MapType =>
+          hasFloatArray(m.keyType) || hasFloatArray(m.valueType)
+        case _ => false
+      }
+    val embEx = exchanges(plan).filter(e =>
+      e.outputPartitioning
+        .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] &&
+        e.output.exists(a => hasFloatArray(a.dataType)))
+    assert(embEx.size <= 1,
+      s"embeddings cross ${embEx.size} exchanges:\n${embEx.mkString("\n")}")
+  }
+
   test("no query plans an unhinted cartesian product") {
     // CartesianProductExec shuffles |left|×|right| — every intentional
     // cross join in the engine is broadcast (BroadcastNestedLoopJoin over
