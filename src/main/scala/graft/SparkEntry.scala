@@ -159,6 +159,7 @@ object SparkEntry {
     "q145_versioned_mor" -> (CdcQueries.q145VersionedMor _),
     "q146_semantic_dedup" -> (PipelineQueries.q146SemanticDedup _),
     "q147_semdedup_scale30" -> (PipelineQueries.q147SemdedupScale30 _),
+    "q148_incr_semdedup" -> (PipelineQueries.q148IncrementalSemdedup _),
   )
 
   /** Untimed per-query setup the bench runs before timing (ingest-side
@@ -190,7 +191,7 @@ object SparkEntry {
     "q115_dsir_scale10", "q117_dsir_scale100",
     "q126_asof_hot", "q127_asof_uniform",
     "q131_heavy_hitters", "q132_ccnet_buckets", "q146_semantic_dedup",
-    "q147_semdedup_scale30")
+    "q147_semdedup_scale30", "q148_incr_semdedup")
 
   /** Bench entries long enough (tens of seconds — the ×100 scale pass)
     * that scheduling noise is <2% of runtime: they get one timed pass
@@ -348,6 +349,7 @@ object SparkEntry {
     "q145_versioned_mor" -> CdcQueries.q20CdcMergeSql,
     "q146_semantic_dedup" -> PipelineQueries.q146SemanticDedupSql,
     "q147_semdedup_scale30" -> PipelineQueries.q147SemdedupScale30Sql,
+    "q148_incr_semdedup" -> PipelineQueries.q148IncrementalSemdedupSql,
   )
 
   /** DECLARED oracle-less entries: queries whose semantics are not

@@ -76,6 +76,19 @@ import graft.text.{HeavyHitters, TextOps}
   *    one-job rescan is simply cheaper — the state pays off where
   *    history outweighs the constant, the regime the operator exists
   *    for, and the gap widens linearly beyond.
+  *  - `m_semdedup_fold_x10/x30` vs `m_semdedup_rebuild_x10/x30`:
+  *    incremental SemDeDup ([[graft.sim.Similarity.semanticDedupIncremental]],
+  *    pinned by q148) — sweep one ×1 embedding batch against the
+  *    accumulated per-cluster registry vs re-running the batch rule over
+  *    history ∪ batch. Per cluster the fold pays O(|hist|·|batch| +
+  *    |batch|²) cosine pairs (registry members are seeds, never
+  *    re-paired), the rebuild O((|hist|+|batch|)²) — so across the
+  *    ×10→×30 history knob the fold must stay ~flat (3× pairs, inside
+  *    the job constant at this size) while the rebuild grows ~9×.
+  *    Measured (2026-08-15, min-of-2, same invocation): fold
+  *    0.77 / 0.64 s — flat — vs rebuild 1.96 → 7.18 s; the fold wins
+  *    2.6× at ×10 and 11× at ×30, the gap widening quadratically with
+  *    accumulation, the regime the registry exists for.
   *  - `m_hll_fold_x100/x1000` vs `m_hll_rescan_x100/x1000`: incremental
   *    distinct-count maintenance ([[SketchState]], pinned by q135) — fold
   *    ONE new batch into the stored per-group sketch state vs re-sketching
@@ -300,6 +313,45 @@ object ScaleBench {
 
   private def noop(df: DataFrame): Unit =
     df.write.mode("overwrite").format("noop").save()
+
+  /** Per-cluster ACCUMULATION history for the incremental SemDeDup pair:
+    * ×times the embeddings table landed in the SAME clusters under
+    * distinct ids — the axis that prices a registry (every batch must be
+    * swept against everything already ingested; cluster-count growth, the
+    * corpus axis, just adds independent groups). */
+  private def semHistory(s: SparkSession, dir: String, times: Int): DataFrame =
+    materialized(s, s"semhist_x$times") {
+      graft.Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"), col("label"),
+          graft.ops.Replicate.rep(times).as("r"))
+        .select((col("vec_id") * times + col("r") + lit(1000000L)).as("vec_id"),
+          col("embedding"), col("label"))
+        .repartition(s.sparkContext.defaultParallelism)
+    }
+
+  /** The history as the registry the fold consumes: (label, nrm,
+    * embedding) — what `newMembers` accumulates; nrm precomputed, ids
+    * not needed (registry members never re-sweep each other). */
+  private def semRegistry(s: SparkSession, dir: String, times: Int): DataFrame =
+    materialized(s, s"semreg_x$times") {
+      semHistory(s, dir, times).select(col("label"),
+        graft.sim.Similarity.l2Norm(col("embedding")).as("nrm"),
+        col("embedding"))
+    }
+
+  /** Fixed centroids (per-label means of the ×1 table — the one-time
+    * k-means stand-in q148 also uses). */
+  private def semCentroids(s: SparkSession, dir: String): DataFrame =
+    materialized(s, "semcents") {
+      graft.Tables.load(s, dir, "embeddings").groupBy(col("label"))
+        .agg(graft.sim.VectorMean.column(col("embedding")).as("embedding"))
+    }
+
+  private def semBatch(s: SparkSession, dir: String): DataFrame =
+    materialized(s, "sembatch") {
+      graft.Tables.load(s, dir, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism)
+    }
 
   def entries: Seq[(String, (SparkSession, String) => () => Unit)] = Seq(
     "m_hh_mg_x100" -> ((s, dir) => {
@@ -579,6 +631,48 @@ object ScaleBench {
       val dims = asofFixture(s, dir, "dims")
       () => noop(graft.operators.AsofJoin.asof(facts, dims,
         "user_id", "ts_us", Seq("state_id", "state_value")))
+    }),
+    // incremental SemDeDup (q148) vs re-deciding the accumulated corpus:
+    // the fold sweeps the batch against the registry — O(|hist|·|batch| +
+    // |batch|²) cosine pairs per cluster, registry members never re-paired
+    // — where the rebuild re-runs the batch rule over history ∪ batch,
+    // O((|hist|+|batch|)²). Across the ×10→×30 knob the fold's pair count
+    // grows ~3× (linear in history) and the rebuild's ~9× (quadratic);
+    // both sides read the same materialized fixtures and share the fixed
+    // centroids.
+    "m_semdedup_fold_x10" -> ((s, dir) => {
+      val reg = semRegistry(s, dir, 10)
+      val cents = semCentroids(s, dir)
+      val batch = semBatch(s, dir)
+      () => noop(graft.sim.Similarity.semanticDedupIncremental(batch,
+        "vec_id", "embedding", "label", cents, reg, tau = 0.3).kept)
+    }),
+    "m_semdedup_fold_x30" -> ((s, dir) => {
+      val reg = semRegistry(s, dir, 30)
+      val cents = semCentroids(s, dir)
+      val batch = semBatch(s, dir)
+      () => noop(graft.sim.Similarity.semanticDedupIncremental(batch,
+        "vec_id", "embedding", "label", cents, reg, tau = 0.3).kept)
+    }),
+    "m_semdedup_rebuild_x10" -> ((s, dir) => {
+      val hist = semHistory(s, dir, 10)
+      val cents = semCentroids(s, dir)
+      val batch = semBatch(s, dir)
+      val empty = batch.select(col("label"), lit(0.0).as("nrm"),
+        col("embedding")).limit(0)
+      () => noop(graft.sim.Similarity.semanticDedupIncremental(
+        hist.unionByName(batch), "vec_id", "embedding", "label", cents,
+        empty, tau = 0.3).kept)
+    }),
+    "m_semdedup_rebuild_x30" -> ((s, dir) => {
+      val hist = semHistory(s, dir, 30)
+      val cents = semCentroids(s, dir)
+      val batch = semBatch(s, dir)
+      val empty = batch.select(col("label"), lit(0.0).as("nrm"),
+        col("embedding")).limit(0)
+      () => noop(graft.sim.Similarity.semanticDedupIncremental(
+        hist.unionByName(batch), "vec_id", "embedding", "label", cents,
+        empty, tau = 0.3).kept)
     }))
 
   /** Time each side strictly interleaved — A,B,A,B,A,B — and report the

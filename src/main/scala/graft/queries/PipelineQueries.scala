@@ -1377,6 +1377,69 @@ object PipelineQueries {
           |  FROM embeddings CROSS JOIN range(30) r),
           |v AS (""".stripMargin)
 
+  // --------------------------------------------------------------- q148
+  /** Incremental SemDeDup ([[graft.sim.Similarity.semanticDedupIncremental]]):
+    * even vec_ids arrive first (against an empty registry), odd vec_ids
+    * second (against the registry of ALL first-batch members, kept and
+    * dropped) — centroids fixed up front as the whole-corpus per-label
+    * means, the one-time k-means stand-in. The oracle runs the batch rule
+    * over everything with rank = (arrival, csim, vec_id) — the
+    * concatenation the two incremental calls must be exactly equivalent
+    * to (the prefix property) — so both calls' kept sets are pinned in
+    * one result. */
+  def q148IncrementalSemdedup(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val centroids = e.groupBy(col("label"))
+      .agg(graft.sim.VectorMean.column(col("embedding")).as("embedding"))
+    val emptyReg = e.select(col("label"), lit(0.0).as("nrm"),
+      col("embedding")).limit(0)
+    val r1 = Similarity.semanticDedupIncremental(
+      e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", "label",
+      centroids, emptyReg, tau = 0.3)
+    val r2 = Similarity.semanticDedupIncremental(
+      e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", "label",
+      centroids, r1.newMembers, tau = 0.3)
+    r1.kept.unionByName(r2.kept)
+      .select(col("vec_id"), col("label"))
+      .orderBy("vec_id")
+  }
+
+  val q148IncrementalSemdedupSql: String =
+    """WITH v AS (
+      |  SELECT label, vec_id, vec_id % 2 AS arr,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+      |    sqrt(list_sum(list_transform(embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      |  FROM embeddings),
+      |ex AS (
+      |  SELECT label,
+      |    unnest(range(len(e))) AS dim,
+      |    unnest(e) AS x
+      |  FROM v),
+      |cm AS (SELECT label, dim, SUM(x) / COUNT(*) AS m
+      |  FROM ex GROUP BY label, dim),
+      |cent AS (
+      |  SELECT label, list(m ORDER BY dim) AS ce FROM cm GROUP BY label),
+      |cs AS (
+      |  SELECT v.label, vec_id, arr, e, nrm,
+      |    list_sum(list_transform(range(1, len(e) + 1),
+      |      i -> e[i] * ce[i]))
+      |      / (nrm * sqrt(list_sum(list_transform(ce, x -> x * x))))
+      |      AS csim
+      |  FROM v JOIN cent ON v.label = cent.label),
+      |rk AS (
+      |  SELECT *, row_number() OVER
+      |    (PARTITION BY label ORDER BY arr, csim, vec_id) AS r
+      |  FROM cs),
+      |dropped AS (
+      |  SELECT DISTINCT b.vec_id
+      |  FROM rk a JOIN rk b ON a.label = b.label AND a.r < b.r
+      |  WHERE list_sum(list_transform(range(1, len(a.e) + 1),
+      |      i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm) >= 0.3)
+      |SELECT vec_id, label FROM embeddings
+      |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+      |ORDER BY vec_id""".stripMargin
+
   // ---------------------------------------------------------------- q97
   /** Intra-document repetition metrics + keep/drop verdict
     * ([[graft.text.Repetition]]) — the boilerplate/degenerate-repetition

@@ -71,6 +71,68 @@ class SemanticDedupSpec extends AnyFunSuite with SparkSpec {
     assert(kept(d, tau = 0.99) == Set(1L, 2L, 3L))
   }
 
+  private def centroidsOf(d: org.apache.spark.sql.DataFrame) =
+    d.groupBy(col("c"))
+      .agg(graft.sim.VectorMean.column(col("e")).as("e"))
+
+  private def emptyReg(d: org.apache.spark.sql.DataFrame) =
+    d.select(col("c"), lit(0.0).as("nrm"), col("e")).limit(0)
+
+  private def keptInc(batch: org.apache.spark.sql.DataFrame,
+      centroids: org.apache.spark.sql.DataFrame,
+      registry: org.apache.spark.sql.DataFrame, tau: Double): Set[Long] =
+    Similarity.semanticDedupIncremental(batch, "id", "e", "c",
+        centroids, registry, tau)
+      .kept.select("id").as[Long].collect().toSet
+
+  test("incremental: a registry seed drops a batch near-dup; the batch " +
+      "never re-decides the registry") {
+    val all = df(
+      (1L, 0, Seq(1f, 0f)), // batch 1
+      (2L, 0, Seq(0.999f, 0.04f)), (3L, 0, Seq(0.2f, 0.98f))) // batch 2
+    val cents = centroidsOf(all)
+    val r1 = Similarity.semanticDedupIncremental(
+      all.filter(col("id") === 1L), "id", "e", "c", cents, emptyReg(all),
+      tau = 0.9)
+    assert(r1.kept.select("id").as[Long].collect().toSet == Set(1L))
+    val k2 = keptInc(all.filter(col("id") =!= 1L), cents, r1.newMembers,
+      tau = 0.9)
+    assert(k2 == Set(3L),
+      s"the near-dup of the seed drops, the outlier survives: $k2")
+  }
+
+  test("incremental: the registry carries DROPPED members — a later " +
+      "batch still drops against them") {
+    // call 1: a ~ b (cos > tau), b drops against a. call 2: c ~ b only.
+    // c must STILL drop — the registry ships all prior members, kept and
+    // dropped, exactly like the batch rule's greedy scan.
+    val a = Seq(1f, 0f, 0f)
+    val b = Seq(0.77f, 0.638f, 0f)
+    val c = Seq(0.186f, 0.982f, 0f) // cos(b,c) ≈ 0.77, cos(a,c) ≈ 0.19
+    val all = df((1L, 0, a), (2L, 0, b), (3L, 0, c))
+    val cents = centroidsOf(all)
+    val r1 = Similarity.semanticDedupIncremental(
+      all.filter(col("id") < 3L), "id", "e", "c", cents, emptyReg(all),
+      tau = 0.75)
+    assert(r1.kept.select("id").as[Long].collect().toSet == Set(1L),
+      "b drops against a within the first batch")
+    val k2 = keptInc(all.filter(col("id") === 3L), cents, r1.newMembers,
+      tau = 0.75)
+    assert(k2.isEmpty, s"c must drop against the DROPPED b: $k2")
+  }
+
+  test("incremental with an empty registry equals batch semanticDedup " +
+      "when given the same centroids") {
+    val d = df(
+      (1L, 0, Seq(1f, 0f)), (2L, 0, Seq(0.999f, 0.04f)),
+      (3L, 0, Seq(0.2f, 0.98f)), (4L, 1, Seq(0f, 1f)),
+      (5L, 1, Seq(0.04f, 0.999f)), (6L, 1, Seq(0.9f, 0.44f)))
+    // batch semanticDedup computes per-cluster centroids internally as
+    // the members' mean — hand the SAME means to the incremental form
+    val inc = keptInc(d, centroidsOf(d), emptyReg(d), tau = 0.9)
+    assert(inc == kept(d, tau = 0.9), s"incremental ≠ batch: $inc")
+  }
+
   test("a cluster over maxCluster fails loudly, naming the knob") {
     val d = df((1L, 0, Seq(1f, 0f)), (2L, 0, Seq(0f, 1f)),
       (3L, 0, Seq(0.6f, 0.8f)))

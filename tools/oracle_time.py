@@ -25,7 +25,7 @@ HEADLINE = [
     "q87_scale100_join", "q94_bucketed_join", "q98_span_dedup",
     "q100_spandedup_scale10", "q102_incremental_spans",
     "q115_dsir_scale10", "q117_dsir_scale100",
-    "q146_semantic_dedup", "q147_semdedup_scale30",
+    "q146_semantic_dedup", "q147_semdedup_scale30", "q148_incr_semdedup",
 ]
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
