@@ -332,7 +332,9 @@ object Similarity {
     *
     * Scale shape: one VectorMean aggregate for centroids (two-phase,
     * partial-agg'd), one join back (centroid side is |clusters| rows —
-    * broadcast), one collect-per-cluster shuffle where each embedding
+    * unhinted: AQE broadcasts while it fits, and the shuffle fallback
+    * co-locates on the cluster key the groupBy reuses), one
+    * collect-per-cluster shuffle where each embedding
     * crosses EXACTLY ONCE, the O(m²) greedy sweep run locally per group
     * by the native [[graft.functions.SemDedupDrops]] kernel (early-break;
     * rank order computed in-kernel, so no window), one anti-join on the
@@ -353,7 +355,13 @@ object Similarity {
     val cent = v.groupBy(col("__c"))
       .agg(VectorMean.column(col("__e")).as("__ce"))
       .withColumn("__cnrm", l2Norm(col("__ce")))
-    val members = v.join(broadcast(cent), "__c")
+    // no broadcast hint: the centroid side grows with the cluster count
+    // (∝ corpus in the SemDeDup regime), so a forced broadcast would OOM
+    // the driver at scale. AQE broadcasts while it fits; the shuffle-join
+    // fallback co-locates on __c and is REUSED by the groupBy below, so
+    // either plan ships each embedding through exactly one exchange (the
+    // PlanLintSpec property).
+    val members = v.join(cent, "__c")
       .withColumn("__csim",
         cosine(col("__e"), col("__ce"), col("__nrm"), col("__cnrm")))
       .groupBy(col("__c"))
@@ -405,7 +413,9 @@ object Similarity {
     val cent = centroids.select(col(clusterCol).as("__c"),
         col(embCol).as("__ce"))
       .withColumn("__cnrm", l2Norm(col("__ce")))
-    val members = v.join(broadcast(cent), "__c")
+    // unhinted for the same reason as [[semanticDedup]]: |centroids| ∝
+    // corpus in the SemDeDup regime; AQE broadcasts while small
+    val members = v.join(cent, "__c")
       .withColumn("__csim",
         cosine(col("__e"), col("__ce"), col("__nrm"), col("__cnrm")))
       .groupBy(col("__c"))
