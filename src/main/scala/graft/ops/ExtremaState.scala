@@ -212,7 +212,11 @@ object ExtremaState {
       .select(groupCol.cast("string").as("group"),
         asDoubleExact(valueCol, vType, "repair").as("v"))
       .as("b")
-      .join(broadcast(flagged.as("f")),
+      // unhinted: flagged is batch-bounded (exhausted groups only), but a
+      // pathological delete batch can flag millions of groups — degrade to
+      // a shuffle semi-join instead of OOMing the driver (AQE broadcasts
+      // while it fits)
+      .join(flagged.as("f"),
         col("b.group") <=> col("f.group"), "left_semi")
       .filter(col("v").isNotNull)
       .groupBy(col("group"), col("v")).agg(count(lit(1)).as("c"))
@@ -250,7 +254,7 @@ object ExtremaState {
       .select(coalesce(col("mx.group"), col("mn.group")).as("group"),
         col("mx.buf").as("max_buf"), col("mx.wm").as("max_wm"),
         col("mn.buf").as("min_buf"), col("mn.wm").as("min_wm"))
-    state.as("s").join(broadcast(flagged.as("f2")),
+    state.as("s").join(flagged.as("f2"),
         col("s.group") <=> col("f2.group"), "left_anti")
       .unionByName(rebuilt)
   }
