@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Stage decomposition for q42 (MinHash+LSH near-dup pairs, the slowest
+  * min-of-3 analytic entry at ~4.9 s): time each pipeline stage CUMULATIVELY
+  * (every stage re-derives its upstream, so stage-minus-previous attributes
+  * the increment) so the next optimization targets the measured stage, not
+  * the assumed one. Mirrors [[Q100Profile]]'s role. Run:
+  * SPARK_GRAFT_SF_DIR=… runMain graft.Q42Profile. */
+object Q42Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("text"))
+    docs0.write.mode("overwrite").parquet("/tmp/q42prof_docs")
+    def docs = spark.read.parquet("/tmp/q42prof_docs")
+
+    def noop(df: DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
+    def time(tag: String)(f: => Unit): Unit = {
+      f // warmup
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      println(f"$tag%-28s min ${ts.min}%.3f  runs ${ts.map(t => f"$t%.3f").mkString(" ")}")
+    }
+
+    import graft.text.TextOps
+    val n = 2
+    val numHashes = 128
+
+    def norm = docs
+      .select(col("doc_id").as("doc"), TextOps.normalized(col("text")).as("__t"))
+      .filter(length(col("__t")) > 0)
+    def sh = norm
+      .select(col("doc"), TextOps.words(col("__t")).as("__w"))
+      .select(col("doc"),
+        explode(array_distinct(TextOps.wordShingles(col("__w"), n)))
+          .as("shingle"))
+
+    time("normalize_only") { noop(norm) }
+    time("shingle_explode") { noop(sh) }
+    time("shingle_h0") {
+      noop(sh.select(col("doc"), xxhash64(col("shingle")).as("__h0")))
+    }
+    time("signatures_128min") {
+      noop(graft.dedup.Dedup.minHashSignatures(sh, numHashes))
+    }
+    // the full operator, exactly as q42 runs it
+    time("full_q42") {
+      noop(graft.dedup.Dedup.minHashLsh(docs, "doc_id", "text", n = 2,
+        bands = 16, rowsPerBand = 8, threshold = 0.9))
+    }
+
+    spark.stop()
+  }
+}
