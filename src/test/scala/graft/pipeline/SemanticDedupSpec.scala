@@ -133,6 +133,31 @@ class SemanticDedupSpec extends AnyFunSuite with SparkSpec {
     assert(inc == kept(d, tau = 0.9), s"incremental ≠ batch: $inc")
   }
 
+  test("composes with kmeansCentroids + assignClusters when no cluster " +
+      "column exists (the scaladoc's no-labels path)") {
+    // two tight direction groups, far apart: k-means with k=2 separates
+    // them, then semantic dedup collapses each group's near-identical
+    // tail — the end-to-end path a user without precomputed labels runs
+    val d = Seq(
+      (1L, Seq(1f, 0.01f)), (2L, Seq(0.999f, 0.03f)), (3L, Seq(0.997f, 0f)),
+      (4L, Seq(0.01f, 1f)), (5L, Seq(0.02f, 0.999f)))
+      .toDF("id", "e")
+      .select(col("id"), col("e").cast("array<float>"))
+    val cents = Similarity.kmeansCentroids(d, "id", "e", nCentroids = 2,
+      iterations = 2)
+    val assigned = Similarity.assignClusters(d, cents, "id", "e")
+    val kept = Similarity.semanticDedup(assigned, "id", "e", "cluster",
+        tau = 0.95)
+      .select("id").as[Long].collect().toSet
+    // each direction group keeps at least one member and drops at least
+    // one near-duplicate; members of different groups never interact
+    assert(kept.intersect(Set(1L, 2L, 3L)).nonEmpty &&
+      kept.intersect(Set(1L, 2L, 3L)).size < 3,
+      s"group A must dedup internally: $kept")
+    assert(kept.intersect(Set(4L, 5L)).size == 1,
+      s"group B keeps exactly one of its near-identical pair: $kept")
+  }
+
   test("a cluster over maxCluster fails loudly, naming the knob") {
     val d = df((1L, 0, Seq(1f, 0f)), (2L, 0, Seq(0f, 1f)),
       (3L, 0, Seq(0.6f, 0.8f)))
