@@ -414,8 +414,11 @@ object Similarity {
         col(embCol).as("__ce"))
       .withColumn("__cnrm", l2Norm(col("__ce")))
     // unhinted for the same reason as [[semanticDedup]]: |centroids| ∝
-    // corpus in the SemDeDup regime; AQE broadcasts while small
-    val members = v.join(cent, "__c")
+    // corpus in the SemDeDup regime; AQE broadcasts while small. LEFT
+    // join: a batch cluster absent from the fixed centroids must still
+    // dedup (null csim just ranks its members by id) — an inner join
+    // would silently exempt the whole cluster from the sweep.
+    val members = v.join(cent, Seq("__c"), "left")
       .withColumn("__csim",
         cosine(col("__e"), col("__ce"), col("__nrm"), col("__cnrm")))
       .groupBy(col("__c"))

@@ -158,6 +158,16 @@ class SemanticDedupSpec extends AnyFunSuite with SparkSpec {
       s"group B keeps exactly one of its near-identical pair: $kept")
   }
 
+  test("incremental: a batch cluster missing from the fixed centroids " +
+      "still dedups (ranked by id), never silently survives") {
+    val v = Seq(1f, 0f)
+    val d = df((1L, 7, v), (2L, 7, v)) // cluster 7 has no centroid row
+    val cents = centroidsOf(df((9L, 0, Seq(0f, 1f)))) // only cluster 0
+    val k = keptInc(d, cents, emptyReg(d), tau = 0.9)
+    assert(k == Set(1L), s"the id-ranked first copy survives, the " +
+      s"duplicate drops even without a centroid: $k")
+  }
+
   test("a cluster over maxCluster fails loudly, naming the knob") {
     val d = df((1L, 0, Seq(1f, 0f)), (2L, 0, Seq(0f, 1f)),
       (3L, 0, Seq(0.6f, 0.8f)))
