@@ -344,8 +344,11 @@ object Similarity {
     * the corpus. `maxCluster` is the loud-failure knob (the LSH family's
     * maxBucket): a cluster beyond it means the pre-clustering k is wrong
     * for the corpus — refuse clearly rather than grind O(m²) or OOM the
-    * collected group. Returns the kept rows of `corpus`, original
-    * schema. */
+    * collected group. NULL cluster ids pass through UNDEDUPED (the
+    * centroid equi-join drops null keys in both this plan and the SQL
+    * oracle's spelling — engine-agreed "unassigned docs are kept";
+    * run [[assignClusters]] first if they must participate). Returns
+    * the kept rows of `corpus`, original schema. */
   def semanticDedup(corpus: DataFrame, idCol: String, embCol: String,
       clusterCol: String, tau: Double,
       maxCluster: Int = 200 * 1000): DataFrame = {
@@ -402,13 +405,20 @@ object Similarity {
     * native [[graft.functions.SemDedupSweep]] kernel — registry members
     * are seeds, never re-paired among themselves — and each embedding
     * still crosses exactly one exchange. `maxCluster` bounds
-    * |registry| + |batch| per cluster, loudly. */
+    * |registry| + |batch| per cluster, loudly. NULL cluster ids pass
+    * through undeduped and never enter `newMembers` (the batch form's
+    * contract — assign clusters first if they must participate). */
   def semanticDedupIncremental(batch: DataFrame, idCol: String,
       embCol: String, clusterCol: String, centroids: DataFrame,
       registry: DataFrame, tau: Double,
       maxCluster: Int = 200 * 1000): SemDedupBatch = {
+    // null cluster ids pass through undeduped and never enter the
+    // registry — the batch form's contract; grouping them would sweep
+    // every unassigned doc against every other (one unbounded
+    // pseudo-cluster)
     val v = batch.select(col(clusterCol).as("__c"), col(idCol).as("__id"),
         col(embCol).as("__e"))
+      .filter(col("__c").isNotNull)
       .withColumn("__nrm", l2Norm(col("__e")))
     val cent = centroids.select(col(clusterCol).as("__c"),
         col(embCol).as("__ce"))

@@ -168,6 +168,23 @@ class SemanticDedupSpec extends AnyFunSuite with SparkSpec {
       s"duplicate drops even without a centroid: $k")
   }
 
+  test("null cluster ids pass through undeduped in both forms and never " +
+      "enter the registry") {
+    val v = Seq(1f, 0f)
+    val rows = Seq[(Long, Option[Int], Seq[Float])](
+      (1L, None, v), (2L, None, v), (3L, Some(0), v))
+    val d = rows.toDF("id", "c", "e")
+      .select(col("id"), col("c"), col("e").cast("array<float>"))
+    // batch form: the two unassigned duplicates both survive
+    assert(kept(d, tau = 0.9).intersect(Set(1L, 2L)) == Set(1L, 2L))
+    // incremental: same, and newMembers carries only the assigned row
+    val r = Similarity.semanticDedupIncremental(d, "id", "e", "c",
+      centroidsOf(d.filter(col("c").isNotNull)), emptyReg(d), tau = 0.9)
+    assert(r.kept.select("id").as[Long].collect().toSet
+      .intersect(Set(1L, 2L)) == Set(1L, 2L))
+    assert(r.newMembers.count() == 1)
+  }
+
   test("a cluster over maxCluster fails loudly, naming the knob") {
     val d = df((1L, 0, Seq(1f, 0f)), (2L, 0, Seq(0f, 1f)),
       (3L, 0, Seq(0.6f, 0.8f)))
