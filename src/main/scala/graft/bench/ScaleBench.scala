@@ -110,7 +110,11 @@ import graft.text.{HeavyHitters, TextOps}
   *    inputs identical by construction). q126/q127 established the
   *    bucketed path's skew win (hot key within 1.35× of uniform); this
   *    pair records what the bucket-level carry-in machinery costs when
-  *    there is NO skew to defeat — if ~free, bucketed can be the default.
+  *    there is NO skew to defeat — if ~free, bucketed could be the
+  *    default. The recorded answer: NOT free (≈2× on uniform keys,
+  *    0.85 vs 0.41 s in the r12 full run, directionally stable across
+  *    rounds) — plain stays the default, bucketed is the skew weapon
+  *    q126 prices.
   */
 object ScaleBench {
 
