@@ -41,9 +41,11 @@ case class SpanBatch(cleaned: DataFrame, newSpans: DataFrame)
   * bytes per span and ~8 per survivor, and the one text exchange is
   * corpus-sized exactly once — or zero on a corpus ingested bucketed by
   * doc id, where the join consumes the bucketing. PlanLintSpec pins the
-  * no-text-in-dedup-exchanges property on q98's physical plan.) The key is 128-bit (two independent
-  * xxhash64 lanes — see [[graft.functions.SpanHashes]] for the collision
-  * arithmetic): at corpus scale (billions of distinct spans) a single
+  * no-text-in-dedup-exchanges property on q98's physical plan.) The key
+  * is 16 bytes from two 64-bit lanes of DIFFERENT hash families
+  * (xxhash64 + murmur2-64 — see [[graft.functions.SpanHashes]] for the
+  * collision arithmetic and why same-family two-seed lanes would be
+  * weaker): at corpus scale (billions of distinct spans) a single
   * 64-bit key would already be birthday-colliding and silently merging
   * unrelated spans. No windows, no driver-side state; every aggregate
   * is partial-aggregatable.
@@ -135,15 +137,45 @@ object SpanDedup {
           lit("")).as("clean_text"))
   }
 
+  /** Rows whose id is NULL cannot hold a corpus-order position, so they
+    * do not participate in dedup at all: they pass through with every
+    * span kept (`n_kept = n_spans`, `clean_text` = the full normalized
+    * text) — the same null-key contract
+    * [[graft.sim.Similarity.semanticDedup]] uses for null cluster ids.
+    * (Without the explicit branch a null id would silently LOSE every
+    * span — SQL min skips the null packed key — and reassemble to empty
+    * text, and a span occurring only in null-id docs would vanish from
+    * the corpus.) The branch is only planned when the id column is
+    * nullable, so non-nullable pipelines keep the exact plan shape
+    * PlanLintSpec pins. */
+  private def nullIdPassthrough(df: DataFrame, idCol: String,
+      textCol: String, k: Int): DataFrame = {
+    val ws = TextOps.tokens(col(textCol))
+    val n = coalesce(
+      floor((size(ws) + (k - 1)) / k.toDouble).cast("long"), lit(0L))
+    df.filter(col(idCol).isNull)
+      .select(col(idCol),
+        n.as("n_spans"), n.as("n_kept"),
+        coalesce(concat_ws(" ", ws), lit("")).as("clean_text"))
+  }
+
   /** Per-document result: `n_spans`, `n_kept` (spans surviving corpus-level
     * dedup), and `clean_text` (the document rebuilt from surviving spans,
     * space-joined; empty when nothing survives). Documents whose text
     * normalizes to nothing still appear, with their single empty span
-    * subject to the same first-occurrence rule. */
+    * subject to the same first-occurrence rule. NULL-id documents do not
+    * participate in dedup — they pass through with all spans kept (see
+    * [[nullIdPassthrough]]); every non-null id must be integral (corpus
+    * order), enforced loudly. */
   def clean(df: DataFrame, idCol: String, textCol: String, k: Int = 3)
       : DataFrame = {
-    val (base, spans) = spansOf(df, idCol, textCol, k)
-    dedupAndRebuild(base, spans, idCol, k)
+    val part = if (df.schema(idCol).nullable)
+      df.filter(col(idCol).isNotNull) else df
+    val (base, spans) = spansOf(part, idCol, textCol, k)
+    val deduped = dedupAndRebuild(base, spans, idCol, k)
+    if (df.schema(idCol).nullable)
+      deduped.unionByName(nullIdPassthrough(df, idCol, textCol, k))
+    else deduped
   }
 
   /** Incremental form — the production shape for a continuously-ingested
@@ -155,14 +187,22 @@ object SpanDedup {
     * in the registry (anti-join) AND it is the batch-first occurrence
     * (same winner rule as [[clean]]). Appending `newSpans` to the
     * registry makes consecutive batches equivalent to one [[clean]] over
-    * their concatenation in batch order. Never call an action on
-    * `cleaned`/`newSpans` twice without persisting if the batch source is
-    * non-deterministic. */
+    * their concatenation in batch order. NULL-id rows pass through with
+    * all spans kept and contribute NOTHING to `newSpans` (they never
+    * deduped, so registering their spans would let an orderless row
+    * suppress later real occurrences) — same contract as [[clean]].
+    * Never call an action on `cleaned`/`newSpans` twice without
+    * persisting if the batch source is non-deterministic. */
   def incremental(batch: DataFrame, idCol: String, textCol: String,
       registry: DataFrame, k: Int = 3): SpanBatch = {
-    val (base, spans) = spansOf(batch, idCol, textCol, k)
+    val part = if (batch.schema(idCol).nullable)
+      batch.filter(col(idCol).isNotNull) else batch
+    val (base, spans) = spansOf(part, idCol, textCol, k)
     val fresh = spans.join(registry.select(col("h")), Seq("h"), "left_anti")
-    val cleaned = dedupAndRebuild(base, fresh, idCol, k)
+    val deduped = dedupAndRebuild(base, fresh, idCol, k)
+    val cleaned = if (batch.schema(idCol).nullable)
+      deduped.unionByName(nullIdPassthrough(batch, idCol, textCol, k))
+    else deduped
     SpanBatch(cleaned, fresh.select(col("h")).distinct())
   }
 }

@@ -46,7 +46,10 @@ import org.apache.spark.sql.types._
   * matters). Group columns may be any hashable type, nulls included;
   * array-valued group columns (BinaryType surfaces as `Array[Byte]`,
   * which compares by REFERENCE) are normalized to a value-equal wrapper
-  * before keying, so equal byte strings land in one group slot.
+  * before keying — RECURSIVELY, through Seq elements, struct (Row)
+  * fields, and map entries — so equal byte strings land in one group
+  * slot whether they appear top-level or nested (array<binary>, a
+  * binary struct field, …).
   */
 object ReplicateAgg {
 
@@ -75,10 +78,18 @@ object ReplicateAgg {
       val counts = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
       val vals = new Array[Long](nSums)
       // Array values (BinaryType -> Array[Byte]) hash/compare by
-      // reference: key on a value-equal wrapper, emit the raw original
+      // reference: key on a value-equal wrapper, emit the raw original.
+      // Recurses through Seq/Row/Map containers so NESTED arrays —
+      // array<binary> elements, binary struct fields — also key by
+      // value instead of fragmenting into per-reference group slots.
       def norm(v: Any): Any = v match {
         case a: Array[_] =>
-          scala.collection.immutable.ArraySeq.unsafeWrapArray(a)
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(
+            a.map(x => norm(x)))
+        case s: scala.collection.Seq[_] => s.map(norm)
+        case r: Row => Row.fromSeq(r.toSeq.map(norm))
+        case m: scala.collection.Map[_, _] =>
+          m.map { case (k, v2) => (norm(k), norm(v2)) }
         case other => other
       }
       while (it.hasNext) {

@@ -4,6 +4,12 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+/** One incremental SemDeDup step: `kept` — the batch rows surviving the
+  * sweep (original schema) — and `newMembers`, the per-cluster
+  * (cluster, nrm, emb) rows of ALL batch members (kept and dropped), to
+  * be appended to the registry for the next batch. */
+case class SemDedupBatch(kept: DataFrame, newMembers: DataFrame)
+
 /** Embedding similarity search over an `Array[Float]` column.
   *
   * Two paths:
@@ -20,12 +26,6 @@ import org.apache.spark.sql.functions._
   * All arithmetic is float→double casts + sequential double sums, matching
   * the DuckDB oracle's `list_sum(list_transform(...))` bit for bit.
   */
-/** One incremental SemDeDup step: `kept` — the batch rows surviving the
-  * sweep (original schema) — and `newMembers`, the per-cluster
-  * (cluster, nrm, emb) rows of ALL batch members (kept and dropped), to
-  * be appended to the registry for the next batch. */
-case class SemDedupBatch(kept: DataFrame, newMembers: DataFrame)
-
 object Similarity {
 
   /** Sequential-order double dot product of two float arrays — the native

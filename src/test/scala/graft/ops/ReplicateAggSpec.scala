@@ -54,4 +54,28 @@ class ReplicateAggSpec extends AnyFunSuite with SparkSpec {
       (Seq[Byte](1, 2), 0, 11L, 3L), (Seq[Byte](1, 2), 1, 11L, 3L),
       (Seq[Byte](3), 0, 4L, 1L), (Seq[Byte](3), 1, 4L, 1L)))
   }
+
+  test("NESTED binary — array<binary> and struct<binary> keys — group by value") {
+    // the reference-equality hazard one level down: equal byte strings
+    // inside an array element and inside a struct field; both fragment
+    // into per-reference slots unless norm recurses
+    val df = Seq(
+      ((Seq(Array[Byte](1, 2)), Tuple1(Array[Byte](9))), 1L),
+      ((Seq(Array[Byte](1, 2)), Tuple1(Array[Byte](9))), 2L),
+      ((Seq(Array[Byte](7)), Tuple1(Array[Byte](9))), 4L))
+      .toDF("k", "s1")
+      .select(col("k._1").as("ka"), col("k._2").as("ks"), col("s1"))
+      .repartition(2)
+    val out = finish(Seq("ka", "ks"))(
+      ReplicateAgg.partials(df, Seq("ka", "ks"), 1, Seq("s1")))
+      .collect()
+      .map(r => (r.getAs[Seq[Array[Byte]]]("ka").map(_.toSeq),
+        r.getAs[org.apache.spark.sql.Row]("ks")
+          .getAs[Array[Byte]](0).toSeq,
+        r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(out === Set(
+      (Seq(Seq[Byte](1, 2)), Seq[Byte](9), 3L, 2L),
+      (Seq(Seq[Byte](7)), Seq[Byte](9), 4L, 1L)))
+  }
 }

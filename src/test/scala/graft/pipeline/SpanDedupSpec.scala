@@ -176,6 +176,41 @@ class SpanDedupSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("null-id docs pass through all-kept and never suppress a span") {
+    // doc null shares span "a b" with doc 5; the null-id doc keeps ALL
+    // its spans (it holds no corpus-order position) and doc 5 — the only
+    // ORDERED occurrence — still wins its span rather than losing to an
+    // orderless row and vanishing.
+    val df = Seq((Option(5L), "a b x x"), (Option.empty[Long], "a b y y"))
+      .toDF("doc_id", "text")
+    val out = SpanDedup.clean(df, "doc_id", "text", k = 2).collect()
+    val d5 = out.find(r => !r.isNullAt(0) && r.getLong(0) == 5L).get
+    assert(d5.getLong(1) == 2L && d5.getLong(2) == 2L &&
+      d5.getString(3) == "a b x x")
+    val dn = out.find(_.isNullAt(0)).get
+    assert(dn.getLong(1) == 2L && dn.getLong(2) == 2L &&
+      dn.getString(3) == "a b y y")
+  }
+
+  test("incremental: null-id rows pass through and register no spans") {
+    val empty = Seq.empty[Array[Byte]].toDF("h")
+    val step = SpanDedup.incremental(
+      Seq((Option.empty[Long], "p q"), (Option(1L), "r s")).toDF(
+        "doc_id", "text"),
+      "doc_id", "text", empty, k = 2)
+    val rows = step.cleaned.collect()
+    val dn = rows.find(_.isNullAt(0)).get
+    assert(dn.getLong(2) == 1L && dn.getString(3) == "p q")
+    // only doc 1's span enters the registry — "p q" stays claimable by a
+    // later ordered occurrence
+    assert(step.newSpans.count() == 1L)
+    val later = SpanDedup.incremental(
+      Seq((Option(2L), "p q")).toDF("doc_id", "text"),
+      "doc_id", "text", step.newSpans, k = 2)
+    assert(later.cleaned.collect()(0).getLong(2) == 1L,
+      "an ordered occurrence must not be suppressed by a null-id row")
+  }
+
   test("reassembly preserves original span order, not hash order") {
     val df = Seq((1L, "m m z z a a m m b b")).toDF("doc_id", "text")
     val r = SpanDedup.clean(df, "doc_id", "text", k = 2).collect()(0)
