@@ -19,8 +19,13 @@ import java.nio.file.{Files, Paths}
   * caches are JVM-global, so the warmup from the short-query phase
   * carries over; min-of-2 absorbs the per-session file-index re-listing.
   * Emits a single JSON line on stdout (plus `bench_out.json` in cwd for
-  * robustness against log interleaving). Queries are fully materialized
-  * through the `noop` datasource so column pruning cannot fake a win.
+  * robustness against log interleaving): `queries` maps each entry to
+  * its minimum (the driver's contract) and `samples` to the FULL sorted
+  * per-pass list, so every recorded number carries its own run-to-run
+  * spread — cross-session disputes (is a 4× movement a regression or a
+  * variance patch?) are then decidable from the artifact alone.
+  * Queries are fully materialized through the `noop` datasource so
+  * column pruning cannot fake a win.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -87,9 +92,15 @@ object Bench {
     names.foreach(n => SparkEntry.prepare.get(n).foreach(_(spark, runDir)))
     shortQ.foreach(runOne) // warmup pass
     val passes = (1 to 3).map(_ => shortQ.map(n => n -> runOne(n)).toMap)
+    // Every entry records its FULL sorted sample list alongside the min:
+    // the driver reads "queries" (min, unchanged contract) while
+    // "samples" carries the spread a min-only artifact can't — three
+    // rounds of cross-session disputes (r11 m_pq_encode, r12 wide2 +
+    // m_compact_files_400) were all "is this number host variance or a
+    // regression?", answerable only when the artifact itself shows the
+    // run-to-run spread.
     val shortResults = shortQ.map { n =>
-      val ts = passes.map(_(n)).filter(_ >= 0)
-      n -> (if (ts.isEmpty) -1.0 else ts.min)
+      n -> passes.map(_(n)).filter(_ >= 0).sorted
     }
     val longResults = longQ.map { n =>
       // Isolate each ×100 entry: a fresh SparkContext drops every shuffle
@@ -106,8 +117,7 @@ object Bench {
       spark = makeSession()
       SparkEntry.prepare.get(n).foreach(_(spark, runDir))
       runOne(n) // warmup: session file-index + codegen, untimed
-      val ts = Seq(runOne(n), runOne(n), runOne(n)).filter(_ >= 0)
-      n -> (if (ts.isEmpty) -1.0 else ts.min)
+      n -> Seq(runOne(n), runOne(n), runOne(n)).filter(_ >= 0).sorted
     }
     // Maintenance (write-side) entries: absolute seconds, min of two
     // passes, each pass on a FRESH fixture (untimed build) so the timed
@@ -127,30 +137,44 @@ object Bench {
             None
           }
         }
-        name -> (if (ts.isEmpty) -1.0 else ts.min)
+        name -> ts.sorted.toSeq
       }
     // Paired A/B entries: the comparison IS the claim, so one invocation
-    // times both sides strictly interleaved (ScaleBench.abMin3) and
+    // times both sides strictly interleaved (ScaleBench.abSamples3) and
     // reports each side's min — a host-variance patch cannot land on one
     // whole side's sequential block the way the per-entry loop allows.
+    // Each pair runs in a FRESH session (the long-entry protocol): these
+    // are the last tens-of-seconds entries in a 100+-entry JVM, and r12's
+    // run of record put one side 2× over the builder's same-protocol
+    // recordings — consistent with late-session heap/GC pressure the
+    // interleaving alone cannot control for.
     val pairedResults = graft.bench.ScaleBench.pairedEntries
       .filter { case ((a, b), _) =>
         only.forall(o => o.contains(a) || o.contains(b)) }
       .flatMap { case ((na, nb), mk) =>
+        spark.stop()
+        System.gc()
+        spark = makeSession()
         try {
           val (ta, tb) = mk(spark, runDir)()
-          Seq(na -> ta, nb -> tb)
+          Seq(na -> ta.sorted.toSeq, nb -> tb.sorted.toSeq)
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $na/$nb failed: ${e.getMessage}")
-          Seq(na -> -1.0, nb -> -1.0)
+          Seq(na -> Seq.empty[Double], nb -> Seq.empty[Double])
         }
       }
-    val results = shortResults ++ longResults ++ maintResults ++ pairedResults
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val results: Seq[(String, Seq[Double])] =
+      shortResults ++ longResults ++ maintResults ++ pairedResults
+    val qs = results.map { case (k, ts) =>
+      val v = if (ts.isEmpty) -1.0 else ts.min
+      "\"" + k + "\":" + f"$v%.3f"
+    }.mkString("{", ",", "}")
+    val samples = results.map { case (k, ts) =>
+      "\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val total = results.flatMap(_._2.minOption).filter(_ >= 0).sum
     val json =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"samples":$samples,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("bench_out.json"), json + "\n")
     // Flush logs first so the JSON line lands clean and last on stdout.
     System.err.flush(); System.out.flush()

@@ -36,7 +36,7 @@ import graft.text.{HeavyHitters, TextOps}
   *    groupBy grows with the vocabulary it must carry (~0.5 s → ~2.1 s
   *    across the 670× step, state + shuffle rows ∝ distinct tokens).
   *    The wide2 pair is recorded INTERLEAVED ([[pairedEntries]]/
-  *    [[abMin3]]: A,B,A,B,A,B in one invocation, per-side min-of-3) —
+  *    [[abSamples3]]: A,B,A,B,A,B in one invocation, per-side min-of-3) —
   *    sequential per-side timing let a host-variance patch land on one
   *    whole side and flipped the recorded winner across rounds. The
   *    comparison claim at this decade is whatever the current
@@ -679,14 +679,18 @@ object ScaleBench {
         empty, tau = 0.3).kept)
     }))
 
-  /** Time each side strictly interleaved — A,B,A,B,A,B — and report the
-    * per-side minimum. Both sides ride the same host conditions within
-    * one invocation, so a slow patch hits adjacent runs of BOTH sides
-    * instead of one whole side's sequential block; the min then compares
-    * like with like. No separate warmup: the sides are tens of seconds,
-    * so first-read file-index listing is sub-1% and pass 1 is an honest
-    * sample (min-of-3 discards it if slow anyway). */
-  private def abMin3(a: () => Unit, b: () => Unit): (Double, Double) = {
+  /** Time each side strictly interleaved — A,B,A,B,A,B — and return BOTH
+    * sides' full sample arrays (the bench records min into "queries" and
+    * the whole spread into "samples" — r12's run of record put one side
+    * 2× over same-protocol recordings, a dispute only per-run samples in
+    * the artifact can adjudicate). Both sides ride the same host
+    * conditions within one invocation, so a slow patch hits adjacent
+    * runs of BOTH sides instead of one whole side's sequential block.
+    * No separate warmup: the sides are tens of seconds, so first-read
+    * file-index listing is sub-1% and pass 1 is an honest sample
+    * (min-of-3 discards it if slow anyway). */
+  private def abSamples3(a: () => Unit,
+      b: () => Unit): (Seq[Double], Seq[Double]) = {
     def time(f: () => Unit): Double = {
       val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
     }
@@ -698,12 +702,10 @@ object ScaleBench {
       bs(i) = time(b)
       i += 1
     }
-    // the per-run spread is the evidence a min-only record can't carry —
-    // stderr, so the bench's JSON line stays clean
     System.err.println(
-      f"[bench] abMin3 A ${as.map(t => f"$t%.2f").mkString(" ")} | " +
+      f"[bench] abSamples3 A ${as.map(t => f"$t%.2f").mkString(" ")} | " +
         f"B ${bs.map(t => f"$t%.2f").mkString(" ")}")
-    (as.min, bs.min)
+    (as.toSeq, bs.toSeq)
   }
 
   /** A/B pairs whose recorded CLAIM is the comparison itself, on a host
@@ -712,9 +714,10 @@ object ScaleBench {
     * runs twice (r10: 19.4-vs-20.5 isolated but 22.0-vs-17.9 in the run
     * of record; r11: 26.7 vs 15.5), so sequential per-side timing cannot
     * support any within-variance prose. One invocation runs both sides
-    * through [[abMin3]] and the bench records both names from it. */
+    * through [[abSamples3]] and the bench records both names from it,
+    * each pair in a fresh session with all samples in the artifact. */
   def pairedEntries: Seq[((String, String),
-      (SparkSession, String) => () => (Double, Double))] = Seq(
+      (SparkSession, String) => () => (Seq[Double], Seq[Double]))] = Seq(
     ("m_hh_mg_wide2", "m_hh_full_wide2") -> ((s, dir) => {
       val toks = tokensWide2Fixture(s)
       val mg = () => noop(HeavyHitters.exact(toks, k = 200))
@@ -723,6 +726,6 @@ object ScaleBench {
         noop(toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
           .filter(col("cnt") * 200 > n))
       }
-      () => abMin3(mg, full)
+      () => abSamples3(mg, full)
     }))
 }
