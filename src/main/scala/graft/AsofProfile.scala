@@ -35,26 +35,14 @@ object AsofProfile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // the q127 uniform ×10 shape, materialized
-    val ev = graft.queries.CdcQueries.events(spark, sfDir)
-      .select(col("event_id"), col("ts_us"), col("user_id"),
-        col("event_type"), col("value"),
-        graft.ops.Replicate.rep(10).as("r"))
-      .select((col("event_id") * 10 + col("r")).as("event_id"),
-        (col("ts_us") + col("r")).as("ts_us"), col("user_id"),
-        col("event_type"), col("value"))
-    val base = java.nio.file.Files.createTempDirectory("graft_asofprof").toString
-    ev.where(col("event_type") === "click")
-      .select(col("event_id"), col("ts_us"), col("user_id"), col("value"))
-      .repartition(32).write.parquet(s"$base/facts")
-    ev.where(col("event_type") === "purchase")
-      .groupBy(col("user_id"), col("ts_us"))
-      .agg(max(struct(col("event_id"), col("value"))).as("m"))
-      .select(col("user_id"), col("ts_us"),
-        col("m.event_id").as("state_id"), col("m.value").as("state_value"))
-      .repartition(32).write.parquet(s"$base/dims")
-    def facts = spark.read.parquet(s"$base/facts")
-    def dims = spark.read.parquet(s"$base/dims")
+    // the q127 uniform shape — the SAME stable materialized fixture the
+    // bench's m_asof entries and the DuckDB ASOF twin read
+    // (SPARK_GRAFT_ASOF_TIMES picks the replication decade)
+    val times = sys.env.getOrElse("SPARK_GRAFT_ASOF_TIMES", "10").toInt
+    def facts = spark.read.parquet(
+      graft.bench.ScaleBench.asofFixturePath(spark, sfDir, "facts", times))
+    def dims = spark.read.parquet(
+      graft.bench.ScaleBench.asofFixturePath(spark, sfDir, "dims", times))
     val payloadCols = Seq("state_id", "state_value")
 
     def tagged: DataFrame = {
@@ -80,14 +68,32 @@ object AsofProfile {
       println(f"[asofprof] $tag%-12s min ${ts.min}%.3f  runs ${ts.map(t => f"$t%.3f").mkString(" ")}")
     }
 
+    time("scan") { // union'd scans + tag projection, no exchange
+      noop(tagged)
+    }
     time("floor") {
       noop(tagged.repartition(col("__k"))
         .sortWithinPartitions(col("__k"), col("__ts"), col("__side"))
         .where(col("__side") === 1))
     }
     time("window") {
+      noop(graft.operators.AsofJoin.asofWindow(facts, dims, "user_id",
+        "ts_us", payloadCols))
+    }
+    time("carry") { // the AsofCarryExec streaming operator (current asof)
       noop(graft.operators.AsofJoin.asof(facts, dims, "user_id", "ts_us",
         payloadCols))
+    }
+    time("window_buf1m") {
+      // same plan, WindowExec's per-group buffer kept as an in-memory
+      // row array instead of transitioning to the spillable unsafe store
+      // at 4096 rows (the fixture's key groups run ~26k rows)
+      spark.conf.set("spark.sql.windowExec.buffer.in.memory.threshold",
+        "1048576")
+      try noop(graft.operators.AsofJoin.asof(facts, dims, "user_id",
+        "ts_us", payloadCols))
+      finally spark.conf.set(
+        "spark.sql.windowExec.buffer.in.memory.threshold", "4096")
     }
     time("mapcarry") {
       val t = tagged.repartition(col("__k"))

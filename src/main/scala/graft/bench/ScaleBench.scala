@@ -284,27 +284,48 @@ object ScaleBench {
         col("event_type"), col("user_id"))
     }
 
-  /** Uniform-key ×10 as-of inputs (the q127 shape), materialized. */
-  private def asofFixture(s: SparkSession, dir: String,
-      side: String): DataFrame =
-    materialized(s, s"asof_uni_$side") {
-      val ev = graft.queries.CdcQueries.events(s, dir)
+  /** Uniform-key ×10 as-of inputs (the q127 shape), materialized at a
+    * STABLE path (keyed by source row count, like [[lineitemX100Path]])
+    * so the same-session DuckDB ASOF twin (tools/oracle_time.py,
+    * `m_asof_plain` over `/tmp/graft_matfix_asof_*`) reads the identical
+    * files: the q107/q126/q127 ratios time two derivation passes plus
+    * the join on both engines, so only this pre-derived pair isolates
+    * the union+match work the 4.6–6.9× readings conflated with fixture
+    * prep. */
+  def asofFixturePath(s: SparkSession, dir: String, side: String,
+      times: Int = 10): String = {
+    val ev = graft.queries.CdcQueries.events(s, dir)
+    val n = ev.count()
+    val path = s"/tmp/graft_matfix_asof_${side}_x${times}_$n"
+    if (!Files.exists(java.nio.file.Paths.get(s"$path/_SUCCESS"))) {
+      val repl = ev
         .select(col("event_id"), col("ts_us"), col("user_id"),
           col("event_type"), col("value"),
-          graft.ops.Replicate.rep(10).as("r"))
-        .select((col("event_id") * 10 + col("r")).as("event_id"),
+          graft.ops.Replicate.rep(times).as("r"))
+        .select((col("event_id") * times + col("r")).as("event_id"),
           (col("ts_us") + col("r")).as("ts_us"), col("user_id"),
           col("event_type"), col("value"))
-      if (side == "facts")
-        ev.where(col("event_type") === "click")
-          .select(col("event_id"), col("ts_us"), col("user_id"), col("value"))
-      else
-        ev.where(col("event_type") === "purchase")
-          .groupBy(col("user_id"), col("ts_us"))
-          .agg(max(struct(col("event_id"), col("value"))).as("m"))
-          .select(col("user_id"), col("ts_us"),
-            col("m.event_id").as("state_id"), col("m.value").as("state_value"))
+      val out =
+        if (side == "facts")
+          repl.where(col("event_type") === "click")
+            .select(col("event_id"), col("ts_us"), col("user_id"),
+              col("value"))
+        else
+          repl.where(col("event_type") === "purchase")
+            .groupBy(col("user_id"), col("ts_us"))
+            .agg(max(struct(col("event_id"), col("value"))).as("m"))
+            .select(col("user_id"), col("ts_us"),
+              col("m.event_id").as("state_id"),
+              col("m.value").as("state_value"))
+      out.repartition(s.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(path)
     }
+    path
+  }
+
+  private def asofFixture(s: SparkSession, dir: String, side: String,
+      times: Int = 10): DataFrame =
+    s.read.parquet(asofFixturePath(s, dir, side, times))
 
   private def replEmbeddings(s: SparkSession, dir: String,
       times: Int): DataFrame =
@@ -633,6 +654,18 @@ object ScaleBench {
     "m_asof_plain_uniform_x10" -> ((s, dir) => {
       val facts = asofFixture(s, dir, "facts")
       val dims = asofFixture(s, dir, "dims")
+      () => noop(graft.operators.AsofJoin.asof(facts, dims,
+        "user_id", "ts_us", Seq("state_id", "state_value")))
+    }),
+    // the work-scale as-of decade: ~20M facts vs ~20M dim versions on the
+    // same pre-derived stable fixture the DuckDB ASOF twin reads
+    // (oracle_time.py m_asof_x1000). The ×10 twin is constant-dominated
+    // (AsofProfile: the scan+tag floor IS the whole Spark cost, ~1 s,
+    // while DuckDB's engine-side asof is 0.04 s); only this decade
+    // measures per-row match work on both engines.
+    "m_asof_plain_x1000" -> ((s, dir) => {
+      val facts = asofFixture(s, dir, "facts", 1000)
+      val dims = asofFixture(s, dir, "dims", 1000)
       () => noop(graft.operators.AsofJoin.asof(facts, dims,
         "user_id", "ts_us", Seq("state_id", "state_value")))
     }),

@@ -23,4 +23,18 @@ object ColumnBridge {
   def expression(c: Column): Expression =
     ColumnNodeToExpressionConverter(c.node)
   def column(e: Expression): Column = ExpressionUtils.column(e)
+
+  /** DataFrame ⇄ LogicalPlan, for the library's custom plan nodes
+    * ([[graft.plans.AsofCarry]]): Spark 4 keeps `Dataset.ofRows` and the
+    * plan accessor `private[sql]`, so wrapping a custom logical operator
+    * around an existing frame needs this same-namespace shim. */
+  def logicalPlan(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].logicalPlan
+
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }

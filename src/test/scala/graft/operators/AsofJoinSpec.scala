@@ -95,6 +95,42 @@ class AsofJoinSpec extends AnyFunSuite with SparkSpec {
     assert(bucketed === plain)
   }
 
+  test("the streaming-carry operator equals the window spelling " +
+      "(contract cases + fuzz, null-state dims included)") {
+    // the carry plan (AsofCarryExec) must be output-identical to the
+    // pure-DataFrame window spelling it replaced, including a dim whose
+    // payload VALUE is null (still newer state — it must overwrite v1)
+    val d = dims.unionByName(Seq((2L, Option.empty[String], 30L))
+      .toDF("k", "state", "ts").select($"k", $"ts", $"state"))
+    val f = facts.unionByName(Seq((106L, 2L, 31L)).toDF("fid", "k", "ts"))
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), Option(r.getString(3)))).toMap
+    val win = toMap(AsofJoin.asofWindow(f, d, "k", "ts", Seq("state")))
+    val carry = toMap(AsofJoin.asof(f, d, "k", "ts", Seq("state")))
+    assert(carry === win)
+    assert(carry(106L).isEmpty, "a null-payload dim still replaces state")
+    val rnd = new scala.util.Random(31)
+    val dimRows = (0L until 10L).flatMap(k =>
+      rnd.shuffle((0L until 50L).toList).take(12).map(ts =>
+        (k, ts, s"s$k-$ts"))).toList
+    val factRows = (0 until 300).map { i =>
+      (i.toLong, rnd.nextInt(12).toLong, rnd.nextInt(55).toLong)
+    }
+    val fDf = factRows.toDF("fid", "k", "ts")
+    val dDf = dimRows.toDF("k", "ts", "state")
+    assert(toMap(AsofJoin.asof(fDf, dDf, "k", "ts", Seq("state"))) ===
+      toMap(AsofJoin.asofWindow(fDf, dDf, "k", "ts", Seq("state"))))
+  }
+
+  test("the carry plan contains AsofCarryExec and exactly one exchange") {
+    val plan = AsofJoin.asof(facts, dims, "k", "ts", Seq("state"))
+      .queryExecution.executedPlan
+    val s = plan.toString
+    assert(s.contains("AsofCarry"), s)
+    assert("Exchange".r.findAllIn(s).length == 1,
+      s"expected exactly one exchange:\n$s")
+  }
+
   test("seeded fuzz: distributed as-of equals the in-memory reference") {
     val rnd = new scala.util.Random(11)
     // dims unique per (key, ts) — the operator's determinism contract
