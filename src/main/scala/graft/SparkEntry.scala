@@ -160,6 +160,8 @@ object SparkEntry {
     "q146_semantic_dedup" -> (PipelineQueries.q146SemanticDedup _),
     "q147_semdedup_scale30" -> (PipelineQueries.q147SemdedupScale30 _),
     "q148_incr_semdedup" -> (PipelineQueries.q148IncrementalSemdedup _),
+    "q149_semdedup_scale100" -> (PipelineQueries.q149SemdedupScale100 _),
+    "q150_stream_semdedup" -> (PipelineQueries.q150StreamSemdedup _),
   )
 
   /** Untimed per-query setup the bench runs before timing (ingest-side
@@ -191,7 +193,8 @@ object SparkEntry {
     "q115_dsir_scale10", "q117_dsir_scale100",
     "q126_asof_hot", "q127_asof_uniform",
     "q131_heavy_hitters", "q132_ccnet_buckets", "q146_semantic_dedup",
-    "q147_semdedup_scale30", "q148_incr_semdedup")
+    "q147_semdedup_scale30", "q148_incr_semdedup",
+    "q149_semdedup_scale100")
 
   /** Bench entries long enough (tens of seconds — the ×100 scale pass)
     * that scheduling noise is <2% of runtime: they get one timed pass
@@ -350,6 +353,8 @@ object SparkEntry {
     "q146_semantic_dedup" -> PipelineQueries.q146SemanticDedupSql,
     "q147_semdedup_scale30" -> PipelineQueries.q147SemdedupScale30Sql,
     "q148_incr_semdedup" -> PipelineQueries.q148IncrementalSemdedupSql,
+    "q149_semdedup_scale100" -> PipelineQueries.q149SemdedupScale100Sql,
+    "q150_stream_semdedup" -> PipelineQueries.q150StreamSemdedupSql,
   )
 
   /** DECLARED oracle-less entries: queries whose semantics are not

@@ -3,8 +3,11 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import scala.jdk.CollectionConverters._
+
 import graft.Tables
 import graft.curate.{Decontaminate, Dsir, Interleave, Packing, Sampling, Select, Shuffle}
+import graft.sink.{KeyedLakeTable, LakeTableSpec}
 import graft.curate.Chunking
 import graft.dedup.{Dedup, SpanDedup}
 import graft.functions.GraftFunctions
@@ -1439,6 +1442,91 @@ object PipelineQueries {
       |SELECT vec_id, label FROM embeddings
       |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
       |ORDER BY vec_id""".stripMargin
+
+  // --------------------------------------------------------------- q149
+  /** q146's SemDeDup at ×100 CLUSTERS — the decade above q147 on the
+    * corpus axis (cluster count grows, cluster size fixed: the SemDeDup
+    * regime). q147's same-session ratio left the marginal-cost argument
+    * one decade short: Spark's per-pair marginal was already below
+    * DuckDB's at ×30 (0.397 vs 0.611 s for the 29× extra pairs), so the
+    * ratio should cross 1× as the ×1 job constant amortizes — this entry
+    * records the point that proves or kills that prediction. */
+  def q149SemdedupScale100(s: SparkSession, dir: String): DataFrame = {
+    val rep = embs(s, dir)
+      .select(col("vec_id"), col("embedding"), col("label"),
+        graft.ops.Replicate.rep(100).as("r"))
+      .select((col("vec_id") * 100 + col("r")).as("vec_id"), col("embedding"),
+        (col("label") * 100 + col("r")).as("label"))
+    Similarity.semanticDedup(rep, "vec_id", "embedding", "label", tau = 0.3)
+      .select(col("vec_id"), col("label"))
+      .orderBy("vec_id")
+  }
+
+  val q149SemdedupScale100Sql: String =
+    q146SemanticDedupSql
+      .replace("FROM embeddings)", "FROM rep)")
+      .replace("FROM embeddings\nWHERE", "FROM rep\nWHERE")
+      .replace("WITH v AS (",
+        """WITH rep AS (
+          |  SELECT vec_id * 100 + r.range AS vec_id, embedding,
+          |    label * 100 + r.range AS label
+          |  FROM embeddings CROSS JOIN range(100) r),
+          |v AS (""".stripMargin)
+
+  // --------------------------------------------------------------- q150
+  /** Streaming SemDeDup end-to-end
+    * ([[graft.streaming.CdcStreamIngest.toSemanticDedupTable]]): the
+    * embeddings table arrives as THREE mtime-ordered micro-batches
+    * (vec_id % 3 — FileStreamSource processes files in modification-time
+    * order, pinned explicitly), each swept against the registry
+    * accumulated in a keyed [[graft.sink.VersionedLakeTable]], survivors
+    * upserted into a keyed lake table that this query reads back. The
+    * oracle runs the batch rule over everything with rank =
+    * (arrival, csim, vec_id) — q148's prefix property, now carried
+    * through the real streaming machinery, checkpointing, and both lake
+    * tables rather than two manual calls. */
+  def q150StreamSemdedup(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val e = embs(s, dir)
+      .withColumn("create_at", lit("2000-01-01T00:00:00.000000+0000"))
+      .withColumn("update_at", lit("2000-01-01T00:00:00.000000+0000"))
+    val centroids = embs(s, dir).groupBy(col("label"))
+      .agg(graft.sim.VectorMean.column(col("embedding")).as("embedding"))
+      .localCheckpoint(true)
+    val srcDir = Files.createTempDirectory("graft_q150_src").toString
+    (0 until 3).foreach { b =>
+      val stage = Files.createTempDirectory(s"graft_q150_b$b").toString
+      e.filter(pmod(col("vec_id"), lit(3)) === b)
+        .repartition(1).write.mode("overwrite").parquet(stage)
+      val part = Files.list(Paths.get(stage)).iterator().asScala
+        .find(_.getFileName.toString.startsWith("part-")).get
+      val dst = Paths.get(srcDir, f"b$b%d.parquet")
+      Files.move(part, dst)
+      // explicit, strictly increasing mtimes: the arrival order IS the
+      // semantics, so it must not ride on write-timing luck
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + b * 60000L))
+    }
+    val kept = new KeyedLakeTable(s, LakeTableSpec(
+      Files.createTempDirectory("graft_q150_kept").toString,
+      recordKeys = Seq("vec_id"), precombine = "update_at",
+      partitionSource = "create_at"))
+    val registry = new graft.sink.VersionedLakeTable(s, LakeTableSpec(
+      Files.createTempDirectory("graft_q150_reg").toString,
+      recordKeys = Seq("vec_id"), precombine = "update_at",
+      partitionSource = "create_at", tieBreak = Seq("vec_id")))
+    graft.streaming.CdcStreamIngest.toSemanticDedupTable(
+      s.readStream.schema(e.schema).option("maxFilesPerTrigger", 1)
+        .parquet(srcDir),
+      "vec_id", "embedding", "label", () => centroids, tau = 0.3,
+      kept, registry,
+      Files.createTempDirectory("graft_q150_ckpt").toString)
+    kept.read().select(col("vec_id"), col("label")).orderBy("vec_id")
+  }
+
+  val q150StreamSemdedupSql: String =
+    q148IncrementalSemdedupSql.replace("vec_id % 2 AS arr",
+      "vec_id % 3 AS arr")
 
   // ---------------------------------------------------------------- q97
   /** Intra-document repetition metrics + keep/drop verdict

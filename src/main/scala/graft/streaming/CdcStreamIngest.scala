@@ -150,6 +150,86 @@ object CdcStreamIngest {
       .dropDuplicatesWithinWatermark(idCols)
   }
 
+  /** Streaming SemDeDup — [[graft.sim.Similarity.semanticDedupIncremental]]
+    * wired as a continuously-ingesting pipeline: each micro-batch of
+    * embedding rows is swept against the accumulated member REGISTRY,
+    * surviving rows upsert into `kept`, and ALL batch members (kept and
+    * dropped — the paper's sweep counts dropped earlier members) append
+    * to the registry for the next batch. Batch-over-batch this equals
+    * one pass over the concatenation with rank (arrival, csim, id) — the
+    * prefix property q148 pins; StreamingSemDedupSpec pins the streaming
+    * wiring against manual incremental calls.
+    *
+    * RESTART SAFETY (the foreachBatch replay problem): a crashed batch
+    * may have committed its registry append without checkpointing, so
+    * the replay would find its OWN members in the registry and drop
+    * every row against itself (cos(x,x)=1). Two mechanisms close it:
+    *  - the registry read ANTI-JOINS the current batch's ids out, so a
+    *    row is only ever swept against OTHER rows — replays recompute
+    *    the exact pre-batch decision;
+    *  - the registry table is KEYED by `idCol` (MoR read dedup), so the
+    *    replayed append lands as a same-key duplicate that collapses on
+    *    read instead of double-seeding future sweeps; `kept` upserts are
+    *    idempotent by key as always.
+    *
+    * Ordering semantics: within a batch the rank is [[graft.sim
+    * .Similarity.semanticDedup]]'s (csim to the fixed `centroids`, id) —
+    * the paper's diversity rule — which makes the kept set depend on
+    * where micro-batch boundaries fall (two near-dups in one batch rank
+    * by csim; split, by arrival). For boundary-INVARIANT streaming pass
+    * empty `centroids` with ids monotone in arrival order: null csim
+    * degrades the rank to (arrival, id) = global arrival order, and any
+    * split of the stream keeps the same set (spec-pinned). Use the
+    * invariant mode when the source re-batches nondeterministically;
+    * use centroids when batches are meaningful corpus slices.
+    *
+    * `registry`'s spec must key on `idCol`; rows are written as
+    * (`idCol`, `clusterCol`, nrm, `embCol`) + constant lake timestamp
+    * columns (one partition — registry reads are whole-scans by nature:
+    * every batch needs all prior members of its clusters. A 100 TB
+    * registry would cluster-range-partition and read only the batch's
+    * clusters; the append/anti-join shape is unchanged). NULL-cluster
+    * rows pass through kept and never enter the registry (the operator
+    * contract). */
+  def toSemanticDedupTable(stream: DataFrame, idCol: String, embCol: String,
+      clusterCol: String, centroids: () => DataFrame, tau: Double,
+      kept: KeyedLakeTable, registry: graft.sink.VersionedLakeTable,
+      checkpointDir: String): Unit = {
+    import graft.sim.Similarity
+    val query = stream.writeStream
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        if (!batch0.isEmpty) {
+          // the batch feeds three consumers (sweep, kept anti-join,
+          // registry append) and the source may be non-deterministic:
+          // pin it once
+          val batch = batch0.localCheckpoint(true)
+          val regStored = registry.latestVersion
+            .map(_ => registry.read())
+          val emptyReg = batch
+            .select(col(clusterCol), lit(0.0).as("nrm"), col(embCol))
+            .limit(0)
+          val reg = regStored
+            .map(_.join(batch.select(col(idCol)), Seq(idCol), "left_anti")
+              .select(col(clusterCol), col("nrm"), col(embCol)))
+            .getOrElse(emptyReg)
+          val step = Similarity.semanticDedupIncremental(batch, idCol,
+            embCol, clusterCol, centroids(), reg, tau)
+          kept.upsert(step.kept)
+          registry.upsertDeferred(batch
+            .filter(col(clusterCol).isNotNull)
+            .select(col(idCol), col(clusterCol),
+              Similarity.l2Norm(col(embCol)).as("nrm"), col(embCol),
+              lit("2000-01-01T00:00:00.000000+0000").as("create_at"),
+              lit("2000-01-01T00:00:00.000000+0000").as("update_at")))
+          ()
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+  }
+
   /** A keyed CDC record for the stateful streaming variant. */
   final case class KeyedEvent(id: String, update_at: String, payload: String)
 
