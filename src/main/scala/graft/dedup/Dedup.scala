@@ -89,8 +89,20 @@ object Dedup {
     * instead (ADVICE r3). */
   private[graft] def bucketPairs(bandSigs: DataFrame, maxBucket: Int,
       tag: String, strict: Boolean = false): DataFrame = {
+    // ONE aggregation pass serves both consumers: the eager guard below
+    // and the ok-bucket probe of the pairs plan — without the checkpoint
+    // the guard's head() ran the (band,sig) groupBy over the full band
+    // stream and the pairs job immediately re-ran it. Measured at sf0.1
+    // (Q42Profile, 2026-08-15): a WASH on the local constant (3.12 vs
+    // 3.32 s full-operator, within host noise) because both passes read
+    // the PERSISTED signatures — the r12 hypothesis that this fusion
+    // would recover a chunk of q42's job tail is refuted at bench scale.
+    // Kept anyway for the scale shape: at corpus scale the duplicated
+    // work is a full pass + shuffle over the corpus-sized band stream,
+    // while the checkpoint materializes one row per occupied bucket.
     val bucketCounts = bandSigs.groupBy(col("band"), col("sig"))
       .agg(count(lit(1)).as("__n"))
+      .localCheckpoint(true)
     val over = bucketCounts.filter(col("__n") > maxBucket)
       .agg(count(lit(1)).as("buckets"),
         coalesce(max(col("__n")), lit(0L)).as("largest"))
