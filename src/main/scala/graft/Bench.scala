@@ -43,6 +43,11 @@ object Bench {
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        // 4096 → 16384 rows per vectorized parquet batch: −15% on the
+        // 60M-row scan floor (MatScanProfile 0.60 → 0.51 s, query −12%)
+        // for ~0.5 MB more per open column batch — the scan constant the
+        // m_q87_mat attribution named as the next lever
+        .config("spark.sql.parquet.columnarReaderBatchSize", "16384")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
       s.sparkContext.setLogLevel("WARN")

@@ -152,10 +152,18 @@ object ScaleBench {
         col("l_quantity"), col("l_extendedprice"), col("l_discount"),
         col("l_shipdate"))
     val n = li.count()
-    val path = s"/tmp/graft_matfix_li100_$n"
+    // 4× cores files, not 1×: the driver writes ONE row group per file,
+    // so file count IS the split count, and a single 32-task wave left
+    // the tail of every stage on idle cores. Measured on the m_q87_mat
+    // thunk (MatScanProfile, 2026-08-15): 128 files 1.10–1.17 s vs 32
+    // files 1.36–1.49 s (−20%); DuckDB reads the identical layout and is
+    // flat across it (~0.51 s both), so the ratio gain is real, not a
+    // layout tax shifted onto the oracle.
+    val files = s.sparkContext.defaultParallelism * 4
+    val path = s"/tmp/graft_matfix_li100_${n}_p$files"
     if (!Files.exists(java.nio.file.Paths.get(s"$path/_SUCCESS"))) {
       li.select(col("*"), graft.ops.Replicate.rep(100).as("rep"))
-        .repartition(s.sparkContext.defaultParallelism)
+        .repartition(files)
         .write.mode("overwrite").parquet(path)
     }
     path
