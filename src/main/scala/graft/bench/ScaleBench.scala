@@ -250,6 +250,26 @@ object ScaleBench {
           .as("token"))
     }
 
+  /** The THIRD vocabulary decade: 750M tokens, ~600M distinct, same
+    * 80/20 unique-tail/hot-token mix. The wide→wide2 step left the
+    * crossover claim resting on two points (and r12's run of record
+    * contradicted the builder's interleaved wide2 recordings); this
+    * point is where the full groupBy's ~600M-entry state can no longer
+    * fit the 16 GB JVM's aggregation map and must spill, while MG's
+    * k-bounded passes stay token-scan-bound — the regime separation the
+    * operator exists for, measured instead of extrapolated. (A ~2B-
+    * distinct point — the 100 TB tail's shape — stays impractical
+    * locally; three decades of slope are the honest local evidence.) */
+  private def tokensWide3Fixture(s: SparkSession): DataFrame =
+    materialized(s, "toks_wide3") {
+      s.range(750000000L).select(
+        when(pmod(col("id"), lit(5)) < 4,
+          concat(lit("u"), col("id").cast("string")))
+          .otherwise(concat(lit("hot"), pmod(col("id"), lit(20))
+            .cast("string")))
+          .as("token"))
+    }
+
   /** The stored Misra–Gries heavy-hitter state of the ×`times` token
     * stream ([[graft.ops.TopKState]], pinned by q141) — what the
     * incremental pipeline keeps between batches (≤ 401 rows). */
@@ -730,24 +750,27 @@ object ScaleBench {
     * No separate warmup: the sides are tens of seconds, so first-read
     * file-index listing is sub-1% and pass 1 is an honest sample
     * (min-of-3 discards it if slow anyway). */
-  private def abSamples3(a: () => Unit,
+  private def abSamples(rounds: Int)(a: () => Unit,
       b: () => Unit): (Seq[Double], Seq[Double]) = {
     def time(f: () => Unit): Double = {
       val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
     }
-    val as = new Array[Double](3)
-    val bs = new Array[Double](3)
+    val as = new Array[Double](rounds)
+    val bs = new Array[Double](rounds)
     var i = 0
-    while (i < 3) {
+    while (i < rounds) {
       as(i) = time(a)
       bs(i) = time(b)
       i += 1
     }
     System.err.println(
-      f"[bench] abSamples3 A ${as.map(t => f"$t%.2f").mkString(" ")} | " +
+      f"[bench] abSamples A ${as.map(t => f"$t%.2f").mkString(" ")} | " +
         f"B ${bs.map(t => f"$t%.2f").mkString(" ")}")
     (as.toSeq, bs.toSeq)
   }
+
+  private def abSamples3(a: () => Unit,
+      b: () => Unit): (Seq[Double], Seq[Double]) = abSamples(3)(a, b)
 
   /** A/B pairs whose recorded CLAIM is the comparison itself, on a host
     * whose run-to-run swing is the size of the effect: the wide2
@@ -768,5 +791,18 @@ object ScaleBench {
           .filter(col("cnt") * 200 > n))
       }
       () => abSamples3(mg, full)
+    }),
+    // the third vocabulary decade ([[tokensWide3Fixture]]): min-of-2
+    // interleaved — each side is minutes, so two rounds bound the pair's
+    // bench cost while the samples still carry a spread
+    ("m_hh_mg_wide3", "m_hh_full_wide3") -> ((s, dir) => {
+      val toks = tokensWide3Fixture(s)
+      val mg = () => noop(HeavyHitters.exact(toks, k = 200))
+      val full = () => {
+        val n = toks.count()
+        noop(toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") * 200 > n))
+      }
+      () => abSamples(2)(mg, full)
     }))
 }
