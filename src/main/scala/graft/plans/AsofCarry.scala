@@ -55,6 +55,22 @@ case class AsofCarry(keyCols: Seq[String], tsCol: String, sideCol: String,
       throw new IllegalArgumentException(s"AsofCarry: no column $n in child"))
   override def output: Seq[Attribute] =
     factCols.map(attr) ++ payloadCols.map(n => attr(n).withNullability(true))
+  /** The node holds column NAMES, so the expression-derived default is
+    * empty — without this override ColumnPruning sees no references and
+    * prunes the child's columns out from under the carry (bites the
+    * moment a parent projects a subset, e.g. `asof(...).groupBy(key)`).
+    * Every named column is consumed. */
+  override def references
+      : org.apache.spark.sql.catalyst.expressions.AttributeSet = {
+    if (!childrenResolved)
+      org.apache.spark.sql.catalyst.expressions.AttributeSet.empty
+    else {
+      val needed = (keyCols ++ Seq(tsCol, sideCol) ++ payloadCols ++
+        factCols).toSet
+      org.apache.spark.sql.catalyst.expressions.AttributeSet(
+        child.output.filter(a => needed.contains(a.name)))
+    }
+  }
   override protected def withNewChildInternal(c: LogicalPlan): AsofCarry =
     copy(child = c)
 }
@@ -81,6 +97,23 @@ case class AsofCarryExec(keyCols: Seq[String], tsCol: String,
       .map(SortOrder(_, Ascending)))
 
   override def outputOrdering: Seq[SortOrder] = Nil
+
+  /** Forward the child's partitioning when every attribute it references
+    * survives into the output (the plain-asof case: the key IS a fact
+    * column), so a downstream aggregate on the same key — `asof(...)
+    * .groupBy(key)`, the standard enrichment-then-rollup composition —
+    * reuses the carry's exchange instead of shuffling 1:1 again. The
+    * bucketed form's `__b` key does NOT survive, so it falls back to
+    * unknown partitioning rather than advertising dangling attributes. */
+  override def outputPartitioning
+      : org.apache.spark.sql.catalyst.plans.physical.Partitioning = {
+    val outSet = org.apache.spark.sql.catalyst.expressions.AttributeSet(output)
+    child.outputPartitioning match {
+      case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+          if h.references.subsetOf(outSet) => h
+      case _ => super.outputPartitioning
+    }
+  }
 
   override protected def doExecute(): RDD[InternalRow] = {
     import org.apache.spark.sql.catalyst.expressions.{BoundReference, JoinedRow}

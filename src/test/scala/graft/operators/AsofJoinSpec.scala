@@ -131,6 +131,17 @@ class AsofJoinSpec extends AnyFunSuite with SparkSpec {
       s"expected exactly one exchange:\n$s")
   }
 
+  test("a downstream groupBy on the as-of key reuses the carry's exchange") {
+    // enrichment-then-rollup: the carry forwards the child's hash
+    // partitioning (the key IS a fact column), so the aggregate plans
+    // partial+final WITHOUT a second shuffle
+    val s = AsofJoin.asof(facts, dims, "k", "ts", Seq("state"))
+      .groupBy($"k").count()
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(s).length == 1,
+      s"expected the aggregate to consume the carry's partitioning:\n$s")
+  }
+
   test("seeded fuzz: distributed as-of equals the in-memory reference") {
     val rnd = new scala.util.Random(11)
     // dims unique per (key, ts) — the operator's determinism contract

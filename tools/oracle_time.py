@@ -26,6 +26,7 @@ HEADLINE = [
     "q100_spandedup_scale10", "q102_incremental_spans",
     "q115_dsir_scale10", "q117_dsir_scale100",
     "q146_semantic_dedup", "q147_semdedup_scale30", "q148_incr_semdedup",
+    "q149_semdedup_scale100",
 ]
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
