@@ -162,6 +162,7 @@ object SparkEntry {
     "q148_incr_semdedup" -> (PipelineQueries.q148IncrementalSemdedup _),
     "q149_semdedup_scale100" -> (PipelineQueries.q149SemdedupScale100 _),
     "q150_stream_semdedup" -> (PipelineQueries.q150StreamSemdedup _),
+    "q151_stream_spandedup" -> (PipelineQueries.q151StreamSpandedup _),
   )
 
   /** Untimed per-query setup the bench runs before timing (ingest-side
@@ -355,6 +356,7 @@ object SparkEntry {
     "q148_incr_semdedup" -> PipelineQueries.q148IncrementalSemdedupSql,
     "q149_semdedup_scale100" -> PipelineQueries.q149SemdedupScale100Sql,
     "q150_stream_semdedup" -> PipelineQueries.q150StreamSemdedupSql,
+    "q151_stream_spandedup" -> PipelineQueries.q151StreamSpandedupSql,
   )
 
   /** DECLARED oracle-less entries: queries whose semantics are not

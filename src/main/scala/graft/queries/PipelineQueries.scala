@@ -1528,6 +1528,59 @@ object PipelineQueries {
     q148IncrementalSemdedupSql.replace("vec_id % 2 AS arr",
       "vec_id % 3 AS arr")
 
+  // --------------------------------------------------------------- q151
+  /** Streaming span (C4) dedup end-to-end
+    * ([[graft.streaming.CdcStreamIngest.toSpanDedupTable]]): the
+    * documents table arrives as THREE mtime-ordered micro-batches split
+    * by doc_id RANGE — monotone ids make batch order equal corpus
+    * order, so the streamed pipeline must reproduce the ONE-SHOT
+    * [[graft.dedup.SpanDedup.clean]] exactly, and q98's C4 SQL oracles
+    * it verbatim: registry accumulation, the batch-id replay guard,
+    * checkpointing, and both lake tables all have to land on the
+    * one-shot answer's bits. */
+  def q151StreamSpandedup(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val d = docs(s, dir)
+      .withColumn("create_at", lit("2000-01-01T00:00:00.000000+0000"))
+      .withColumn("update_at", lit("2000-01-01T00:00:00.000000+0000"))
+    val cuts = d.stat.approxQuantile("doc_id", Array(0.33, 0.66), 0.001)
+    val srcDir = Files.createTempDirectory("graft_q151_src").toString
+    val bounds = Seq((Long.MinValue, cuts(0).toLong),
+      (cuts(0).toLong, cuts(1).toLong), (cuts(1).toLong, Long.MaxValue))
+    bounds.zipWithIndex.foreach { case ((lo, hi), b) =>
+      val stage = Files.createTempDirectory(s"graft_q151_b$b").toString
+      d.filter(col("doc_id") > lo && col("doc_id") <= hi)
+        .repartition(1).write.mode("overwrite").parquet(stage)
+      val part = Files.list(Paths.get(stage)).iterator().asScala
+        .find(_.getFileName.toString.startsWith("part-")).get
+      val dst = Paths.get(srcDir, s"b$b.parquet")
+      Files.move(part, dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + b * 60000L))
+    }
+    val cleaned = new KeyedLakeTable(s, LakeTableSpec(
+      Files.createTempDirectory("graft_q151_clean").toString,
+      recordKeys = Seq("doc_id"), precombine = "update_at",
+      partitionSource = "create_at"))
+    val registry = new graft.sink.VersionedLakeTable(s, LakeTableSpec(
+      Files.createTempDirectory("graft_q151_reg").toString,
+      recordKeys = Seq("h"), precombine = "update_at",
+      partitionSource = "create_at", tieBreak = Seq("batch_id")))
+    graft.streaming.CdcStreamIngest.toSpanDedupTable(
+      s.readStream.schema(d.schema).option("maxFilesPerTrigger", 1)
+        .parquet(srcDir),
+      "doc_id", "text", k = 3, cleaned, registry,
+      Files.createTempDirectory("graft_q151_ckpt").toString)
+    cleaned.read()
+      .select(col("doc_id"), col("n_spans"), col("n_kept"),
+        col("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  /** q98's one-shot C4 SQL verbatim — the streamed pipeline with
+    * monotone id-range batches must equal it exactly. */
+  def q151StreamSpandedupSql: String = q98SpanDedupSql
+
   // ---------------------------------------------------------------- q97
   /** Intra-document repetition metrics + keep/drop verdict
     * ([[graft.text.Repetition]]) — the boilerplate/degenerate-repetition

@@ -230,6 +230,69 @@ object CdcStreamIngest {
     query.awaitTermination()
   }
 
+  /** Streaming span (C4) dedup — [[graft.dedup.SpanDedup.incremental]]
+    * wired as a continuously-ingesting pipeline: each micro-batch of
+    * documents is deduped against the accumulated span REGISTRY (the
+    * distinct 16-byte span keys of everything already ingested), the
+    * cleaned rows upsert into `cleaned`, and the batch's genuinely new
+    * spans append to the registry. Batch-over-batch this equals ONE
+    * [[graft.dedup.SpanDedup.clean]] over the concatenation in batch
+    * order (the operator's composition contract) — and when ids are
+    * MONOTONE in arrival order, batch order IS corpus order, so any
+    * split of the stream produces the identical cleaned corpus as the
+    * one-shot clean (StreamingSpanDedupSpec pins 1-batch ≡ 3-batch ≡
+    * row-at-a-time; q151 pins it against the one-shot C4 SQL oracle).
+    *
+    * RESTART SAFETY (the foreachBatch crash window — a batch whose
+    * registry append committed but whose checkpoint didn't would, on
+    * replay, find its OWN spans in the registry and drop every one of
+    * them as prior occurrences): registry rows carry the micro-batch id
+    * and the read FILTERS to `batch_id < current` — a replay (same
+    * batch id) sees exactly the pre-batch registry. The registry table
+    * is keyed on the span hash, so the replayed append collapses by key
+    * on MoR read instead of double-listing; `cleaned` upserts are
+    * idempotent by doc id.
+    *
+    * `registry`'s spec must key on `h` (binary). Registry rows are one
+    * partition (constant lake timestamps) — registry reads are
+    * whole-scans by nature (the anti-join probes every prior span); a
+    * 100 TB registry would bucket-write on `h` so the anti-join
+    * consumes bucketing exchange-free, as the batch operator's scaladoc
+    * already prescribes. */
+  def toSpanDedupTable(stream: DataFrame, idCol: String, textCol: String,
+      k: Int, cleaned: KeyedLakeTable,
+      registry: graft.sink.VersionedLakeTable,
+      checkpointDir: String): Unit = {
+    val query = stream.writeStream
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        if (!batch0.isEmpty) {
+          // the batch feeds the span pass, the cleaned upsert, and the
+          // lake-column join; the source may be non-deterministic — pin it
+          val batch = batch0.localCheckpoint(true)
+          val reg = registry.latestVersion
+            .map(_ => registry.read()
+              .filter(col("batch_id") < batchId).select(col("h")))
+            .getOrElse(batch.select(lit(Array.empty[Byte]).as("h")).limit(0))
+          val step = graft.dedup.SpanDedup.incremental(
+            batch.select(col(idCol), col(textCol)), idCol, textCol, reg, k)
+          // re-attach the stream's lake columns (create_at/update_at) to
+          // the cleaned projection by id for the keyed upsert
+          cleaned.upsert(step.cleaned.join(
+            batch.select(col(idCol), col("create_at"), col("update_at")),
+            Seq(idCol)))
+          registry.upsertDeferred(step.newSpans
+            .select(col("h"), lit(batchId).as("batch_id"),
+              lit("2000-01-01T00:00:00.000000+0000").as("create_at"),
+              lit("2000-01-01T00:00:00.000000+0000").as("update_at")))
+          ()
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+  }
+
   /** A keyed CDC record for the stateful streaming variant. */
   final case class KeyedEvent(id: String, update_at: String, payload: String)
 
