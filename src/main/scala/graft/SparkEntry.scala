@@ -163,6 +163,7 @@ object SparkEntry {
     "q149_semdedup_scale100" -> (PipelineQueries.q149SemdedupScale100 _),
     "q150_stream_semdedup" -> (PipelineQueries.q150StreamSemdedup _),
     "q151_stream_spandedup" -> (PipelineQueries.q151StreamSpandedup _),
+    "q152_asof_merge" -> (CdcQueries.q152AsofMerge _),
   )
 
   /** Untimed per-query setup the bench runs before timing (ingest-side
@@ -357,6 +358,7 @@ object SparkEntry {
     "q149_semdedup_scale100" -> PipelineQueries.q149SemdedupScale100Sql,
     "q150_stream_semdedup" -> PipelineQueries.q150StreamSemdedupSql,
     "q151_stream_spandedup" -> PipelineQueries.q151StreamSpandedupSql,
+    "q152_asof_merge" -> CdcQueries.q152AsofMergeSql,
   )
 
   /** DECLARED oracle-less entries: queries whose semantics are not

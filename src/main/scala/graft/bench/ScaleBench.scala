@@ -697,6 +697,32 @@ object ScaleBench {
       () => noop(graft.operators.AsofJoin.asof(facts, dims,
         "user_id", "ts_us", Seq("state_id", "state_value")))
     }),
+    // the INGEST-PAID layout at the same decade: both sides bucket-written
+    // on the key with an in-bucket (user_id, ts_us) sort (untimed — the
+    // shuffle+sort paid once at ingest, q94's co-location story), timed =
+    // the zero-exchange zero-sort AsofMerge pass. Compare against
+    // m_asof_plain_x1000 (same rows, generic path) and the DuckDB ASOF
+    // twin (which always re-sorts — single-node DuckDB has no persistent
+    // co-located layout to consume).
+    "m_asof_merge_x1000" -> ((s, dir) => {
+      def ensure(name: String, path: String): Unit =
+        if (!s.catalog.tableExists(name)) {
+          val wh = new org.apache.hadoop.fs.Path(
+            s.sessionState.conf.warehousePath, name.toLowerCase)
+          val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (fs.exists(wh)) fs.delete(wh, true)
+          s.read.parquet(path).repartition(32, col("user_id"))
+            .write.mode("overwrite").bucketBy(32, "user_id")
+            .sortBy("user_id", "ts_us").saveAsTable(name)
+        }
+      ensure("asof_facts_bkt1000", asofFixturePath(s, dir, "facts", 1000))
+      ensure("asof_dims_bkt1000", asofFixturePath(s, dir, "dims", 1000))
+      s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering",
+        "true")
+      () => noop(graft.operators.AsofJoin.asofMerge(
+        s.table("asof_facts_bkt1000"), s.table("asof_dims_bkt1000"),
+        "user_id", "ts_us", Seq("state_id", "state_value")))
+    }),
     // incremental SemDeDup (q148) vs re-deciding the accumulated corpus:
     // the fold sweeps the batch against the registry — O(|hist|·|batch| +
     // |batch|²) cosine pairs per cluster, registry members never re-paired

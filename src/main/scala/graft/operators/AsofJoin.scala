@@ -94,6 +94,30 @@ object AsofJoin {
       Seq(keyCol), tsCol, payloadCols, facts.columns.toSeq)
   }
 
+  /** MERGE as-of join ([[graft.plans.AsofMerge]]) — identical output to
+    * [[asof]] (spec-pinned), but dims and facts stay SEPARATE children,
+    * each clustered by the key and sorted by (key, ts), merged in one
+    * co-partitioned pass. This is the ingest-paid-layout form: when
+    * both inputs are bucket-written on the key with an in-bucket
+    * (key, ts) sort — q94's co-location story applied to as-of — the
+    * plan is scan → merge with ZERO exchanges and ZERO sorts
+    * (AsofJoinSpec pins the plan on bucketed tables). On raw inputs
+    * EnsureRequirements plans one exchange + sort per side: same
+    * shuffled row count as [[asof]]'s union, minus the tagged-row
+    * widening. Same determinism contract. */
+  def asofMerge(facts: DataFrame, dims: DataFrame, keyCol: String,
+      tsCol: String, payloadCols: Seq[String]): DataFrame = {
+    require(payloadCols.nonEmpty, "need at least one payload column")
+    ensureStrategy(facts.sparkSession)
+    val dimSide = dims.select((keyCol +: tsCol +: payloadCols)
+      .map(col): _*)
+    ColumnBridge.ofRows(facts.sparkSession,
+      graft.plans.AsofMerge(Seq(keyCol), tsCol, payloadCols,
+        facts.columns.toSeq,
+        ColumnBridge.logicalPlan(dimSide),
+        ColumnBridge.logicalPlan(facts)))
+  }
+
   /** The pure-DataFrame window spelling of [[asof]] — identical output
     * (AsofJoinSpec pins it), kept as the A/B baseline for the carry
     * operator and for callers that must stay on stock operators. */

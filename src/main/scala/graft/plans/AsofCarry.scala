@@ -244,6 +244,8 @@ object AsofCarryStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsofCarry(k, t, s, p, f, child) =>
       AsofCarryExec(k, t, s, p, f, planLater(child)) :: Nil
+    case AsofMerge(k, t, p, f, dims, facts) =>
+      AsofMergeExec(k, t, p, f, planLater(dims), planLater(facts)) :: Nil
     case _ => Nil
   }
 }

@@ -1352,6 +1352,37 @@ object CdcQueries {
   def q127AsofUniform(s: SparkSession, dir: String): DataFrame =
     asofSkewQuery(s, dir, hot = false)
 
+  // ---------------------------------------------------------------- q152
+  /** The MERGE as-of operator ([[graft.operators.AsofJoin.asofMerge]] —
+    * two sorted children, co-partitioned zero-union merge) on q127's
+    * exact derivation, oracled by q127's DuckDB ASOF SQL verbatim: the
+    * merge exec's advance/carry/tie logic has to land on the native
+    * operator's bits. (The bucketed-layout zero-exchange plan property
+    * is pinned in AsofJoinSpec; the ingest-paid decade is
+    * m_asof_merge_x1000.) */
+  def q152AsofMerge(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+      .select(col("event_id"), col("ts_us"), col("user_id"),
+        col("event_type"), col("value"),
+        graft.ops.Replicate.rep(10).as("r"))
+      .select((col("event_id") * 10 + col("r")).as("event_id"),
+        (col("ts_us") + col("r")).as("ts_us"), col("user_id"),
+        col("event_type"), col("value"))
+    val facts = ev.where(col("event_type") === "click")
+      .select(col("event_id"), col("ts_us"), col("user_id"), col("value"))
+    val dims = ev.where(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts_us"))
+      .agg(max(struct(col("event_id"), col("value"))).as("m"))
+      .select(col("user_id"), col("ts_us"),
+        col("m.event_id").as("state_id"), col("m.value").as("state_value"))
+    graft.operators.AsofJoin
+      .asofMerge(facts, dims, "user_id", "ts_us",
+        Seq("state_id", "state_value"))
+      .orderBy("event_id")
+  }
+
+  def q152AsofMergeSql: String = q127AsofUniformSql
+
   private def asofSkewSql(keyExpr: String): String =
     s"""WITH rep AS (
       |  SELECT event_id * 10 + r.range AS event_id,

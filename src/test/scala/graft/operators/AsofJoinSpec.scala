@@ -142,6 +142,56 @@ class AsofJoinSpec extends AnyFunSuite with SparkSpec {
       s"expected the aggregate to consume the carry's partitioning:\n$s")
   }
 
+  test("the merge operator equals the carry operator (contract + fuzz)") {
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), Option(r.getString(3)))).toMap
+    assert(toMap(AsofJoin.asofMerge(facts, dims, "k", "ts", Seq("state")))
+      === out)
+    val rnd = new scala.util.Random(47)
+    val dimRows = (0L until 10L).flatMap(k =>
+      rnd.shuffle((0L until 50L).toList).take(12).map(ts =>
+        (k, ts, s"s$k-$ts"))).toList
+    val factRows = (0 until 300).map { i =>
+      (i.toLong, rnd.nextInt(12).toLong, rnd.nextInt(55).toLong)
+    }
+    val fDf = factRows.toDF("fid", "k", "ts")
+    val dDf = dimRows.toDF("k", "ts", "state")
+    assert(toMap(AsofJoin.asofMerge(fDf, dDf, "k", "ts", Seq("state"))) ===
+      toMap(AsofJoin.asof(fDf, dDf, "k", "ts", Seq("state"))))
+  }
+
+  test("merge on bucketed (key, ts)-sorted tables: zero exchanges, zero sorts") {
+    // the ingest-paid layout: both sides bucket-written on the key and
+    // sorted by (key, ts), one file per bucket — the merge must consume
+    // the layout scan-side, the as-of analog of q94's co-located join
+    def ensure(name: String, df: org.apache.spark.sql.DataFrame): Unit =
+      if (!spark.catalog.tableExists(name)) {
+        df.repartition(4, $"k").write.mode("overwrite")
+          .bucketBy(4, "k").sortBy("k", "ts").saveAsTable(name)
+      }
+    ensure("asof_facts_bkt", facts)
+    ensure("asof_dims_bkt", dims)
+    // Spark ≥3.1 hides bucketed scans' sort order behind this legacy
+    // conf (the multi-file-per-bucket case made it rarely usable; the
+    // one-file-per-bucket writer here is exactly the usable case)
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering",
+      "true")
+    try {
+      val plan = AsofJoin.asofMerge(spark.table("asof_facts_bkt"),
+          spark.table("asof_dims_bkt"), "k", "ts", Seq("state"))
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("AsofMerge"), plan)
+      assert(!plan.contains("Exchange"), s"expected zero exchanges:\n$plan")
+      assert(!plan.contains("Sort"), s"expected zero sorts:\n$plan")
+      // and the layout-consuming plan still produces the exact answer
+      val got = AsofJoin.asofMerge(spark.table("asof_facts_bkt"),
+          spark.table("asof_dims_bkt"), "k", "ts", Seq("state"))
+        .collect().map(r => (r.getLong(0), Option(r.getString(3)))).toMap
+      assert(got === out)
+    } finally spark.conf.set(
+      "spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
+  }
+
   test("seeded fuzz: distributed as-of equals the in-memory reference") {
     val rnd = new scala.util.Random(11)
     // dims unique per (key, ts) — the operator's determinism contract
