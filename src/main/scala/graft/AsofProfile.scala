@@ -84,6 +84,12 @@ object AsofProfile {
       noop(graft.operators.AsofJoin.asof(facts, dims, "user_id", "ts_us",
         payloadCols))
     }
+    time("merge_raw") { // AsofMergeExec on UNSORTED inputs: per-side
+      // exchange + sort of the narrow originals instead of one sort of
+      // the widened tagged union
+      noop(graft.operators.AsofJoin.asofMerge(facts, dims, "user_id",
+        "ts_us", payloadCols))
+    }
     time("window_buf1m") {
       // same plan, WindowExec's per-group buffer kept as an in-memory
       // row array instead of transitioning to the spillable unsafe store

@@ -102,9 +102,15 @@ object AsofJoin {
     * (key, ts) sort — q94's co-location story applied to as-of — the
     * plan is scan → merge with ZERO exchanges and ZERO sorts
     * (AsofJoinSpec pins the plan on bucketed tables). On raw inputs
-    * EnsureRequirements plans one exchange + sort per side: same
-    * shuffled row count as [[asof]]'s union, minus the tagged-row
-    * widening. Same determinism contract. */
+    * EnsureRequirements plans one exchange + sort per side — measured a
+    * WASH against [[asof]]'s union form at the ×1000 decade
+    * (AsofProfile 2026-08-15: merge_raw 4.26 s vs carry 4.26 s; the
+    * narrower un-tagged rows buy back exactly what the second exchange
+    * costs), so [[asof]] stays the default for un-laid-out inputs and
+    * THIS form is the layout consumer (0.91 s on bucket-sorted tables —
+    * 1.5× FASTER than single-node DuckDB's native ASOF on the same
+    * rows, because the ingest paid the sort once). Same determinism
+    * contract. */
   def asofMerge(facts: DataFrame, dims: DataFrame, keyCol: String,
       tsCol: String, payloadCols: Seq[String]): DataFrame = {
     require(payloadCols.nonEmpty, "need at least one payload column")
