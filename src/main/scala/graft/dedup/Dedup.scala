@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.text.TextOps
@@ -615,5 +615,127 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
     LshCore(norm, mapping, sh, sigs, sizes, repPairs)
+  }
+
+  /** Per-doc minhash signature ARRAY (`bands × rowsPerBand` longs) over
+    * word-n-gram shingles of the normalized text — the registry row of
+    * the signature-registry incremental form [[incrementalDedupSigs]].
+    * Docs whose normalized text is empty produce NO row (no shingles ⇒
+    * they never pair — the batch LSH's own norm-filter contract). */
+  def signatureArrays(df: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int): DataFrame = {
+    val norm = df
+      .select(col(idCol).as("doc"), TextOps.normalized(col(textCol)).as("__t"))
+      .filter(length(col("__t")) > 0)
+    val sh = norm
+      .select(col("doc"), TextOps.words(col("__t")).as("__w"))
+      .select(col("doc"),
+        explode(array_distinct(TextOps.wordShingles(col("__w"), n))).as("shingle"))
+    minHashSignatures(sh, numHashes)
+      .select(col("doc"),
+        array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** One batch step of the signature-registry incremental dedup. */
+  final case class SigStep(kept: DataFrame, registryRows: DataFrame)
+
+  /** [[incrementalDedup]]'s drop rule at the cost shape a continuously
+    * ingested 100 TB corpus actually needs: the registry stores each
+    * prior doc's minhash signature array, so an arriving batch pays
+    *  - shingling + signatures for the BATCH only (the corpus is never
+    *    re-shingled — [[incrementalDedup]] re-runs LSH over
+    *    existing ∪ batch, i.e. a corpus-sized scan per batch),
+    *  - one banded bucket join of the batch's band signatures against
+    *    the registry's (linear in corpus size but metadata-narrow:
+    *    16 bytes × bands per doc, no text),
+    *  - exact-Jaccard verification that re-shingles ONLY the candidate
+    *    pairs' texts (candidates are few by construction).
+    *
+    * `registry` must be the accumulated `registryRows` of prior batches:
+    * (idCol, textCol, sig array<long>) — sig NULL for docs with no
+    * shingles (they never pair). Returns the batch survivors and the
+    * batch's registry rows for the caller to append. The drop rule is
+    * identical to [[incrementalDedup]] (incoming doc_b of a pair always
+    * loses; incoming doc_a loses only to a registry doc_b), and at a
+    * recall-total band config the pair set is the exact-Jaccard pair
+    * set, so the two forms produce the SAME kept set
+    * (SigRegistrySpec pins it) — this one just reaches it without
+    * touching stored text outside the candidate pairs.
+    *
+    * Exact duplicates are NOT pre-collapsed here (the batch form's
+    * rep-collapse needs the whole corpus's fingerprints): a massive
+    * exact-dup cluster surfaces as an over-`maxBucket` bucket and the
+    * loud guard fires — pre-filter exact dups upstream (e.g. the keyed
+    * lake table's fingerprint column) if the corpus is dup-heavy.
+    * Ids must be globally unique across registry and batch — same
+    * precondition as [[incrementalDedup]]; the streaming head's registry
+    * is keyed on the id, so a collision collapses there first. */
+  def incrementalDedupSigs(registry: DataFrame, incoming: DataFrame,
+      idCol: String, textCol: String, n: Int, bands: Int, rowsPerBand: Int,
+      threshold: Double, maxBucket: Int = 10000,
+      strictBuckets: Boolean = false): SigStep = {
+    val k = bands * rowsPerBand
+    // feeds band sigs, the estimate prefilter, and the registry rows —
+    // pin it or the signature aggregation re-runs per consumer
+    val incSig = signatureArrays(incoming, idCol, textCol, n, k)
+      .localCheckpoint(true)
+    val regSig = registry
+      .select(col(idCol).as("doc"), col("sig"))
+      .filter(col("sig").isNotNull)
+    val allSigs = regSig.unionByName(incSig)
+    // band signatures derived from the ARRAY exactly as lshCore derives
+    // them from the wide row (same cast-to-string + comma join ⇒ same
+    // 64-bit band sig for the same signature values)
+    val bandSigCols = (0 until bands).map { b =>
+      val slice = (0 until rowsPerBand)
+        .map(r => col("sig").getItem(b * rowsPerBand + r).cast("string"))
+      struct(lit(b).as("band"),
+        xxhash64(concat_ws(",", slice: _*)).as("bsig")).as(s"b$b")
+    }
+    val bandSigs = allSigs
+      .select(col("doc"), explode(array(bandSigCols: _*)).as("bs"))
+      .select(col("doc"), col("bs.band").as("band"), col("bs.bsig").as("sig"))
+    val candidates = bucketPairs(bandSigs, maxBucket,
+      "incrementalDedupSigs", strictBuckets)
+    val newIds = incoming.select(col(idCol).as("doc"), lit(true).as("nw"))
+    val flagged = candidates
+      .join(newIds.toDF("doc_a", "new_a"), Seq("doc_a"), "left")
+      .join(newIds.toDF("doc_b", "new_b"), Seq("doc_b"), "left")
+      .na.fill(false, Seq("new_a", "new_b"))
+      .filter(col("new_a") || col("new_b")) // registry-internal pairs are
+                                            // settled history — drop early
+    // stage-1 verify: signature-estimate prefilter on the stored arrays
+    val prefiltered = flagged
+      .join(allSigs.toDF("doc_a", "sig_a"), "doc_a")
+      .join(allSigs.toDF("doc_b", "sig_b"), "doc_b")
+      .withColumn("est",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0), (a, x) => a + x)
+          .cast("double") / lit(k.toDouble))
+      .filter(col("est") >= threshold - 0.1)
+      .select(col("doc_a"), col("doc_b"), col("new_a"), col("new_b"))
+    // stage-2 verify: exact Jaccard, re-shingling ONLY candidate texts
+    val texts = registry.select(col(idCol).as("doc"), col(textCol).as("__txt"))
+      .unionByName(incoming.select(col(idCol).as("doc"), col(textCol).as("__txt")))
+    def shOf(c: Column): Column =
+      array_distinct(TextOps.wordShingles(
+        TextOps.words(TextOps.normalized(c)), n))
+    val verified = prefiltered
+      .join(texts.toDF("doc_a", "ta"), "doc_a")
+      .join(texts.toDF("doc_b", "tb"), "doc_b")
+      .withColumn("sa", shOf(col("ta")))
+      .withColumn("sb", shOf(col("tb")))
+      .withColumn("i", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard", col("i").cast("double") /
+        (size(col("sa")) + size(col("sb")) - col("i")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+    val drops = verified.filter(col("new_b")).select(col("doc_b").as(idCol))
+      .union(verified.filter(col("new_a") && !col("new_b"))
+        .select(col("doc_a").as(idCol)))
+      .distinct()
+    val kept = incoming.join(drops, Seq(idCol), "left_anti")
+    val registryRows = incoming.select(col(idCol), col(textCol))
+      .join(incSig.withColumnRenamed("doc", idCol), Seq(idCol), "left")
+    SigStep(kept, registryRows)
   }
 }

@@ -1508,6 +1508,29 @@ object CdcQueries {
       |WHERE rn = 1 AND CAST(substring(id, 6) AS BIGINT) % 37 = 0
       |ORDER BY id""".stripMargin
 
+  // --------------------------------------------------------------- q154
+  /** Dynamic file pruning driven by a JOIN
+    * ([[graft.sink.VersionedLakeTable.readForJoin]] — the Delta dynamic
+    * file pruning role): the probe side is the deterministic key sample
+    * q130 uses (every 37th user) as a FRAME rather than a driver list,
+    * the fact table opens only files whose key Bloom may hold some
+    * probe key, and the equi-join is the exact re-filter — so the
+    * result must equal the plain join of the full snapshot, which is
+    * q130's lookup semantics and its oracle verbatim. */
+  def q154JoinPrunedRead(s: SparkSession, dir: String): DataFrame = {
+    val table = indexedTable(s, dir, "q154")
+    val probe = events(s, dir)
+      .filter(pmod(col("user_id"), lit(37)) === 0)
+      .select(format_string("user-%06d", col("user_id").cast("long"))
+        .as("id"))
+      .distinct()
+    table.readForJoin(probe).join(probe, Seq("id"))
+      .select(snapshotCols.map(col): _*)
+      .orderBy("id")
+  }
+
+  val q154JoinPrunedReadSql: String = q130BloomLookupSql
+
   // --------------------------------------------------------------- q135
   /** Mergeable distinct-count sketch state ([[graft.ops.SketchState]]) —
     * COUNT(DISTINCT) maintained incrementally where [[q124IncrementalAgg]]'s

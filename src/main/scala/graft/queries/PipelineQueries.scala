@@ -1581,6 +1581,100 @@ object PipelineQueries {
     * monotone id-range batches must equal it exactly. */
   def q151StreamSpandedupSql: String = q98SpanDedupSql
 
+  // --------------------------------------------------------------- q153
+  /** Streaming MinHash-LSH near-dup dedup end-to-end
+    * ([[graft.streaming.CdcStreamIngest.toNearDupTable]]): the documents
+    * table arrives as THREE mtime-ordered micro-batches split by doc_id
+    * RANGE. The registry holds every prior doc (drops included), so with
+    * monotone ids the drop rule is exactly "near-duplicates any
+    * smaller-id document" — batch-boundary-invariant — and at the proven
+    * recall-total config (τ=0.9, b=16/r=8 — q42/q84) the exact Jaccard
+    * pair SQL oracles the streamed pipeline outright: registry
+    * accumulation, the batch-id replay guard, checkpointing, and both
+    * lake tables all have to land on the exact pair set's answer. */
+  def q153StreamNeardup(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val d = docs(s, dir)
+      .withColumn("create_at", lit("2000-01-01T00:00:00.000000+0000"))
+      .withColumn("update_at", lit("2000-01-01T00:00:00.000000+0000"))
+    val cuts = d.stat.approxQuantile("doc_id", Array(0.33, 0.66), 0.001)
+    val srcDir = Files.createTempDirectory("graft_q153_src").toString
+    val bounds = Seq((Long.MinValue, cuts(0).toLong),
+      (cuts(0).toLong, cuts(1).toLong), (cuts(1).toLong, Long.MaxValue))
+    bounds.zipWithIndex.foreach { case ((lo, hi), b) =>
+      val stage = Files.createTempDirectory(s"graft_q153_b$b").toString
+      d.filter(col("doc_id") > lo && col("doc_id") <= hi)
+        .repartition(1).write.mode("overwrite").parquet(stage)
+      val part = Files.list(Paths.get(stage)).iterator().asScala
+        .find(_.getFileName.toString.startsWith("part-")).get
+      val dst = Paths.get(srcDir, s"b$b.parquet")
+      Files.move(part, dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + b * 60000L))
+    }
+    val cleaned = new KeyedLakeTable(s, LakeTableSpec(
+      Files.createTempDirectory("graft_q153_clean").toString,
+      recordKeys = Seq("doc_id"), precombine = "update_at",
+      partitionSource = "create_at"))
+    val registry = new graft.sink.VersionedLakeTable(s, LakeTableSpec(
+      Files.createTempDirectory("graft_q153_reg").toString,
+      recordKeys = Seq("doc_id"), precombine = "update_at",
+      partitionSource = "create_at", tieBreak = Seq("batch_id")))
+    graft.streaming.CdcStreamIngest.toNearDupTable(
+      s.readStream.schema(d.schema).option("maxFilesPerTrigger", 1)
+        .parquet(srcDir),
+      "doc_id", "text", n = 2, bands = 16, rowsPerBand = 8,
+      threshold = 0.9, cleaned, registry,
+      Files.createTempDirectory("graft_q153_ckpt").toString)
+    cleaned.read().select(col("doc_id"))
+      .join(docs(s, dir), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  // --------------------------------------------------------------- q155
+  /** Signature-registry incremental dedup
+    * ([[graft.dedup.Dedup.incrementalDedupSigs]]) on q84's exact
+    * fixture: every 3rd document arrives as the batch, the rest stand as
+    * the registry — but the registry is consulted through its STORED
+    * minhash signature arrays (built once, as ingest would), so the
+    * batch never re-shingles the corpus. Same drop rule, same
+    * recall-total config, so q84's exact-Jaccard SQL oracles this form
+    * outright too — the oracle can't tell which engine shape produced
+    * the kept set, which is the point. */
+  def q155SigIncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val existing = d.filter(col("doc_id") % 3 =!= 0)
+    val registry = existing.select(col("doc_id"), col("text"))
+      .join(Dedup.signatureArrays(existing, "doc_id", "text", n = 2,
+          numHashes = 128).withColumnRenamed("doc", "doc_id"),
+        Seq("doc_id"), "left")
+    Dedup.incrementalDedupSigs(registry, d.filter(col("doc_id") % 3 === 0),
+        "doc_id", "text", n = 2, bands = 16, rowsPerBand = 8,
+        threshold = 0.9)
+      .kept
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  val q155SigIncrementalDedupSql: String = q84IncrementalDedupSql
+
+  /** The split-invariant drop rule in exact SQL: a doc is dropped iff it
+    * exact-Jaccard-pairs (τ=0.9) with ANY smaller-id doc — every doc_b
+    * of every pair. */
+  val q153StreamNeardupSql: String =
+    s"""WITH $jaccardCtesSql,
+      |pairs AS (
+      |  SELECT doc_a, doc_b FROM inter
+      |  JOIN sizes sa ON sa.doc_id = doc_a
+      |  JOIN sizes sb ON sb.doc_id = doc_b
+      |  WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.9),
+      |drops AS (SELECT DISTINCT doc_b AS doc_id FROM pairs)
+      |SELECT d.doc_id, d.lang, d.source, d.n_chars
+      |FROM documents d
+      |WHERE d.doc_id NOT IN (SELECT doc_id FROM drops)
+      |ORDER BY d.doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q97
   /** Intra-document repetition metrics + keep/drop verdict
     * ([[graft.text.Repetition]]) — the boilerplate/degenerate-repetition

@@ -129,6 +129,7 @@ final class VersionedLakeTable(spark: SparkSession, val spec: LakeTableSpec,
 
   private def indexed: Boolean = statsCols.nonEmpty || keyBloomBits > 0
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
   private implicit val formats: Formats = DefaultFormats
   private val partCols = LakeOps.partitionCols
   private def commitsDir = Paths.get(path, "_commits")
@@ -432,6 +433,50 @@ final class VersionedLakeTable(spark: SparkSession, val spec: LakeTableSpec,
       recordKeys.map(c => col(c).cast("string")): _*)
     val wanted = keys.map(_.map(String.valueOf).mkString("\u0000"))
     pruned.filter(keyTuple.isin(wanted: _*))
+  }
+
+  /** Dynamic file pruning for an equi-join on the record keys (the
+    * Delta "dynamic file pruning" role): given the probe side's join
+    * keys as an already-FILTERED small frame containing this table's
+    * `spec.recordKeys` columns, return a KEY-COMPLETE SUPERSET of the
+    * snapshot rows whose key matches some probe row — only files whose
+    * Bloom may contain SOME probe key are opened. Unlike [[lookupKeys]]
+    * there is no exact re-filter here: the caller's equi-join IS the
+    * exact predicate, so a Bloom false positive costs a file read,
+    * never a wrong row — `table.readForJoin(dim).join(dim, keys)`
+    * equals `table.read().join(dim, keys)` with only the matching
+    * files scanned.
+    *
+    * The probe key set is collected to the driver (distinct, capped at
+    * `maxKeys` like the merge path's Bloom probe): past the cap the
+    * read degrades loudly to the full snapshot — correct, just
+    * unpruned — because the driver collect and the O(files × keys)
+    * Bloom probing both need the bound. At 100 TB this is exactly the
+    * selective-dim star-join shape: the filtered dim is small by
+    * construction, and the fact table opens only the files its keys
+    * can live in. Bloom pruning is key-complete (no false negatives),
+    * so it composes with append (merge-on-read) chains. */
+  def readForJoin(probeKeys: DataFrame, version: Option[Int] = None,
+      maxKeys: Int = 10000): DataFrame = {
+    require(keyBloomBits > 0,
+      s"VersionedLakeTable($path): readForJoin needs keyBloomBits > 0")
+    val missing = recordKeys.filterNot(probeKeys.columns.contains)
+    require(missing.isEmpty,
+      s"VersionedLakeTable($path): probe frame lacks record-key " +
+        s"column(s) ${missing.mkString(", ")}")
+    val hs = probeKeys.select(
+      xxhash64(concat_ws("\u0000",
+        recordKeys.map(c => col(c).cast("string")): _*)).as("__h"))
+      .distinct().limit(maxKeys + 1).collect().map(_.getLong(0))
+    if (hs.length > maxKeys) {
+      log.warn(s"VersionedLakeTable($path): readForJoin probe side " +
+        s"exceeds $maxKeys distinct keys — reading the full snapshot " +
+        "(correct, unpruned); raise maxKeys or pre-aggregate the probe")
+      read(version)
+    } else readWhereStatsInternal(version, _ => true,
+      keepFile = fs => hs.exists(h =>
+        fs.mayContainHash(keyBloomBits, FileStatsIndex.DefaultBloomK, h)),
+      filePruneKeyComplete = true)
   }
 
   // ----------------------------------------------------------- write side

@@ -293,6 +293,82 @@ object CdcStreamIngest {
     query.awaitTermination()
   }
 
+  /** Streaming MinHash-LSH near-dup dedup — the third member of the
+    * streaming dedup trio (span/C4: [[toSpanDedupTable]]; semantic:
+    * [[toSemanticDedupTable]]): each micro-batch of documents is deduped
+    * against the accumulated DOCUMENT REGISTRY via
+    * [[graft.dedup.Dedup.incrementalDedupSigs]], survivors upsert into
+    * `cleaned`, and the WHOLE batch (survivors and drops alike) appends
+    * to the registry with its signature arrays.
+    *
+    * Registering drops too is what makes the semantics split-invariant:
+    * with ids MONOTONE in arrival order, a document is dropped iff it
+    * near-duplicates ANY smaller-id document — kept or not — so the
+    * cleaned table is independent of where the micro-batch boundaries
+    * fall and equals the one-shot
+    * `incrementalDedup(empty, corpus)` (StreamingNearDupSpec pins
+    * 1-batch ≡ 3-batch ≡ row-at-a-time; q153 pins it against the exact
+    * Jaccard pair SQL at the proven recall-total config). A kept-only
+    * registry would instead make survival depend on whether a doc's
+    * nearest dup was itself dropped — batch-boundary-dependent.
+    *
+    * RESTART SAFETY (same protocol as the span registry): registry rows
+    * carry the micro-batch id and the read filters to
+    * `batch_id < current`, so a replay of a batch whose registry append
+    * committed but whose checkpoint didn't sees exactly the pre-batch
+    * registry — a doc is never deduped against itself. The registry is
+    * keyed on the doc id, so the replayed append collapses by key on MoR
+    * read; `cleaned` upserts are idempotent by doc id.
+    *
+    * SCALE SHAPE: the registry stores each doc's minhash SIGNATURE
+    * array alongside its text
+    * ([[graft.dedup.Dedup.incrementalDedupSigs]]), so a batch pays
+    * shingling for ITSELF only, one metadata-narrow banded bucket join
+    * against the registry's stored signatures, and an exact-Jaccard
+    * verify that re-shingles only the candidate pairs' texts — the
+    * corpus is never re-shingled (the text-registry form
+    * [[graft.dedup.Dedup.incrementalDedup]] re-runs LSH over
+    * registry ∪ batch every batch; SigRegistrySpec pins the two forms
+    * equal, so this head keeps the cheap one). */
+  def toNearDupTable(stream: DataFrame, idCol: String, textCol: String,
+      n: Int, bands: Int, rowsPerBand: Int, threshold: Double,
+      cleaned: KeyedLakeTable, registry: graft.sink.VersionedLakeTable,
+      checkpointDir: String, maxBucket: Int = 10000): Unit = {
+    val query = stream.writeStream
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        if (!batch0.isEmpty) {
+          // the batch feeds the LSH pass, the cleaned upsert, and the
+          // registry append; the source may be non-deterministic — pin it
+          val batch = batch0.localCheckpoint(true)
+          val reg = registry.latestVersion
+            .map(_ => registry.read()
+              .filter(col("batch_id") < batchId)
+              .select(col(idCol), col(textCol), col("sig")))
+            .getOrElse(batch
+              .select(col(idCol), col(textCol),
+                lit(null).cast("array<bigint>").as("sig"))
+              .limit(0))
+          val step = graft.dedup.Dedup.incrementalDedupSigs(reg,
+            batch.select(col(idCol), col(textCol)), idCol, textCol,
+            n, bands, rowsPerBand, threshold, maxBucket)
+          // re-attach the stream's lake columns to the survivors by id
+          cleaned.upsert(step.kept.join(
+            batch.select(col(idCol), col("create_at"), col("update_at")),
+            Seq(idCol)))
+          registry.upsertDeferred(step.registryRows
+            .select(col(idCol), col(textCol), col("sig"),
+              lit(batchId).as("batch_id"),
+              lit("2000-01-01T00:00:00.000000+0000").as("create_at"),
+              lit("2000-01-01T00:00:00.000000+0000").as("update_at")))
+          ()
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+  }
+
   /** A keyed CDC record for the stateful streaming variant. */
   final case class KeyedEvent(id: String, update_at: String, payload: String)
 

@@ -100,6 +100,47 @@ class FileStatsIndexSpec extends AnyFunSuite with SparkSpec {
     intercept[IllegalArgumentException](table.lookupKeys(Seq(Seq("a", "b"))))
   }
 
+  test("readForJoin: join-pruned read equals the plain join on a " +
+      "bounded file subset, degrades loudly past the key cap") {
+    val table = statsTable()
+    table.upsert(txnsAcrossMinutes(16, 20).toDF())
+    val probe = Seq("k7-3", "k12-19", "absent").toDF("id")
+    val pruned = table.readForJoin(probe)
+    assert(pruned.inputFiles.length <= 4,
+      s"bloom should prune 16 files to ~2, scanned ${pruned.inputFiles.length}")
+    assert(pruned.join(probe, Seq("id")).select("id").as[String]
+      .collect().toSet === Set("k7-3", "k12-19"))
+    // over-cap fallback: full snapshot, still the same join answer
+    val fallback = table.readForJoin(probe, maxKeys = 1)
+    assert(fallback.inputFiles.length === table.read().inputFiles.length,
+      "past the cap the read must be the plain (unpruned) snapshot")
+    assert(fallback.join(probe, Seq("id")).count() === 2L)
+    // a probe frame without the record-key column fails loudly
+    intercept[IllegalArgumentException](
+      table.readForJoin(Seq(1).toDF("not_the_key")))
+  }
+
+  test("readForJoin composes with an append (merge-on-read) chain: " +
+      "the WINNING version survives pruning") {
+    val table = new VersionedLakeTable(spark, LakeTableSpec(
+      path = tmpDir("vjoinmor"), recordKeys = Seq("id"),
+      precombine = "update_at", partitionSource = "create_at",
+      tieBreak = Seq("entity")),
+      statsCols = Seq("amount", "entity"), keyBloomBits = 1 << 12)
+    val base = txnsAcrossMinutes(8, 10)
+    table.upsert(base.toDF())
+    // newer version of k2-1 lands as an APPEND (merge-on-read) commit
+    val upd = base.filter(_.id == "k2-1")
+      .map(_.copy(update_at = "2024-01-01T00:02:09.000000+0000",
+        amount = 99999))
+    table.upsertDeferred(upd.toDF())
+    val probe = Seq("k2-1", "k5-5").toDF("id")
+    val out = table.readForJoin(probe).join(probe, Seq("id"))
+    assert(out.count() === 2L)
+    assert(out.filter($"id" === "k2-1").select("amount").as[Int].head()
+      === 99999, "append-chain pruning must keep the winning version")
+  }
+
   test("files committed before indexing are conservatively kept") {
     val path = tmpDir("vstats-mixed")
     val plain = new VersionedLakeTable(spark, statsSpec(path))

@@ -1,0 +1,133 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+import java.nio.file.attribute.FileTime
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.dedup.Dedup
+import graft.sink.{KeyedLakeTable, LakeTableSpec, VersionedLakeTable}
+
+/** Contract of [[CdcStreamIngest.toNearDupTable]] — the streaming
+  * MinHash-LSH near-dup pipeline:
+  *  1. with ids MONOTONE in arrival order, the cleaned table is INVARIANT
+  *     under micro-batch boundaries AND equal to the one-shot
+  *     `incrementalDedup(empty, corpus)` — because the registry holds
+  *     EVERY prior doc (drops included), the drop rule is
+  *     "near-duplicates any smaller-id doc", independent of batching;
+  *  2. replaying a batch whose registry append committed but whose
+  *     checkpoint didn't reproduces the same cleaned rows — the
+  *     `batch_id < current` registry filter hides the crashed attempt's
+  *     own rows from its replay, so a doc never dedups against itself;
+  *  3. dropped docs ARE registered: a later doc near-duplicating ONLY a
+  *     dropped doc is still dropped (the kept-only-registry alternative
+  *     would keep it — and be batch-boundary-dependent).
+  */
+class StreamingNearDupSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private val T0 = "2000-01-01T00:00:00.000000+0000"
+
+  // word-bigram shingles (n = 2). Docs 1 and 3 are near-identical (J high),
+  // doc 4 near-duplicates doc 3 (the already-DROPPED doc) but not doc 1,
+  // docs 2 and 5 are unique. Expected kept: 1, 2, 5.
+  private def rows: Seq[(Long, String)] = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog tonight"),
+    (2L, "an entirely different sentence about databases and storage"),
+    (3L, "the quick brown fox jumps over the lazy dog today"),
+    (4L, "quick brown fox jumps over the lazy dog today again"),
+    (5L, "spark structured streaming processes micro batches of files"))
+
+  private def df(rs: Seq[(Long, String)]): DataFrame =
+    rs.toDF("doc_id", "text")
+      .withColumn("create_at", lit(T0))
+      .withColumn("update_at", lit(T0))
+
+  private def writeBatches(batches: Seq[Seq[(Long, String)]]): String = {
+    val srcDir = tmpDir("snd-src")
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val stage = tmpDir(s"snd-stage$i")
+      df(b).repartition(1).write.mode("overwrite").parquet(stage)
+      val part = Files.list(Paths.get(stage)).iterator().asScala
+        .find(_.getFileName.toString.startsWith("part-")).get
+      val dst = Paths.get(srcDir, s"b$i.parquet")
+      Files.move(part, dst)
+      Files.setLastModifiedTime(dst,
+        FileTime.fromMillis(1000000000000L + i * 60000L))
+    }
+    srcDir
+  }
+
+  private def newCleaned(): KeyedLakeTable =
+    new KeyedLakeTable(spark, LakeTableSpec(
+      tmpDir("snd-clean"), recordKeys = Seq("doc_id"),
+      precombine = "update_at", partitionSource = "create_at"))
+
+  private def newRegistry(): VersionedLakeTable =
+    new VersionedLakeTable(spark, LakeTableSpec(
+      tmpDir("snd-reg"), recordKeys = Seq("doc_id"),
+      precombine = "update_at", partitionSource = "create_at",
+      tieBreak = Seq("batch_id")))
+
+  private def run(srcDir: String, cleaned: KeyedLakeTable = newCleaned(),
+      registry: VersionedLakeTable = newRegistry(),
+      ckpt: String = tmpDir("snd-ckpt")): KeyedLakeTable = {
+    CdcStreamIngest.toNearDupTable(
+      spark.readStream.schema(df(rows).schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir),
+      "doc_id", "text", n = 2, bands = 16, rowsPerBand = 8,
+      threshold = 0.5, cleaned, registry, ckpt)
+    cleaned
+  }
+
+  private def keptIds(t: KeyedLakeTable): Seq[Long] =
+    t.read().select($"doc_id").as[Long].collect().sorted.toSeq
+
+  test("monotone-id stream: any split equals the one-shot incremental dedup") {
+    val oneShot = Dedup.incrementalDedup(
+        df(Seq.empty[(Long, String)]).select($"doc_id", $"text"),
+        rows.toDF("doc_id", "text"),
+        "doc_id", "text", n = 2, bands = 16, rowsPerBand = 8,
+        threshold = 0.5)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(oneShot === Seq(1L, 2L, 5L),
+      "fixture sanity: docs 3 and 4 must near-dup a smaller-id doc")
+    val splits = Seq(
+      Seq(rows),
+      Seq(rows.take(2), rows.slice(2, 4), rows.drop(4)),
+      rows.map(Seq(_)))
+    for (s <- splits)
+      assert(keptIds(run(writeBatches(s))) === oneShot,
+        s"split of sizes ${s.map(_.size)} diverged from one-shot dedup")
+  }
+
+  test("a doc near-duplicating only a DROPPED doc is still dropped") {
+    // row-at-a-time: doc 3 is dropped in its own batch (dup of 1); doc 4
+    // arrives later and pairs only with 3 — a kept-only registry would
+    // keep it, the all-docs registry must drop it
+    val t = run(writeBatches(rows.map(Seq(_))))
+    assert(!keptIds(t).contains(4L),
+      "doc 4 must be dropped against the registered-but-dropped doc 3")
+  }
+
+  test("replay after a committed registry append is idempotent") {
+    val cleaned = newCleaned()
+    val registry = newRegistry()
+    val srcDir = writeBatches(Seq(rows))
+    run(srcDir, cleaned, registry)
+    val before = keptIds(cleaned)
+    assert(registry.read().count() === rows.size.toLong,
+      "registry must hold EVERY doc of the batch, drops included")
+    // crash simulation: registry commit survived, checkpoint didn't — a
+    // fresh checkpoint replays batch 0 against the seeded tables; the
+    // batch_id filter must hide the batch's own rows from its replay
+    run(srcDir, cleaned, registry, ckpt = tmpDir("snd-ckpt2"))
+    assert(keptIds(cleaned) === before,
+      "replay must not dedup the batch against its own registry rows")
+  }
+}
