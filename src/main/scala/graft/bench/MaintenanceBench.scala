@@ -499,38 +499,5 @@ object MaintenanceBench {
       val thunk = () => noop(table.read().join(probe, Seq("id")))
       thunk(); thunk
     }),
-    // -------- incremental near-dup dedup: signature registry vs corpus
-    // re-shingle (pinned equal by SigRegistrySpec + q155/q84). Both
-    // thunks dedup the SAME 10% batch against the same 90% corpus; the
-    // sig form consults the registry's STORED minhash arrays (built
-    // untimed — that cost is paid once at ingest, amortized over every
-    // later batch), the text form re-runs LSH over existing ∪ batch the
-    // way the corpus-rescanning operator must. The gap is the per-batch
-    // steady-state cost of continuous ingest dedup, and it WIDENS
-    // linearly with corpus size while the sig form's shingling cost
-    // stays batch-sized.
-    "m_lsh_incr_sig" -> ((s, dir) => {
-      val d = s.read.parquet(s"$dir/documents.parquet")
-        .select(col("doc_id"), col("text"))
-      val existing = d.filter(col("doc_id") % 10 =!= 0)
-      val registry = existing
-        .join(graft.dedup.Dedup.signatureArrays(existing, "doc_id", "text",
-            n = 2, numHashes = 128).withColumnRenamed("doc", "doc_id"),
-          Seq("doc_id"), "left")
-        .localCheckpoint(true) // ingest-paid: untimed by design
-      val batch = d.filter(col("doc_id") % 10 === 0).localCheckpoint(true)
-      () => noop(graft.dedup.Dedup.incrementalDedupSigs(registry, batch,
-        "doc_id", "text", n = 2, bands = 16, rowsPerBand = 8,
-        threshold = 0.9).kept)
-    }),
-    "m_lsh_incr_text" -> ((s, dir) => {
-      val d = s.read.parquet(s"$dir/documents.parquet")
-        .select(col("doc_id"), col("text"))
-      val existing = d.filter(col("doc_id") % 10 =!= 0).localCheckpoint(true)
-      val batch = d.filter(col("doc_id") % 10 === 0).localCheckpoint(true)
-      () => noop(graft.dedup.Dedup.incrementalDedup(existing, batch,
-        "doc_id", "text", n = 2, bands = 16, rowsPerBand = 8,
-        threshold = 0.9))
-    }),
   )
 }

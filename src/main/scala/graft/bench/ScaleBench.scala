@@ -203,6 +203,47 @@ object ScaleBench {
       .select((-col("doc_id") - 1).as("doc_id"),
         concat(col("text"), lit(" zb")).as("text"))
 
+  /** The accumulated signature registry of the ×`times` corpus —
+    * (doc_id, text, sig) rows as [[graft.dedup.Dedup.incrementalDedupSigs]]
+    * returns them — materialized: the state a continuously-ingesting
+    * near-dup pipeline stores between batches (the signature build is
+    * ingest-paid by design, so it is untimed here). */
+  private def lshRegistry(s: SparkSession, dir: String,
+      times: Int): DataFrame =
+    materialized(s, s"lsh_reg_x$times") {
+      val d = docsTimes(s, dir, times)
+      d.select(col("doc_id"), col("text"))
+        .join(graft.dedup.Dedup.signatureArrays(d, "doc_id", "text",
+            n = 2, numHashes = 128).withColumnRenamed("doc", "doc_id"),
+          Seq("doc_id"), "left")
+    }
+
+  /** One arriving ×1 batch for the near-dup pair: fresh (negative) ids,
+    * raw corpus text — every batch doc near-duplicates each replica's
+    * tail-perturbed copy, the mostly-duplicate arrival the incremental
+    * path exists for. */
+  private def lshBatch(s: SparkSession, dir: String): DataFrame =
+    materialized(s, "lsh_batch") {
+      graft.Tables.load(s, dir, "documents")
+        .select((-col("doc_id") - 1).as("doc_id"), col("text"))
+    }
+
+  /** The ALL-NOVEL arrival twin: same batch size, per-doc-unique tokens
+    * so NO shingle is shared with the corpus or within the batch — zero
+    * candidate pairs by construction. Isolates the per-batch floor the
+    * two forms pay when there is nothing to verify: the text form still
+    * re-shingles the whole corpus (its LSH runs over corpus ∪ batch
+    * regardless of content), the sig form's corpus-sized work is one
+    * scan of stored signature metadata. */
+  private def lshNovelBatch(s: SparkSession, dir: String): DataFrame =
+    materialized(s, "lsh_batch_novel") {
+      graft.Tables.load(s, dir, "documents")
+        .select((-col("doc_id") - 1).as("doc_id"),
+          concat_ws(" ", (0 until 40).map(j =>
+            concat(lit("nv"), col("doc_id").cast("string"), lit(s"x$j"))): _*)
+            .as("text"))
+    }
+
   /** The ×`times` token stream of the documents table, materialized. */
   private def tokensFixture(s: SparkSession, dir: String, times: Int): DataFrame =
     materialized(s, s"toks_x$times") {
@@ -485,6 +526,83 @@ object ScaleBench {
       () => noop(graft.dedup.SpanDedup
         .clean(corpus.select(col("doc_id"), col("text")).unionByName(batch),
           "doc_id", "text", k = 3))
+    }),
+    // -------- incremental near-dup (MinHash-LSH): signature registry vs
+    // corpus re-shingle, two corpus decades (pinned equal by
+    // SigRegistrySpec; q155 oracles the sig form). The SAME ×1 arriving
+    // batch dedups against the ×1 and ×10 corpus; the sig form consults
+    // the registry's STORED minhash arrays (built untimed — ingest-paid,
+    // amortized over every later batch) so its per-batch cost is batch
+    // shingling + a metadata-narrow banded bucket join whose slope is
+    // 16 bytes × bands per corpus doc; the text form re-runs LSH over
+    // corpus ∪ batch, re-shingling every stored byte per batch. The pair
+    // of slopes is the claim: both grow with the corpus, but the rescan
+    // grows with corpus TEXT while the sig form grows with corpus
+    // SIGNATURE metadata.
+    "m_lsh_incr_sig_x1" -> ((s, dir) => {
+      val reg = lshRegistry(s, dir, 1)
+      val batch = lshBatch(s, dir)
+      () => noop(graft.dedup.Dedup.incrementalDedupSigs(reg, batch,
+        "doc_id", "text", n = 2, bands = 16, rowsPerBand = 8,
+        threshold = 0.9).kept)
+    }),
+    "m_lsh_incr_sig_x10" -> ((s, dir) => {
+      val reg = lshRegistry(s, dir, 10)
+      val batch = lshBatch(s, dir)
+      () => noop(graft.dedup.Dedup.incrementalDedupSigs(reg, batch,
+        "doc_id", "text", n = 2, bands = 16, rowsPerBand = 8,
+        threshold = 0.9).kept)
+    }),
+    "m_lsh_incr_text_x1" -> ((s, dir) => {
+      val corpus = docsTimes(s, dir, 1)
+      val batch = lshBatch(s, dir)
+      () => noop(graft.dedup.Dedup.incrementalDedup(
+        corpus.select(col("doc_id"), col("text")), batch,
+        "doc_id", "text", n = 2, bands = 16, rowsPerBand = 8,
+        threshold = 0.9))
+    }),
+    "m_lsh_incr_text_x10" -> ((s, dir) => {
+      val corpus = docsTimes(s, dir, 10)
+      val batch = lshBatch(s, dir)
+      () => noop(graft.dedup.Dedup.incrementalDedup(
+        corpus.select(col("doc_id"), col("text")), batch,
+        "doc_id", "text", n = 2, bands = 16, rowsPerBand = 8,
+        threshold = 0.9))
+    }),
+    // the all-novel arrival twins: zero candidates, so the pair isolates
+    // what each form pays BEFORE any verification work — the dup-heavy
+    // entries above share a corpus-sized verify both forms must pay
+    // (their batch re-arrives the whole corpus), which masks the
+    // registry's advantage behind common cost
+    "m_lsh_incr_sig_novel_x1" -> ((s, dir) => {
+      val reg = lshRegistry(s, dir, 1)
+      val batch = lshNovelBatch(s, dir)
+      () => noop(graft.dedup.Dedup.incrementalDedupSigs(reg, batch,
+        "doc_id", "text", n = 2, bands = 16, rowsPerBand = 8,
+        threshold = 0.9).kept)
+    }),
+    "m_lsh_incr_sig_novel_x10" -> ((s, dir) => {
+      val reg = lshRegistry(s, dir, 10)
+      val batch = lshNovelBatch(s, dir)
+      () => noop(graft.dedup.Dedup.incrementalDedupSigs(reg, batch,
+        "doc_id", "text", n = 2, bands = 16, rowsPerBand = 8,
+        threshold = 0.9).kept)
+    }),
+    "m_lsh_incr_text_novel_x1" -> ((s, dir) => {
+      val corpus = docsTimes(s, dir, 1)
+      val batch = lshNovelBatch(s, dir)
+      () => noop(graft.dedup.Dedup.incrementalDedup(
+        corpus.select(col("doc_id"), col("text")), batch,
+        "doc_id", "text", n = 2, bands = 16, rowsPerBand = 8,
+        threshold = 0.9))
+    }),
+    "m_lsh_incr_text_novel_x10" -> ((s, dir) => {
+      val corpus = docsTimes(s, dir, 10)
+      val batch = lshNovelBatch(s, dir)
+      () => noop(graft.dedup.Dedup.incrementalDedup(
+        corpus.select(col("doc_id"), col("text")), batch,
+        "doc_id", "text", n = 2, bands = 16, rowsPerBand = 8,
+        threshold = 0.9))
     }),
     "m_q75_mat" -> ((s, dir) => {
       // q75's pricing aggregate over the MATERIALIZED 60M-row stream:

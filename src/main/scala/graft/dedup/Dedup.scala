@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.text.TextOps
@@ -704,38 +704,79 @@ object Dedup {
       .na.fill(false, Seq("new_a", "new_b"))
       .filter(col("new_a") || col("new_b")) // registry-internal pairs are
                                             // settled history — drop early
+      .localCheckpoint(true) // SMALL (batch-involved pairs) and the last
+      // corpus-sized derivation: everything below joins candidate-bounded
+      // frames, so the banded pipeline runs exactly once per batch
+    val registryRows = incoming.select(col(idCol), col(textCol))
+      .join(incSig.withColumnRenamed("doc", idCol), Seq(idCol), "left")
+    // zero candidates (an all-novel batch): nothing to verify, keep all —
+    // the count is a partition-sum over the checkpointed pair frame
+    if (flagged.count() == 0) return SigStep(incoming, registryRows)
+    // signatures of candidate docs only — ONE scan of the stored arrays
+    // instead of one per prefilter side. At corpus scale candidates are
+    // ≪ registry so this always pays; at bench scale the dup-heavy
+    // fixture (whose candidate set IS the corpus) shows its
+    // materialization cost, recorded honestly in BENCH_COMPARE.
+    val candDocs = flagged.select(col("doc_a").as("doc"))
+      .union(flagged.select(col("doc_b").as("doc"))).distinct()
+    val candSigs = allSigs.join(candDocs, Seq("doc"), "left_semi")
+      .localCheckpoint(true)
     // stage-1 verify: signature-estimate prefilter on the stored arrays
     val prefiltered = flagged
-      .join(allSigs.toDF("doc_a", "sig_a"), "doc_a")
-      .join(allSigs.toDF("doc_b", "sig_b"), "doc_b")
+      .join(candSigs.toDF("doc_a", "sig_a"), "doc_a")
+      .join(candSigs.toDF("doc_b", "sig_b"), "doc_b")
       .withColumn("est",
         aggregate(zip_with(col("sig_a"), col("sig_b"),
           (x, y) => when(x === y, 1).otherwise(0)), lit(0), (a, x) => a + x)
           .cast("double") / lit(k.toDouble))
       .filter(col("est") >= threshold - 0.1)
       .select(col("doc_a"), col("doc_b"), col("new_a"), col("new_b"))
-    // stage-2 verify: exact Jaccard, re-shingling ONLY candidate texts
+    // stage-2 verify: exact Jaccard over the candidate docs' shingle
+    // rows, each involved doc shingled EXACTLY ONCE and the intersection
+    // join-counted — lshCore's verify shape. The first cut computed the
+    // shingle arrays per PAIR via withColumn (two texts joined onto
+    // every candidate row): Catalyst re-evaluates the regex-normalize +
+    // shingle chain once per expression REFERENCE (no CSE across
+    // filter/project — the shingleRows trap, again), and SigProfile
+    // measured it at ~20 ms/pair: 107-113 s of the chain at the ×10
+    // sf0.001 fixture (5.6k pairs), 10× slower than the corpus rescan
+    // it was built to beat. This shape re-shingles O(involved docs),
+    // not O(pairs × refs): the full call drops 57 → 6.0 s on the same
+    // fixture (SigProfile, both recorded).
+    val cand = prefiltered // derives from checkpointed small frames only —
+      // re-execution by the consumers below is candidate-bounded
+    val involved = cand.select(col("doc_a").as("doc"))
+      .union(cand.select(col("doc_b").as("doc"))).distinct()
     val texts = registry.select(col(idCol).as("doc"), col(textCol).as("__txt"))
       .unionByName(incoming.select(col(idCol).as("doc"), col(textCol).as("__txt")))
-    def shOf(c: Column): Column =
-      array_distinct(TextOps.wordShingles(
-        TextOps.words(TextOps.normalized(c)), n))
-    val verified = prefiltered
-      .join(texts.toDF("doc_a", "ta"), "doc_a")
-      .join(texts.toDF("doc_b", "tb"), "doc_b")
-      .withColumn("sa", shOf(col("ta")))
-      .withColumn("sb", shOf(col("tb")))
-      .withColumn("i", size(array_intersect(col("sa"), col("sb"))))
-      .withColumn("jaccard", col("i").cast("double") /
-        (size(col("sa")) + size(col("sb")) - col("i")).cast("double"))
+    val candSh = texts.join(involved, Seq("doc"), "left_semi")
+      .select(col("doc"), TextOps.normalized(col("__txt")).as("__t"))
+      .filter(length(col("__t")) > 0)
+      .select(col("doc"), TextOps.words(col("__t")).as("__w"))
+      .select(col("doc"),
+        explode(array_distinct(TextOps.wordShingles(col("__w"), n))).as("shingle"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = candSh.groupBy(col("doc")).agg(count(lit(1)).as("__n"))
+    val verified = cand
+      .join(candSh.toDF("doc_a", "shingle"), "doc_a")
+      .join(candSh.toDF("doc_b", "shingle"), Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("__i"))
+      .join(cand, Seq("doc_a", "doc_b")) // reattach the new-side flags
+      .join(sizes.toDF("doc_a", "__na"), "doc_a")
+      .join(sizes.toDF("doc_b", "__nb"), "doc_b")
+      .withColumn("jaccard", col("__i").cast("double") /
+        (col("__na") + col("__nb") - col("__i")).cast("double"))
       .filter(col("jaccard") >= threshold)
+    // zero-overlap candidate pairs vanish at the inner shingle join —
+    // their Jaccard is 0, below any meaningful threshold, so the drop
+    // rule never needed them
     val drops = verified.filter(col("new_b")).select(col("doc_b").as(idCol))
       .union(verified.filter(col("new_a") && !col("new_b"))
         .select(col("doc_a").as(idCol)))
       .distinct()
+      .localCheckpoint(true) // eager + small: lets the shingle cache go
+    candSh.unpersist(false)
     val kept = incoming.join(drops, Seq(idCol), "left_anti")
-    val registryRows = incoming.select(col(idCol), col(textCol))
-      .join(incSig.withColumnRenamed("doc", idCol), Seq(idCol), "left")
     SigStep(kept, registryRows)
   }
 }
