@@ -539,27 +539,16 @@ object ScaleBench {
     // of slopes is the claim: both grow with the corpus, but the rescan
     // grows with corpus TEXT while the sig form grows with corpus
     // SIGNATURE metadata.
-    "m_lsh_incr_sig_x1" -> ((s, dir) => {
-      val reg = lshRegistry(s, dir, 1)
-      val batch = lshBatch(s, dir)
-      () => noop(graft.dedup.Dedup.incrementalDedupSigs(reg, batch,
-        "doc_id", "text", n = 2, bands = 16, rowsPerBand = 8,
-        threshold = 0.9).kept)
-    }),
+    // (the dup-heavy ×1 pair ran once and is recorded in BENCH_COMPARE —
+    // sig 7.78 vs text 8.83 s — and dropped from the per-round set to
+    // bound bench growth; the ×10 pair keeps the adversarial bound
+    // measured every round)
     "m_lsh_incr_sig_x10" -> ((s, dir) => {
       val reg = lshRegistry(s, dir, 10)
       val batch = lshBatch(s, dir)
       () => noop(graft.dedup.Dedup.incrementalDedupSigs(reg, batch,
         "doc_id", "text", n = 2, bands = 16, rowsPerBand = 8,
         threshold = 0.9).kept)
-    }),
-    "m_lsh_incr_text_x1" -> ((s, dir) => {
-      val corpus = docsTimes(s, dir, 1)
-      val batch = lshBatch(s, dir)
-      () => noop(graft.dedup.Dedup.incrementalDedup(
-        corpus.select(col("doc_id"), col("text")), batch,
-        "doc_id", "text", n = 2, bands = 16, rowsPerBand = 8,
-        threshold = 0.9))
     }),
     "m_lsh_incr_text_x10" -> ((s, dir) => {
       val corpus = docsTimes(s, dir, 10)

@@ -1531,6 +1531,46 @@ object CdcQueries {
 
   val q154JoinPrunedReadSql: String = q130BloomLookupSql
 
+  // --------------------------------------------------------------- q156
+  /** Range-stats join pruning on a NON-key column
+    * ([[graft.sink.VersionedLakeTable.readForJoinOn]]): the probe is a
+    * deterministic event_id sample from the top 5% of the id space
+    * (where the latest-wins snapshot's live rows cluster), the table
+    * opens only files whose event_id min/max CONTAINS some probe value,
+    * and the equi-join is the exact re-filter — the result must equal
+    * the plain join of the full latest-wins snapshot. */
+  def q156RangeJoinPrunedRead(s: SparkSession, dir: String): DataFrame = {
+    val table = indexedTable(s, dir, "q156")
+    val maxId = events(s, dir).agg(max(col("event_id"))).head().getLong(0)
+    val probe = events(s, dir)
+      .filter(col("event_id") > maxId - maxId / 20 &&
+        pmod(col("event_id"), lit(7)) === 0)
+      .select(col("event_id")).distinct()
+    table.readForJoinOn("event_id", probe).join(probe, Seq("event_id"))
+      .select(snapshotCols.map(col): _*)
+      .orderBy("id")
+  }
+
+  val q156RangeJoinPrunedReadSql: String =
+    s"""WITH cdc AS ($cdcViewSql),
+      |m AS (SELECT CAST(MAX(event_id) AS BIGINT) AS mx FROM events),
+      |probe AS (
+      |  SELECT DISTINCT e.event_id FROM events e, m
+      |  WHERE e.event_id > m.mx - m.mx // 20 AND e.event_id % 7 = 0),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY update_at DESC, event_id DESC) AS rn
+      |  FROM cdc)
+      |SELECT id,
+      |  substring(create_at, 1, 4) AS create_year,
+      |  substring(create_at, 6, 2) AS create_month,
+      |  substring(create_at, 9, 2) AS create_day,
+      |  substring(create_at, 12, 2) AS create_hour,
+      |  substring(create_at, 15, 2) AS create_minute,
+      |  update_at, event_type, value, props, event_id
+      |FROM r JOIN probe USING (event_id)
+      |WHERE rn = 1
+      |ORDER BY id""".stripMargin
+
   // --------------------------------------------------------------- q135
   /** Mergeable distinct-count sketch state ([[graft.ops.SketchState]]) —
     * COUNT(DISTINCT) maintained incrementally where [[q124IncrementalAgg]]'s

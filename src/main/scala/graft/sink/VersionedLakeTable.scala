@@ -479,6 +479,35 @@ final class VersionedLakeTable(spark: SparkSession, val spec: LakeTableSpec,
       filePruneKeyComplete = true)
   }
 
+  /** [[readForJoin]]'s sibling for an equi-join on a NON-key column that
+    * is in `statsCols` — typically the cluster/z-order column, where
+    * consecutive file slices are disjoint in the column and a value set
+    * prunes to ~one file per value: only files whose min/max range
+    * CONTAINS some probe value are opened (no Bloom required). Same
+    * superset contract (the caller's join is the exact re-filter, files
+    * without stats are conservatively kept) and the same loud full-read
+    * degradation past `maxKeys` distinct probe values. NOT allowed over
+    * append (merge-on-read) chains: range pruning is not key-complete
+    * there — the underlying read fails loudly, compactSnapshot() first. */
+  def readForJoinOn(column: String, probeValues: DataFrame,
+      version: Option[Int] = None, maxKeys: Int = 10000): DataFrame = {
+    require(statsCols.contains(column),
+      s"VersionedLakeTable($path): readForJoinOn needs '$column' in " +
+        s"statsCols $statsCols")
+    require(probeValues.columns.contains(column),
+      s"VersionedLakeTable($path): probe frame lacks column '$column'")
+    val vals = probeValues.select(col(column)).na.drop()
+      .distinct().limit(maxKeys + 1).collect().map(_.get(0))
+    if (vals.length > maxKeys) {
+      log.warn(s"VersionedLakeTable($path): readForJoinOn probe side " +
+        s"exceeds $maxKeys distinct values — reading the full snapshot " +
+        "(correct, unpruned); raise maxKeys or pre-aggregate the probe")
+      read(version)
+    } else readWhereStats(version, _ => true,
+      keepFile = fs => vals.exists(v =>
+        FileStatsIndex.range(column, Some(v), Some(v))(fs)))
+  }
+
   // ----------------------------------------------------------- write side
 
   /** Keyed latest-wins merge committed as a NEW version; returns it.

@@ -120,6 +120,42 @@ class FileStatsIndexSpec extends AnyFunSuite with SparkSpec {
       table.readForJoin(Seq(1).toDF("not_the_key")))
   }
 
+  test("readForJoinOn: range-pruned join on a stats column equals the " +
+      "plain join; cap fallback; non-stats column refused") {
+    val table = statsTable()
+    table.upsert(txnsAcrossMinutes(16, 20).toDF())
+    // partition p holds amounts [p*100, p*100+20): two values in two
+    // different partitions' files, one value matching nothing
+    val probe = Seq(305, 1210, 99999).toDF("amount")
+    val pruned = table.readForJoinOn("amount", probe)
+    assert(pruned.inputFiles.length <= 2,
+      s"range stats should prune 16 files to 2, got ${pruned.inputFiles.length}")
+    assert(pruned.join(probe, Seq("amount")).select("id").as[String]
+      .collect().toSet === Set("k3-5", "k12-10"))
+    val fallback = table.readForJoinOn("amount", probe, maxKeys = 1)
+    assert(fallback.inputFiles.length === table.read().inputFiles.length)
+    assert(fallback.join(probe, Seq("amount")).count() === 2L)
+    intercept[IllegalArgumentException](
+      table.readForJoinOn("note", Seq("v1").toDF("note")))
+  }
+
+  test("readForJoinOn refuses an append (merge-on-read) chain loudly") {
+    val table = new VersionedLakeTable(spark, LakeTableSpec(
+      path = tmpDir("vjoinonmor"), recordKeys = Seq("id"),
+      precombine = "update_at", partitionSource = "create_at",
+      tieBreak = Seq("entity")),
+      statsCols = Seq("amount", "entity"), keyBloomBits = 1 << 12)
+    val base = txnsAcrossMinutes(4, 5)
+    table.upsert(base.toDF())
+    table.upsertDeferred(base.filter(_.id == "k2-1")
+      .map(_.copy(update_at = "2024-01-01T00:02:09.000000+0000")).toDF())
+    // range pruning is not key-complete over appends — a pruned file may
+    // hold the winning version of a key whose stale version survives
+    val e = intercept[IllegalArgumentException](
+      table.readForJoinOn("amount", Seq(201).toDF("amount")).collect())
+    assert(e.getMessage.contains("key-complete"))
+  }
+
   test("readForJoin composes with an append (merge-on-read) chain: " +
       "the WINNING version survives pruning") {
     val table = new VersionedLakeTable(spark, LakeTableSpec(
