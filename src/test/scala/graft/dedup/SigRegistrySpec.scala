@@ -80,6 +80,50 @@ class SigRegistrySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("fuzz: sig form == text form across random corpora and splits") {
+    val rnd = new scala.util.Random(4242)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa", "λμ", "nu", "Xi", "omi.cron", "pi!")
+    def doc(): String = {
+      val len = 1 + rnd.nextInt(12)
+      Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val (n, b, r, t) = (2, 8, 4, 0.6) // looser config: more pairs fire
+    for (trial <- 1 to 3) {
+      val base = (1L to 60L).map { i =>
+        // a mix of fresh docs, exact dups, and near-dups of earlier docs
+        val text = rnd.nextInt(3) match {
+          case 0 => doc()
+          case 1 if i > 1 => // exact dup of a random earlier doc
+            s"dup of ${1 + rnd.nextInt(i.toInt - 1)}"
+          case _ => doc() + " tail" + rnd.nextInt(3)
+        }
+        (i, text)
+      }
+      // resolve the "dup of k" markers to doc k's text
+      val byId = base.toMap
+      def resolve(s: String): String =
+        if (s.startsWith("dup of ")) byId(s.drop(7).toLong) match {
+          case again if again.startsWith("dup of ") => doc() // no chains
+          case x => x
+        } else s
+      val rows = base.map { case (i, s) => (i, resolve(s)) }
+      val cut = 20 + rnd.nextInt(20)
+      val existing = rows.take(cut).toDF("doc_id", "text")
+      val incoming = rows.drop(cut).toDF("doc_id", "text")
+      val viaText = Dedup.incrementalDedup(existing, incoming,
+          "doc_id", "text", n, b, r, t)
+        .select("doc_id").as[Long].collect().toSet
+      val reg = existing
+        .join(Dedup.signatureArrays(existing, "doc_id", "text", n, b * r)
+          .withColumnRenamed("doc", "doc_id"), Seq("doc_id"), "left")
+      val viaSig = Dedup.incrementalDedupSigs(reg, incoming,
+          "doc_id", "text", n, b, r, t)
+        .kept.select("doc_id").as[Long].collect().toSet
+      assert(viaSig === viaText, s"trial $trial (cut $cut) diverged")
+    }
+  }
+
   test("empty/punctuation-only docs: NULL-sig registry rows, kept, inert") {
     val (n, b, r, t) = cfg
     val weird = Seq(
