@@ -1659,6 +1659,125 @@ object PipelineQueries {
 
   val q155SigIncrementalDedupSql: String = q84IncrementalDedupSql
 
+  // --------------------------------------------------------------- q157
+  /** The COMPOSED streaming curation pipeline
+    * ([[graft.streaming.CdcStreamIngest.toCuratedTable]]): span (C4)
+    * dedup feeding near-dup dedup of the CLEANED text, streamed as three
+    * mtime-ordered id-range micro-batches through both registries. The
+    * oracle is ONE SQL statement: q98's C4 clean, then the
+    * exact-Jaccard drop rule (τ=0.9) over the cleaned text — the whole
+    * two-stage pipeline, replay guards, four lake tables and all, must
+    * land on that statement's bits.
+    *
+    * Honest scope note: on THIS corpus the stage-2 drop set is empty at
+    * τ=0.9 (hash-green at 500/500 and 5000/5000 rows) — span dedup
+    * removes exactly the shared text that made raw documents near-dups,
+    * so the oracle here pins the full stage-1 path through the streaming
+    * machinery plus stage 2's NO-FALSE-DROPS side. Stage 2 actually
+    * firing after stage 1 is pinned by StreamingCurateSpec's offset
+    * fixture (a doc whose spans misalign with its near-dup's, so only
+    * the cleaned-text shingles reveal the pair). */
+  def q157StreamCurate(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val d = docs(s, dir)
+      .withColumn("create_at", lit("2000-01-01T00:00:00.000000+0000"))
+      .withColumn("update_at", lit("2000-01-01T00:00:00.000000+0000"))
+    val cuts = d.stat.approxQuantile("doc_id", Array(0.33, 0.66), 0.001)
+    val srcDir = Files.createTempDirectory("graft_q157_src").toString
+    val bounds = Seq((Long.MinValue, cuts(0).toLong),
+      (cuts(0).toLong, cuts(1).toLong), (cuts(1).toLong, Long.MaxValue))
+    bounds.zipWithIndex.foreach { case ((lo, hi), b) =>
+      val stage = Files.createTempDirectory(s"graft_q157_b$b").toString
+      d.filter(col("doc_id") > lo && col("doc_id") <= hi)
+        .repartition(1).write.mode("overwrite").parquet(stage)
+      val part = Files.list(Paths.get(stage)).iterator().asScala
+        .find(_.getFileName.toString.startsWith("part-")).get
+      val dst = Paths.get(srcDir, s"b$b.parquet")
+      Files.move(part, dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + b * 60000L))
+    }
+    val curated = new KeyedLakeTable(s, LakeTableSpec(
+      Files.createTempDirectory("graft_q157_cur").toString,
+      recordKeys = Seq("doc_id"), precombine = "update_at",
+      partitionSource = "create_at"))
+    val spanReg = new graft.sink.VersionedLakeTable(s, LakeTableSpec(
+      Files.createTempDirectory("graft_q157_sreg").toString,
+      recordKeys = Seq("h"), precombine = "update_at",
+      partitionSource = "create_at", tieBreak = Seq("batch_id")))
+    val docReg = new graft.sink.VersionedLakeTable(s, LakeTableSpec(
+      Files.createTempDirectory("graft_q157_dreg").toString,
+      recordKeys = Seq("doc_id"), precombine = "update_at",
+      partitionSource = "create_at", tieBreak = Seq("batch_id")))
+    graft.streaming.CdcStreamIngest.toCuratedTable(
+      s.readStream.schema(d.schema).option("maxFilesPerTrigger", 1)
+        .parquet(srcDir),
+      "doc_id", "text", k = 3, n = 2, bands = 16, rowsPerBand = 8,
+      threshold = 0.9, curated, spanReg, docReg,
+      Files.createTempDirectory("graft_q157_ckpt").toString)
+    curated.read()
+      .select(col("doc_id"), col("n_spans"), col("n_kept"),
+        col("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  /** q98's one-shot C4 clean composed with the split-invariant near-dup
+    * rule over the CLEANED text (clean_text is built from normalized
+    * words, so splitting it on single spaces re-derives the same word
+    * stream the engine shingles). */
+  val q157StreamCurateSql: String =
+    s"""WITH w AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+      |b AS (
+      |  SELECT doc_id, ws,
+      |    CAST(floor((len(ws) + 2) / CAST(3 AS DOUBLE)) AS BIGINT) AS n_spans
+      |  FROM w),
+      |s AS (
+      |  SELECT doc_id, unnest(list_transform(range(0, n_spans),
+      |    i -> {'i': i, 'sp': array_to_string(ws[(i*3+1):(i*3+3)], ' ')}))
+      |    AS e
+      |  FROM b),
+      |s2 AS (SELECT doc_id, e.i AS span_idx, e.sp AS span FROM s),
+      |w1 AS (SELECT span, MIN(doc_id) AS wdoc FROM s2 GROUP BY 1),
+      |w2 AS (
+      |  SELECT s2.span, s2.doc_id AS wdoc, MIN(s2.span_idx) AS widx
+      |  FROM s2 JOIN w1 ON s2.span = w1.span AND s2.doc_id = w1.wdoc
+      |  GROUP BY 1, 2),
+      |kept AS (
+      |  SELECT s2.doc_id, s2.span_idx, s2.span
+      |  FROM s2 JOIN w2 ON s2.span = w2.span
+      |    AND s2.doc_id = w2.wdoc AND s2.span_idx = w2.widx),
+      |re AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+      |    string_agg(span, ' ' ORDER BY span_idx) AS clean_text
+      |  FROM kept GROUP BY 1),
+      |cleanres AS (
+      |  SELECT b.doc_id, n_spans,
+      |    CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept,
+      |    COALESCE(clean_text, '') AS clean_text
+      |  FROM b LEFT JOIN re ON b.doc_id = re.doc_id),
+      |wc AS (
+      |  SELECT doc_id, string_split(clean_text, ' ') AS ws2
+      |  FROM cleanres WHERE clean_text <> ''),
+      |shc AS (
+      |  SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(ws2)),
+      |    i -> ws2[i] || ' ' || ws2[i+1])) AS shingle
+      |  FROM wc),
+      |sizesc AS (SELECT doc_id, COUNT(*) AS nsh FROM shc GROUP BY doc_id),
+      |interc AS (
+      |  SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b, COUNT(*) AS i
+      |  FROM shc a JOIN shc b2 ON a.shingle = b2.shingle
+      |    AND a.doc_id < b2.doc_id
+      |  GROUP BY 1, 2),
+      |dropsc AS (
+      |  SELECT DISTINCT doc_b AS doc_id FROM interc
+      |  JOIN sizesc sa ON sa.doc_id = doc_a
+      |  JOIN sizesc sb ON sb.doc_id = doc_b
+      |  WHERE CAST(i AS DOUBLE) / CAST(sa.nsh + sb.nsh - i AS DOUBLE) >= 0.9)
+      |SELECT doc_id, n_spans, n_kept, clean_text
+      |FROM cleanres
+      |WHERE doc_id NOT IN (SELECT doc_id FROM dropsc)
+      |ORDER BY doc_id""".stripMargin
+
   /** The split-invariant drop rule in exact SQL: a doc is dropped iff it
     * exact-Jaccard-pairs (τ=0.9) with ANY smaller-id doc — every doc_b
     * of every pair. */

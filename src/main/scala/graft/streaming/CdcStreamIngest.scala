@@ -369,6 +369,87 @@ object CdcStreamIngest {
     query.awaitTermination()
   }
 
+  /** The COMPOSED streaming curation pipeline: span (C4) dedup feeding
+    * MinHash-LSH near-dup dedup in ONE foreachBatch — the two-stage
+    * text-curation shape a production ingest actually runs (clean
+    * boilerplate spans first, then drop near-duplicate documents of the
+    * cleaned text). Per micro-batch:
+    *  1. the batch dedups against the span REGISTRY
+    *     ([[graft.dedup.SpanDedup.incremental]]) — every doc survives
+    *     with its `clean_text`;
+    *  2. the cleaned docs dedup against the document registry of prior
+    *     CLEANED docs ([[graft.dedup.Dedup.incrementalDedupSigs]] — the
+    *     signature registry, so stage 2 never re-shingles the corpus);
+    *  3. survivors upsert into `curated`; the batch's new spans append
+    *     to `spanRegistry` and ALL its cleaned docs (drops included —
+    *     the split-invariance rule) append to `docRegistry` with their
+    *     signature arrays.
+    *
+    * With ids MONOTONE in arrival order each stage is batch-boundary
+    * invariant, so the composition equals the one-shot
+    * `SpanDedup.clean` → `incrementalDedupSigs(empty, cleaned)` chain
+    * (StreamingCurateSpec pins 1/3/row-at-a-time splits; q157 pins the
+    * WHOLE pipeline against a single SQL statement composing q98's C4
+    * clean with the exact-Jaccard drop rule over the cleaned text).
+    * Replay safety is per-registry, same `batch_id < current` protocol
+    * as the single-stage heads. */
+  def toCuratedTable(stream: DataFrame, idCol: String, textCol: String,
+      k: Int, n: Int, bands: Int, rowsPerBand: Int, threshold: Double,
+      curated: KeyedLakeTable, spanRegistry: graft.sink.VersionedLakeTable,
+      docRegistry: graft.sink.VersionedLakeTable,
+      checkpointDir: String, maxBucket: Int = 10000): Unit = {
+    val query = stream.writeStream
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        if (!batch0.isEmpty) {
+          val batch = batch0.localCheckpoint(true)
+          // stage 1: span dedup against the span registry
+          val spanReg = spanRegistry.latestVersion
+            .map(_ => spanRegistry.read()
+              .filter(col("batch_id") < batchId).select(col("h")))
+            .getOrElse(batch.select(lit(Array.empty[Byte]).as("h")).limit(0))
+          val spanStep = graft.dedup.SpanDedup.incremental(
+            batch.select(col(idCol), col(textCol)), idCol, textCol,
+            spanReg, k)
+          // the cleaned frame feeds stage 2, the survivors join, and the
+          // doc-registry append — pin it (its lineage crosses two lake
+          // reads and a span aggregation)
+          val cleaned = spanStep.cleaned.localCheckpoint(true)
+          // stage 2: near-dup dedup of the CLEANED text via the
+          // signature registry
+          val docReg = docRegistry.latestVersion
+            .map(_ => docRegistry.read()
+              .filter(col("batch_id") < batchId)
+              .select(col(idCol), col(textCol), col("sig")))
+            .getOrElse(cleaned
+              .select(col(idCol), col("clean_text").as(textCol),
+                lit(null).cast("array<bigint>").as("sig"))
+              .limit(0))
+          val sigStep = graft.dedup.Dedup.incrementalDedupSigs(docReg,
+            cleaned.select(col(idCol), col("clean_text").as(textCol)),
+            idCol, textCol, n, bands, rowsPerBand, threshold, maxBucket)
+          // survivors keep their span metrics + the stream's lake columns
+          curated.upsert(sigStep.kept.select(col(idCol))
+            .join(cleaned, Seq(idCol))
+            .join(batch.select(col(idCol), col("create_at"),
+              col("update_at")), Seq(idCol)))
+          spanRegistry.upsertDeferred(spanStep.newSpans
+            .select(col("h"), lit(batchId).as("batch_id"),
+              lit("2000-01-01T00:00:00.000000+0000").as("create_at"),
+              lit("2000-01-01T00:00:00.000000+0000").as("update_at")))
+          docRegistry.upsertDeferred(sigStep.registryRows
+            .select(col(idCol), col(textCol), col("sig"),
+              lit(batchId).as("batch_id"),
+              lit("2000-01-01T00:00:00.000000+0000").as("create_at"),
+              lit("2000-01-01T00:00:00.000000+0000").as("update_at")))
+          ()
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+  }
+
   /** A keyed CDC record for the stateful streaming variant. */
   final case class KeyedEvent(id: String, update_at: String, payload: String)
 
