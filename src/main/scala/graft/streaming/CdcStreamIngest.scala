@@ -24,6 +24,20 @@ import graft.sink.KeyedLakeTable
   */
 object CdcStreamIngest {
 
+  /** Registry rows visible to a micro-batch: everything EXCEPT the
+    * current lineage's rows at `batch_id >= batchId`. Hiding by
+    * (lineage, batch id) rather than batch id alone is what lets a
+    * registry outlive any single stream: batch ids restart at 0 under a
+    * fresh checkpoint, so a bare `batch_id < current` filter would make
+    * a continuation stream (new checkpoint, same registry) silently
+    * ignore the entire accumulated state, while same-lineage replays
+    * still see exactly the pre-batch registry. The lineage IS the
+    * checkpoint dir — the identifier Structured Streaming itself uses
+    * for batch-id scope. */
+  private def priorRows(registry: DataFrame, lineage: String,
+      batchId: Long): DataFrame =
+    registry.filter(col("lineage") =!= lineage || col("batch_id") < batchId)
+
   /** File-based CDC stream source. `maxFilesPerTrigger` is the micro-batch
     * bound (the reference's 100-records/10-s window analog). */
   def fileStream(spark: SparkSession, sourceDir: String, schema: StructType,
@@ -246,9 +260,15 @@ object CdcStreamIngest {
     * RESTART SAFETY (the foreachBatch crash window — a batch whose
     * registry append committed but whose checkpoint didn't would, on
     * replay, find its OWN spans in the registry and drop every one of
-    * them as prior occurrences): registry rows carry the micro-batch id
-    * and the read FILTERS to `batch_id < current` — a replay (same
-    * batch id) sees exactly the pre-batch registry. The registry table
+    * them as prior occurrences): registry rows carry the stream
+    * LINEAGE (the checkpoint dir) and the micro-batch id, and the read
+    * hides only the current lineage's rows at `batch_id >= current` —
+    * a replay (same lineage, same batch id) sees exactly the pre-batch
+    * registry. Rows from OTHER lineages are always visible: batch ids
+    * restart at 0 under a fresh checkpoint, so a continuation stream
+    * (new checkpoint, new data, same registry) would otherwise silently
+    * ignore the entire accumulated registry — the lineage column is
+    * what makes the registry outlive any one stream. The registry table
     * is keyed on the span hash, so the replayed append collapses by key
     * on MoR read instead of double-listing; `cleaned` upserts are
     * idempotent by doc id.
@@ -270,8 +290,8 @@ object CdcStreamIngest {
           // lake-column join; the source may be non-deterministic — pin it
           val batch = batch0.localCheckpoint(true)
           val reg = registry.latestVersion
-            .map(_ => registry.read()
-              .filter(col("batch_id") < batchId).select(col("h")))
+            .map(_ => priorRows(registry.read(), checkpointDir, batchId)
+              .select(col("h")))
             .getOrElse(batch.select(lit(Array.empty[Byte]).as("h")).limit(0))
           val step = graft.dedup.SpanDedup.incremental(
             batch.select(col(idCol), col(textCol)), idCol, textCol, reg, k)
@@ -281,7 +301,8 @@ object CdcStreamIngest {
             batch.select(col(idCol), col("create_at"), col("update_at")),
             Seq(idCol)))
           registry.upsertDeferred(step.newSpans
-            .select(col("h"), lit(batchId).as("batch_id"),
+            .select(col("h"), lit(checkpointDir).as("lineage"),
+              lit(batchId).as("batch_id"),
               lit("2000-01-01T00:00:00.000000+0000").as("create_at"),
               lit("2000-01-01T00:00:00.000000+0000").as("update_at")))
           ()
@@ -312,13 +333,14 @@ object CdcStreamIngest {
     * registry would instead make survival depend on whether a doc's
     * nearest dup was itself dropped — batch-boundary-dependent.
     *
-    * RESTART SAFETY (same protocol as the span registry): registry rows
-    * carry the micro-batch id and the read filters to
-    * `batch_id < current`, so a replay of a batch whose registry append
-    * committed but whose checkpoint didn't sees exactly the pre-batch
-    * registry — a doc is never deduped against itself. The registry is
-    * keyed on the doc id, so the replayed append collapses by key on MoR
-    * read; `cleaned` upserts are idempotent by doc id.
+    * RESTART SAFETY (same (lineage, batch-id) protocol as the span
+    * registry — see [[priorRows]]): a replay of a batch whose registry
+    * append committed but whose checkpoint didn't sees exactly the
+    * pre-batch registry — a doc is never deduped against itself — while
+    * a continuation stream under a fresh checkpoint still sees every
+    * prior lineage's rows. The registry is keyed on the doc id, so the
+    * replayed append collapses by key on MoR read; `cleaned` upserts
+    * are idempotent by doc id.
     *
     * SCALE SHAPE: the registry stores each doc's minhash SIGNATURE
     * array alongside its text
@@ -341,8 +363,7 @@ object CdcStreamIngest {
           // registry append; the source may be non-deterministic — pin it
           val batch = batch0.localCheckpoint(true)
           val reg = registry.latestVersion
-            .map(_ => registry.read()
-              .filter(col("batch_id") < batchId)
+            .map(_ => priorRows(registry.read(), checkpointDir, batchId)
               .select(col(idCol), col(textCol), col("sig")))
             .getOrElse(batch
               .select(col(idCol), col(textCol),
@@ -357,6 +378,7 @@ object CdcStreamIngest {
             Seq(idCol)))
           registry.upsertDeferred(step.registryRows
             .select(col(idCol), col(textCol), col("sig"),
+              lit(checkpointDir).as("lineage"),
               lit(batchId).as("batch_id"),
               lit("2000-01-01T00:00:00.000000+0000").as("create_at"),
               lit("2000-01-01T00:00:00.000000+0000").as("update_at")))
@@ -391,8 +413,8 @@ object CdcStreamIngest {
     * (StreamingCurateSpec pins 1/3/row-at-a-time splits; q157 pins the
     * WHOLE pipeline against a single SQL statement composing q98's C4
     * clean with the exact-Jaccard drop rule over the cleaned text).
-    * Replay safety is per-registry, same `batch_id < current` protocol
-    * as the single-stage heads. */
+    * Replay safety is per-registry, same (lineage, batch-id) protocol
+    * as the single-stage heads ([[priorRows]]). */
   def toCuratedTable(stream: DataFrame, idCol: String, textCol: String,
       k: Int, n: Int, bands: Int, rowsPerBand: Int, threshold: Double,
       curated: KeyedLakeTable, spanRegistry: graft.sink.VersionedLakeTable,
@@ -404,8 +426,8 @@ object CdcStreamIngest {
           val batch = batch0.localCheckpoint(true)
           // stage 1: span dedup against the span registry
           val spanReg = spanRegistry.latestVersion
-            .map(_ => spanRegistry.read()
-              .filter(col("batch_id") < batchId).select(col("h")))
+            .map(_ => priorRows(spanRegistry.read(), checkpointDir, batchId)
+              .select(col("h")))
             .getOrElse(batch.select(lit(Array.empty[Byte]).as("h")).limit(0))
           val spanStep = graft.dedup.SpanDedup.incremental(
             batch.select(col(idCol), col(textCol)), idCol, textCol,
@@ -417,8 +439,7 @@ object CdcStreamIngest {
           // stage 2: near-dup dedup of the CLEANED text via the
           // signature registry
           val docReg = docRegistry.latestVersion
-            .map(_ => docRegistry.read()
-              .filter(col("batch_id") < batchId)
+            .map(_ => priorRows(docRegistry.read(), checkpointDir, batchId)
               .select(col(idCol), col(textCol), col("sig")))
             .getOrElse(cleaned
               .select(col(idCol), col("clean_text").as(textCol),
@@ -433,11 +454,13 @@ object CdcStreamIngest {
             .join(batch.select(col(idCol), col("create_at"),
               col("update_at")), Seq(idCol)))
           spanRegistry.upsertDeferred(spanStep.newSpans
-            .select(col("h"), lit(batchId).as("batch_id"),
+            .select(col("h"), lit(checkpointDir).as("lineage"),
+              lit(batchId).as("batch_id"),
               lit("2000-01-01T00:00:00.000000+0000").as("create_at"),
               lit("2000-01-01T00:00:00.000000+0000").as("update_at")))
           docRegistry.upsertDeferred(sigStep.registryRows
             .select(col(idCol), col(textCol), col("sig"),
+              lit(checkpointDir).as("lineage"),
               lit(batchId).as("batch_id"),
               lit("2000-01-01T00:00:00.000000+0000").as("create_at"),
               lit("2000-01-01T00:00:00.000000+0000").as("update_at")))

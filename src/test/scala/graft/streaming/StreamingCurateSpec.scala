@@ -129,10 +129,21 @@ class StreamingCurateSpec extends AnyFunSuite with SparkSpec {
     val spanReg = newSpanReg()
     val docReg = newDocReg()
     val srcDir = writeBatches(Seq(rows))
-    run(srcDir, curated, spanReg, docReg)
+    val ckpt = tmpDir("scur-ckpt-replay")
+    run(srcDir, curated, spanReg, docReg, ckpt)
     val before = result(curated)
     assert(spanReg.read().count() > 0 && docReg.read().count() === rows.size.toLong)
-    run(srcDir, curated, spanReg, docReg, ckpt = tmpDir("scur-ckpt2"))
+    // crash simulation: both registry appends committed but the
+    // foreachBatch checkpoint commit didn't — re-deliver the final
+    // batch with the same lineage and batch id
+    val commits = Paths.get(ckpt, "commits")
+    val last = Files.list(commits).iterator().asScala
+      .map(_.getFileName.toString).filter(_.forall(_.isDigit))
+      .map(_.toInt).max
+    Files.delete(commits.resolve(last.toString))
+    Files.deleteIfExists(commits.resolve(s".$last.crc")) // checksum
+      // sidecar: left stale it fails the re-commit's atomic rename
+    run(srcDir, curated, spanReg, docReg, ckpt)
     assert(result(curated) === before,
       "replay must not curate the batch against its own registry rows")
   }

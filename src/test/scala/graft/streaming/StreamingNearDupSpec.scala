@@ -22,8 +22,9 @@ import graft.sink.{KeyedLakeTable, LakeTableSpec, VersionedLakeTable}
   *     "near-duplicates any smaller-id doc", independent of batching;
   *  2. replaying a batch whose registry append committed but whose
   *     checkpoint didn't reproduces the same cleaned rows — the
-  *     `batch_id < current` registry filter hides the crashed attempt's
-  *     own rows from its replay, so a doc never dedups against itself;
+  *     (lineage, batch_id) registry filter hides the crashed attempt's
+  *     own rows from its replay, so a doc never dedups against itself —
+  *     and a NEW lineage continues against the accumulated registry;
   *  3. dropped docs ARE registered: a later doc near-duplicating ONLY a
   *     dropped doc is still dropped (the kept-only-registry alternative
   *     would keep it — and be batch-boundary-dependent).
@@ -115,18 +116,45 @@ class StreamingNearDupSpec extends AnyFunSuite with SparkSpec {
       "doc 4 must be dropped against the registered-but-dropped doc 3")
   }
 
+  test("a NEW stream lineage continues against the accumulated registry") {
+    val cleaned = newCleaned()
+    val registry = newRegistry()
+    // lineage 1: docs 1-3 (doc 3 drops against doc 1)
+    run(writeBatches(Seq(rows.take(3))), cleaned, registry,
+      ckpt = tmpDir("snd-lin1"))
+    assert(keptIds(cleaned) === Seq(1L, 2L))
+    // lineage 2: fresh source AND fresh checkpoint — its batch ids
+    // restart at 0, so a bare batch_id filter would hide the whole
+    // registry; doc 4 near-dups only the REGISTERED doc 3 and must
+    // still drop, doc 5 is novel and must keep
+    run(writeBatches(Seq(rows.drop(3))), cleaned, registry,
+      ckpt = tmpDir("snd-lin2"))
+    assert(keptIds(cleaned) === Seq(1L, 2L, 5L),
+      "the second lineage must dedup against the first lineage's registry")
+  }
+
   test("replay after a committed registry append is idempotent") {
     val cleaned = newCleaned()
     val registry = newRegistry()
     val srcDir = writeBatches(Seq(rows))
-    run(srcDir, cleaned, registry)
+    val ckpt = tmpDir("snd-ckpt-replay")
+    run(srcDir, cleaned, registry, ckpt)
     val before = keptIds(cleaned)
     assert(registry.read().count() === rows.size.toLong,
       "registry must hold EVERY doc of the batch, drops included")
-    // crash simulation: registry commit survived, checkpoint didn't — a
-    // fresh checkpoint replays batch 0 against the seeded tables; the
-    // batch_id filter must hide the batch's own rows from its replay
-    run(srcDir, cleaned, registry, ckpt = tmpDir("snd-ckpt2"))
+    // crash simulation: the registry append committed but the
+    // foreachBatch checkpoint commit didn't — delete the checkpoint's
+    // last commit marker so the engine RE-DELIVERS the final batch with
+    // the same lineage and batch id; the (lineage, batch_id) filter
+    // must hide the batch's own rows from its replay
+    val commits = Paths.get(ckpt, "commits")
+    val last = Files.list(commits).iterator().asScala
+      .map(_.getFileName.toString).filter(_.forall(_.isDigit))
+      .map(_.toInt).max
+    Files.delete(commits.resolve(last.toString))
+    Files.deleteIfExists(commits.resolve(s".$last.crc")) // checksum
+      // sidecar: left stale it fails the re-commit's atomic rename
+    run(srcDir, cleaned, registry, ckpt)
     assert(keptIds(cleaned) === before,
       "replay must not dedup the batch against its own registry rows")
   }

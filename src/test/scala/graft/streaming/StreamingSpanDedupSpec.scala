@@ -21,9 +21,12 @@ import graft.sink.{KeyedLakeTable, LakeTableSpec, VersionedLakeTable}
   *     composition collapses to the batch operator's own contract);
   *  2. replaying a batch whose registry append committed but whose
   *     checkpoint didn't (the foreachBatch crash window) reproduces the
-  *     same cleaned rows — the `batch_id < current` registry filter
+  *     same cleaned rows — the (lineage, batch_id) registry filter
   *     hides the crashed attempt's own spans from its replay, so a doc
-  *     is never deduped against itself.
+  *     is never deduped against itself;
+  *  3. a NEW stream lineage (fresh checkpoint, new data, same registry)
+  *     continues against the ACCUMULATED registry — batch ids restart
+  *     at 0, so this is exactly what a bare batch-id filter would break.
   */
 class StreamingSpanDedupSpec extends AnyFunSuite with SparkSpec {
   import spark.implicits._
@@ -98,17 +101,46 @@ class StreamingSpanDedupSpec extends AnyFunSuite with SparkSpec {
         s"split of sizes ${s.map(_.size)} diverged from one-shot clean")
   }
 
+  test("a NEW stream lineage continues against the accumulated registry") {
+    val cleaned = newCleaned()
+    val registry = newRegistry()
+    // lineage 1: docs 1-2; lineage 2 (fresh source AND checkpoint, so
+    // its batch ids restart at 0): docs 3-5 — doc 3 repeats doc 1's
+    // spans and must still lose them, which requires the second lineage
+    // to SEE the first lineage's registry rows
+    run(writeBatches(Seq(rows.take(2))), cleaned, registry,
+      ckpt = tmpDir("ssp-lin1"))
+    run(writeBatches(Seq(rows.drop(2))), cleaned, registry,
+      ckpt = tmpDir("ssp-lin2"))
+    val oneShot = SpanDedup.clean(rows.toDF("doc_id", "text"),
+        "doc_id", "text", k = 2)
+      .select($"doc_id", $"n_spans", $"n_kept", $"clean_text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(result(cleaned) === oneShot,
+      "the second lineage must dedup against the first lineage's registry")
+  }
+
   test("replay after a committed registry append is idempotent") {
     val cleaned = newCleaned()
     val registry = newRegistry()
     val srcDir = writeBatches(Seq(rows))
-    run(srcDir, cleaned, registry)
+    val ckpt = tmpDir("ssp-ckpt-replay")
+    run(srcDir, cleaned, registry, ckpt)
     val before = result(cleaned)
     assert(registry.read().count() > 0, "registry must have been seeded")
-    // crash simulation: registry commit survived, checkpoint didn't —
-    // a fresh checkpoint replays batch 0 against the seeded tables; the
-    // batch_id filter must hide the batch's own spans from its replay
-    run(srcDir, cleaned, registry, ckpt = tmpDir("ssp-ckpt2"))
+    // crash simulation: the registry append committed but the
+    // foreachBatch checkpoint commit didn't — delete the checkpoint's
+    // last commit marker so the engine RE-DELIVERS the final batch with
+    // the same lineage and batch id; the (lineage, batch_id) filter
+    // must hide the batch's own spans from its replay
+    val commits = Paths.get(ckpt, "commits")
+    val last = Files.list(commits).iterator().asScala
+      .map(_.getFileName.toString).filter(_.forall(_.isDigit))
+      .map(_.toInt).max
+    Files.delete(commits.resolve(last.toString))
+    Files.deleteIfExists(commits.resolve(s".$last.crc")) // checksum
+      // sidecar: left stale it fails the re-commit's atomic rename
+    run(srcDir, cleaned, registry, ckpt)
     assert(result(cleaned) === before,
       "replay must not dedup the batch against its own registry rows")
   }
