@@ -133,6 +133,22 @@ class StreamingNearDupSpec extends AnyFunSuite with SparkSpec {
       "the second lineage must dedup against the first lineage's registry")
   }
 
+  test("registry compaction between lineages preserves the semantics") {
+    // the registry accumulates one append commit per micro-batch;
+    // compactSnapshot folds them into one snapshot (the operational
+    // move a long-lived registry needs) — the lineage/batch_id columns
+    // ride along as data, so a later lineage must still dedup correctly
+    val cleaned = newCleaned()
+    val registry = newRegistry()
+    run(writeBatches(Seq(rows.take(3))), cleaned, registry,
+      ckpt = tmpDir("snd-cmp1"))
+    registry.compactSnapshot()
+    run(writeBatches(Seq(rows.drop(3))), cleaned, registry,
+      ckpt = tmpDir("snd-cmp2"))
+    assert(keptIds(cleaned) === Seq(1L, 2L, 5L),
+      "post-compaction lineage must still see the folded registry")
+  }
+
   test("replay after a committed registry append is idempotent") {
     val cleaned = newCleaned()
     val registry = newRegistry()
