@@ -36,7 +36,11 @@ object CdcStreamIngest {
     * for batch-id scope. */
   private def priorRows(registry: DataFrame, lineage: String,
       batchId: Long): DataFrame =
-    registry.filter(col("lineage") =!= lineage || col("batch_id") < batchId)
+    // coalesce: a NULL lineage (e.g. a row schema-evolved into an older
+    // registry) must read as "some other lineage" — always visible —
+    // not disappear under three-valued =!= semantics
+    registry.filter(coalesce(col("lineage"), lit("")) =!= lineage ||
+      col("batch_id") < batchId)
 
   /** File-based CDC stream source. `maxFilesPerTrigger` is the micro-batch
     * bound (the reference's 100-records/10-s window analog). */
