@@ -20,6 +20,14 @@ import org.apache.spark.sql.functions._
   *                      waves ⇒ better decode/agg overlap iff the 32-way
   *                      single wave was leaving cores idle at the tail.
   *   scan_only32      — the bare 4-col scan+noop: the floor itself.
+  *
+  * r13-continuation verdict (codec dimension, 2026-08-15, same-session
+  * DuckDB pairing on the identical files): snappy scan 0.326 vs
+  * uncompressed 0.274 vs zstd 0.333 — decompression is ~16% of the
+  * Spark scan while DuckDB's uncompressed scan drops to 0.088 (gap
+  * WIDENS to 3.1×), so the residual is the vectorized reader's page
+  * decode + on-heap value materialization, not the codec; the snappy
+  * q87 pairing read 1.90× that session (recorded in BENCH_COMPARE).
   */
 object MatScanProfile {
   def main(args: Array[String]): Unit = {
@@ -97,6 +105,34 @@ object MatScanProfile {
         col("l_extendedprice"), col("l_discount"), col("rep")))
     }
     time("b16k_f128") { noop(q87(path128)) }
+
+    // ---- codec dimension (r13 continuation): with the layout and batch
+    // knobs exhausted, is the remaining JVM-vs-native scan gap
+    // DECOMPRESSION (snappy in the JVM) or value MATERIALIZATION (page
+    // decode into on-heap vectors)? The best layout re-encoded
+    // uncompressed and as zstd answers it: if uncompressed ≈ snappy,
+    // decompression is not the cost; DuckDB reads the identical files
+    // (tools/oracle_time.py --parquet-dir) for the same-session pairing.
+    def recoded(codec: String): String = {
+      val p = s"${path32}_f128_$codec"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$p/_SUCCESS")))
+        spark.read.parquet(path128)
+          .write.option("compression", codec).mode("overwrite").parquet(p)
+      p
+    }
+    val pUnc = recoded("uncompressed")
+    val pZstd = recoded("zstd")
+    time("b16k_unc_scan") {
+      noop(spark.read.parquet(pUnc).select(col("l_orderkey"),
+        col("l_extendedprice"), col("l_discount"), col("rep")))
+    }
+    time("b16k_unc") { noop(q87(pUnc)) }
+    time("b16k_zstd_scan") {
+      noop(spark.read.parquet(pZstd).select(col("l_orderkey"),
+        col("l_extendedprice"), col("l_discount"), col("rep")))
+    }
+    time("b16k_zstd") { noop(q87(pZstd)) }
+    println(s"[matscan] codec dirs: unc=$pUnc zstd=$pZstd")
     spark.stop()
   }
 }
