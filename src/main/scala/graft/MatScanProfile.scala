@@ -114,7 +114,10 @@ object MatScanProfile {
     // decompression is not the cost; DuckDB reads the identical files
     // (tools/oracle_time.py --parquet-dir) for the same-session pairing.
     def recoded(codec: String): String = {
-      val p = s"${path32}_f128_$codec"
+      // NOT under the graft_matfix_ prefix: tools/oracle_time.py glob-
+      // selects the newest matfix dir as DuckDB's layout, and a codec
+      // variant there would silently mismatch the Spark entry's files
+      val p = s"/tmp/graft_codecfix_li100_f128_$codec"
       if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$p/_SUCCESS")))
         spark.read.parquet(path128)
           .write.option("compression", codec).mode("overwrite").parquet(p)

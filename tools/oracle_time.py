@@ -115,7 +115,10 @@ def main():
         best, ts = time_sql(con, oracles[name])
         results[name] = {"min": round(best, 3),
                          "runs": [round(x, 3) for x in ts]}
-    mat = newest("/tmp/graft_matfix_li100_*")
+    # suffix-pinned: the Spark twins scan the bare ..._p128 dir; the
+    # profile's relayout (_f64/_f128) and codec variants must never be
+    # glob-selected as DuckDB's layout or the pairing silently mismatches
+    mat = newest("/tmp/graft_matfix_li100_*_p128")
     if mat:
         con.execute("CREATE VIEW mat AS SELECT * FROM "
                     f"read_parquet('{mat}/*.parquet')")
