@@ -120,6 +120,23 @@ class FileStatsIndexSpec extends AnyFunSuite with SparkSpec {
       table.readForJoin(Seq(1).toDF("not_the_key")))
   }
 
+  test("readForJoin composes with time travel: a pruned historical join " +
+      "equals the plain historical join") {
+    val table = statsTable()
+    table.upsert(txnsAcrossMinutes(8, 10).toDF())
+    // v1 overwrites k2-1 with a newer amount; a v0 read must see the old
+    val upd = txnsAcrossMinutes(8, 10).filter(_.id == "k2-1")
+      .map(_.copy(update_at = "2024-01-01T00:02:09.000000+0000",
+        amount = 55555))
+    table.upsert(upd.toDF())
+    val probe = Seq("k2-1").toDF("id")
+    val v0 = table.readForJoin(probe, version = Some(0)).join(probe, Seq("id"))
+    assert(v0.select("amount").as[Int].head() === 201,
+      "the v0 pruned join must see the ORIGINAL amount")
+    val v1 = table.readForJoin(probe).join(probe, Seq("id"))
+    assert(v1.select("amount").as[Int].head() === 55555)
+  }
+
   test("readForJoinOn: range-pruned join on a stats column equals the " +
       "plain join; cap fallback; non-stats column refused") {
     val table = statsTable()
