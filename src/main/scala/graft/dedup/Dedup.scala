@@ -480,29 +480,7 @@ object Dedup {
       strictBuckets: Boolean = false, strictIds: Boolean = false): DataFrame = {
     val ex = existing.select(col(idCol), col(textCol))
     val inc = incoming.select(col(idCol), col(textCol))
-    // typed overlap test in-engine (lexicographic toString would misorder
-    // numeric ids); one map-side min/max per side, 1×1 cross join
-    val bounds = ex.agg(min(col(idCol)).as("lo"), max(col(idCol)).as("hi"))
-      .crossJoin(inc.agg(min(col(idCol)).as("ilo"), max(col(idCol)).as("ihi")))
-      .select(col("lo"), col("hi"), col("ilo"), col("ihi"),
-        (col("lo") <= col("ihi") && col("ilo") <= col("hi")).as("overlap"))
-      .head()
-    val rangesOverlap = !bounds.isNullAt(4) && bounds.getBoolean(4)
-    if (rangesOverlap) {
-      if (strictIds) {
-        val clash = ex.select(col(idCol)).intersect(inc.select(col(idCol)))
-          .limit(1).collect()
-        require(clash.isEmpty,
-          s"incrementalDedup: id '${clash.headOption.map(_.get(0)).orNull}' " +
-            "is in BOTH the existing corpus and the incoming batch — ids " +
-            "must be globally unique or provenance is meaningless")
-      } else {
-        log.warn("incrementalDedup: existing and incoming id RANGES overlap " +
-          s"(existing [${bounds.get(0)}, ${bounds.get(1)}], incoming " +
-          s"[${bounds.get(2)}, ${bounds.get(3)}]); a shared id would corrupt " +
-          "provenance — pass strictIds=true for an exact (full-pass) check")
-      }
-    }
+    guardGlobalIds(ex, inc, idCol, strictIds, "incrementalDedup")
     val pairs = minHashLsh(ex.unionByName(inc), idCol, textCol, n, bands,
       rowsPerBand, threshold, maxBucket, strictBuckets)
     val newIds = inc.select(col(idCol))
@@ -519,6 +497,39 @@ object Dedup {
         .select(col("doc_a").as(idCol)))
       .distinct()
     incoming.join(drops, Seq(idCol), "left_anti")
+  }
+
+  /** The globally-unique-id precondition guard shared by both incremental
+    * forms. Range-based and cheap: one typed min/max aggregate per side
+    * (map-side partial, no shuffle of the id sets; lexicographic toString
+    * would misorder numeric ids), warning loudly when the ranges overlap.
+    * `strictIds = true` upgrades an overlap to an EXACT intersect check
+    * that raises on a real collision — a full distinct-shuffle of both id
+    * sets, i.e. an extra pass over the existing corpus, which is why it
+    * is opt-in (ADVICE r6). */
+  private def guardGlobalIds(ex: DataFrame, inc: DataFrame, idCol: String,
+      strictIds: Boolean, opName: String): Unit = {
+    val bounds = ex.agg(min(col(idCol)).as("lo"), max(col(idCol)).as("hi"))
+      .crossJoin(inc.agg(min(col(idCol)).as("ilo"), max(col(idCol)).as("ihi")))
+      .select(col("lo"), col("hi"), col("ilo"), col("ihi"),
+        (col("lo") <= col("ihi") && col("ilo") <= col("hi")).as("overlap"))
+      .head()
+    val rangesOverlap = !bounds.isNullAt(4) && bounds.getBoolean(4)
+    if (rangesOverlap) {
+      if (strictIds) {
+        val clash = ex.select(col(idCol)).intersect(inc.select(col(idCol)))
+          .limit(1).collect()
+        require(clash.isEmpty,
+          s"$opName: id '${clash.headOption.map(_.get(0)).orNull}' " +
+            "is in BOTH the existing corpus and the incoming batch — ids " +
+            "must be globally unique or provenance is meaningless")
+      } else {
+        log.warn(s"$opName: existing and incoming id RANGES overlap " +
+          s"(existing [${bounds.get(0)}, ${bounds.get(1)}], incoming " +
+          s"[${bounds.get(2)}, ${bounds.get(3)}]); a shared id would corrupt " +
+          "provenance — pass strictIds=true for an exact (full-pass) check")
+      }
+    }
   }
 
   /** Shared banded-LSH core over canonical representatives. `mapping`,
@@ -664,17 +675,28 @@ object Dedup {
     *
     * Exact duplicates are NOT pre-collapsed here (the batch form's
     * rep-collapse needs the whole corpus's fingerprints): a massive
-    * exact-dup cluster surfaces as an over-`maxBucket` bucket and the
-    * loud guard fires — pre-filter exact dups upstream (e.g. the keyed
-    * lake table's fingerprint column) if the corpus is dup-heavy.
+    * exact-dup cluster surfaces as an over-`maxBucket` bucket — and
+    * because this form counts RAW docs where [[incrementalDedup]] counts
+    * DISTINCT contents, a dup-heavy batch can trip the cap here while
+    * the text form sails through, silently diverging from the kept set
+    * SigRegistrySpec pins equal. `strictBuckets` therefore defaults to
+    * TRUE for this operator (ADVICE r13): the divergence is a loud
+    * failure, not a log line — pre-filter exact dups upstream (e.g. the
+    * keyed lake table's fingerprint column) or raise `maxBucket` if the
+    * corpus is legitimately dup-heavy.
     * Ids must be globally unique across registry and batch — same
-    * precondition as [[incrementalDedup]]; the streaming head's registry
-    * is keyed on the id, so a collision collapses there first. */
+    * precondition (and same cheap min/max range guard, with the same
+    * `strictIds` escalation) as [[incrementalDedup]]; the streaming
+    * head's registry is keyed on the id, so a collision collapses there
+    * first. */
   def incrementalDedupSigs(registry: DataFrame, incoming: DataFrame,
       idCol: String, textCol: String, n: Int, bands: Int, rowsPerBand: Int,
       threshold: Double, maxBucket: Int = 10000,
-      strictBuckets: Boolean = false): SigStep = {
+      strictBuckets: Boolean = true, strictIds: Boolean = false,
+      registrySizeHint: Long = -1L): SigStep = {
     val k = bands * rowsPerBand
+    guardGlobalIds(registry.select(col(idCol)), incoming.select(col(idCol)),
+      idCol, strictIds, "incrementalDedupSigs")
     // feeds band sigs, the estimate prefilter, and the registry rows —
     // pin it or the signature aggregation re-runs per consumer
     val incSig = signatureArrays(incoming, idCol, textCol, n, k)
@@ -714,13 +736,24 @@ object Dedup {
     if (flagged.count() == 0) return SigStep(incoming, registryRows)
     // signatures of candidate docs only — ONE scan of the stored arrays
     // instead of one per prefilter side. At corpus scale candidates are
-    // ≪ registry so this always pays; at bench scale the dup-heavy
-    // fixture (whose candidate set IS the corpus) shows its
-    // materialization cost, recorded honestly in BENCH_COMPARE.
+    // ≪ registry so the semi-filter pays; in the dup-heavy regime
+    // (candidate set ≈ the whole registry) it is a pure probe tax
+    // (~2 s at the ×1 adversarial fixture, BENCH_COMPARE r13) for the
+    // same materialization — so it is ADAPTIVE: when the caller supplies
+    // a cheap `registrySizeHint` (footer-metadata row count — see
+    // VersionedLakeTable.approxRowCount) and the candidate-doc count
+    // reaches half of it, skip the semi-join and checkpoint the stored
+    // sigs directly. No hint (< 0) keeps the semi-filter — the
+    // steady-state-correct default.
     val candDocs = flagged.select(col("doc_a").as("doc"))
       .union(flagged.select(col("doc_b").as("doc"))).distinct()
-    val candSigs = allSigs.join(candDocs, Seq("doc"), "left_semi")
-      .localCheckpoint(true)
+    val skipSemi = registrySizeHint >= 0 &&
+      candDocs.count() >= registrySizeHint / 2 // candidate-bounded job:
+        // candDocs derives from the checkpointed pair frame
+    val candSigs =
+      (if (skipSemi) allSigs
+       else allSigs.join(candDocs, Seq("doc"), "left_semi"))
+        .localCheckpoint(true)
     // stage-1 verify: signature-estimate prefilter on the stored arrays
     val prefiltered = flagged
       .join(candSigs.toDF("doc_a", "sig_a"), "doc_a")

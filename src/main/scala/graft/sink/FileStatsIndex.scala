@@ -377,6 +377,18 @@ object FileStatsIndex {
       : FileStats => Boolean =
     fs => fs.cols.get(column).forall(_.overlaps(lo, hi))
 
+  /** Row count of one parquet file from its FOOTER alone — zero data
+    * pages read. For cheap regime decisions (e.g. the sig registry's
+    * adaptive candidate semi-filter), never correctness. */
+  private[sink] def footerRowCount(spark: SparkSession,
+      absolutePath: String): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(absolutePath), conf))
+    try reader.getFooter.getBlocks.asScala.iterator.map(_.getRowCount).sum
+    finally reader.close()
+  }
+
   /** The sidecar for files written at `version`, if that commit was
     * indexed (tables can turn stats on mid-life; older versions simply
     * never prune). */

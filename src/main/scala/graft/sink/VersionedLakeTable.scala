@@ -364,6 +364,21 @@ final class VersionedLakeTable(spark: SparkSession, val spec: LakeTableSpec,
     else out
   }
 
+  /** Approximate row count of snapshot `version` from parquet FOOTER
+    * metadata alone — O(files) footer reads, zero data pages. Exact for
+    * a compacted snapshot; over an append (merge-on-read) chain it
+    * counts every STORED version of a key, i.e. an upper bound on the
+    * merged count. Returns 0 before the first commit. Intended for cheap
+    * regime decisions (the sig registry's adaptive candidate
+    * semi-filter — [[graft.dedup.Dedup.incrementalDedupSigs]]'s
+    * `registrySizeHint`), never correctness. */
+  def approxRowCount(version: Option[Int] = None): Long =
+    version.orElse(latestVersion) match {
+      case None => 0L
+      case Some(v) => resolved(v).values.flatten.iterator
+        .map(rel => FileStatsIndex.footerRowCount(spark, s"$path/$rel")).sum
+    }
+
   /** Stats entries (where indexed) for the given manifest-relative files:
     * loads one sidecar per referenced version dir. */
   private def statsFor(files: Seq[String]): Map[String, FileStats] = {
@@ -496,7 +511,23 @@ final class VersionedLakeTable(spark: SparkSession, val spec: LakeTableSpec,
         s"statsCols $statsCols")
     require(probeValues.columns.contains(column),
       s"VersionedLakeTable($path): probe frame lacks column '$column'")
-    val vals = probeValues.select(col(column)).na.drop()
+    // pin the probe to the TABLE column's type before collecting: the
+    // sidecar comparison renders values with JVM toString under the
+    // TABLE column's kind, so a mistyped probe (a double frame probing
+    // an integral stats column) would throw from BigInt inside the
+    // prune predicate, and a differently-rendered type (timestamp vs
+    // its string form) could silently prune files that hold matching
+    // rows. try_cast keeps the superset contract: a probe value that
+    // cannot cast to the table type cannot equal any stored value, so
+    // dropping it prunes nothing the join could have matched.
+    val tableType = read(version).schema
+      .find(_.name == column).map(_.dataType)
+      .getOrElse(throw new IllegalArgumentException(
+        s"VersionedLakeTable($path): '$column' is in statsCols but " +
+          "absent from the snapshot schema"))
+    val vals = probeValues
+      .select(expr(s"try_cast(`$column` AS ${tableType.sql})").as(column))
+      .na.drop()
       .distinct().limit(maxKeys + 1).collect().map(_.get(0))
     if (vals.length > maxKeys) {
       log.warn(s"VersionedLakeTable($path): readForJoinOn probe side " +

@@ -31,9 +31,9 @@ object CdcStreamIngest {
     * fresh checkpoint, so a bare `batch_id < current` filter would make
     * a continuation stream (new checkpoint, same registry) silently
     * ignore the entire accumulated state, while same-lineage replays
-    * still see exactly the pre-batch registry. The lineage IS the
-    * checkpoint dir — the identifier Structured Streaming itself uses
-    * for batch-id scope. */
+    * still see exactly the pre-batch registry. The lineage is the
+    * stream's persisted query id ([[lineageToken]]) — the identifier
+    * Structured Streaming itself scopes batch ids to. */
   private def priorRows(registry: DataFrame, lineage: String,
       batchId: Long): DataFrame =
     // coalesce: a NULL lineage (e.g. a row schema-evolved into an older
@@ -41,6 +41,42 @@ object CdcStreamIngest {
     // not disappear under three-valued =!= semantics
     registry.filter(coalesce(col("lineage"), lit("")) =!= lineage ||
       col("batch_id") < batchId)
+
+  /** The stream's lineage token: the StreamingQuery id that Structured
+    * Streaming persists in the checkpoint's `metadata` file at query
+    * start (before the first batch runs, so it is always readable from
+    * inside `foreachBatch`). Using the persisted id rather than the
+    * checkpoint-dir STRING closes two replay holes:
+    *  - deleting and recreating a checkpoint at the SAME path (the
+    *    standard reprocess move) restarts batch ids at 0 — under a
+    *    path-string lineage the new stream would hide every accumulated
+    *    registry row with `batch_id >= current` and dedup against a
+    *    truncated registry; the recreated checkpoint gets a FRESH query
+    *    id, so prior rows correctly read as another lineage;
+    *  - restarting a crashed stream under a different SPELLING of the
+    *    same path (relative vs absolute, trailing slash) would read as a
+    *    new lineage and let the replayed batch see its own crashed
+    *    append, deduping its docs against themselves — the persisted id
+    *    is spelling-invariant. */
+  private[streaming] def lineageToken(spark: SparkSession,
+      checkpointDir: String): String = {
+    val path = new org.apache.hadoop.fs.Path(checkpointDir, "metadata")
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(path)
+    val raw = try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      out.toString("UTF-8")
+    } finally in.close()
+    // one-line JSON {"id":"<uuid>"} — extracted by regex so the engine
+    // takes no JSON-library dependency for a 36-char field
+    """"id"\s*:\s*"([0-9a-fA-F\-]+)"""".r.findFirstMatchIn(raw)
+      .map(_.group(1))
+      .getOrElse(throw new IllegalStateException(
+        s"checkpoint metadata at $path carries no query id: $raw"))
+  }
 
   /** File-based CDC stream source. `maxFilesPerTrigger` is the micro-batch
     * bound (the reference's 100-records/10-s window analog). */
@@ -265,7 +301,8 @@ object CdcStreamIngest {
     * registry append committed but whose checkpoint didn't would, on
     * replay, find its OWN spans in the registry and drop every one of
     * them as prior occurrences): registry rows carry the stream
-    * LINEAGE (the checkpoint dir) and the micro-batch id, and the read
+    * LINEAGE (the persisted query id — [[lineageToken]]) and the
+    * micro-batch id, and the read
     * hides only the current lineage's rows at `batch_id >= current` —
     * a replay (same lineage, same batch id) sees exactly the pre-batch
     * registry. Rows from OTHER lineages are always visible: batch ids
@@ -287,14 +324,18 @@ object CdcStreamIngest {
       k: Int, cleaned: KeyedLakeTable,
       registry: graft.sink.VersionedLakeTable,
       checkpointDir: String): Unit = {
+    // resolved at first batch (the checkpoint metadata exists from start)
+    var lineage: String = null
     val query = stream.writeStream
       .foreachBatch { (batch0: DataFrame, batchId: Long) =>
         if (!batch0.isEmpty) {
+          if (lineage == null)
+            lineage = lineageToken(batch0.sparkSession, checkpointDir)
           // the batch feeds the span pass, the cleaned upsert, and the
           // lake-column join; the source may be non-deterministic — pin it
           val batch = batch0.localCheckpoint(true)
           val reg = registry.latestVersion
-            .map(_ => priorRows(registry.read(), checkpointDir, batchId)
+            .map(_ => priorRows(registry.read(), lineage, batchId)
               .select(col("h")))
             .getOrElse(batch.select(lit(Array.empty[Byte]).as("h")).limit(0))
           val step = graft.dedup.SpanDedup.incremental(
@@ -305,7 +346,7 @@ object CdcStreamIngest {
             batch.select(col(idCol), col("create_at"), col("update_at")),
             Seq(idCol)))
           registry.upsertDeferred(step.newSpans
-            .select(col("h"), lit(checkpointDir).as("lineage"),
+            .select(col("h"), lit(lineage).as("lineage"),
               lit(batchId).as("batch_id"),
               lit("2000-01-01T00:00:00.000000+0000").as("create_at"),
               lit("2000-01-01T00:00:00.000000+0000").as("update_at")))
@@ -360,14 +401,18 @@ object CdcStreamIngest {
       n: Int, bands: Int, rowsPerBand: Int, threshold: Double,
       cleaned: KeyedLakeTable, registry: graft.sink.VersionedLakeTable,
       checkpointDir: String, maxBucket: Int = 10000): Unit = {
+    // resolved at first batch (the checkpoint metadata exists from start)
+    var lineage: String = null
     val query = stream.writeStream
       .foreachBatch { (batch0: DataFrame, batchId: Long) =>
         if (!batch0.isEmpty) {
+          if (lineage == null)
+            lineage = lineageToken(batch0.sparkSession, checkpointDir)
           // the batch feeds the LSH pass, the cleaned upsert, and the
           // registry append; the source may be non-deterministic — pin it
           val batch = batch0.localCheckpoint(true)
           val reg = registry.latestVersion
-            .map(_ => priorRows(registry.read(), checkpointDir, batchId)
+            .map(_ => priorRows(registry.read(), lineage, batchId)
               .select(col(idCol), col(textCol), col("sig")))
             .getOrElse(batch
               .select(col(idCol), col(textCol),
@@ -375,14 +420,18 @@ object CdcStreamIngest {
               .limit(0))
           val step = graft.dedup.Dedup.incrementalDedupSigs(reg,
             batch.select(col(idCol), col(textCol)), idCol, textCol,
-            n, bands, rowsPerBand, threshold, maxBucket)
+            n, bands, rowsPerBand, threshold, maxBucket,
+            // footer-metadata size hint drives the adaptive candidate
+            // semi-filter (upper bound over the MoR chain — fine for a
+            // regime decision)
+            registrySizeHint = registry.approxRowCount())
           // re-attach the stream's lake columns to the survivors by id
           cleaned.upsert(step.kept.join(
             batch.select(col(idCol), col("create_at"), col("update_at")),
             Seq(idCol)))
           registry.upsertDeferred(step.registryRows
             .select(col(idCol), col(textCol), col("sig"),
-              lit(checkpointDir).as("lineage"),
+              lit(lineage).as("lineage"),
               lit(batchId).as("batch_id"),
               lit("2000-01-01T00:00:00.000000+0000").as("create_at"),
               lit("2000-01-01T00:00:00.000000+0000").as("update_at")))
@@ -424,13 +473,17 @@ object CdcStreamIngest {
       curated: KeyedLakeTable, spanRegistry: graft.sink.VersionedLakeTable,
       docRegistry: graft.sink.VersionedLakeTable,
       checkpointDir: String, maxBucket: Int = 10000): Unit = {
+    // resolved at first batch (the checkpoint metadata exists from start)
+    var lineage: String = null
     val query = stream.writeStream
       .foreachBatch { (batch0: DataFrame, batchId: Long) =>
         if (!batch0.isEmpty) {
+          if (lineage == null)
+            lineage = lineageToken(batch0.sparkSession, checkpointDir)
           val batch = batch0.localCheckpoint(true)
           // stage 1: span dedup against the span registry
           val spanReg = spanRegistry.latestVersion
-            .map(_ => priorRows(spanRegistry.read(), checkpointDir, batchId)
+            .map(_ => priorRows(spanRegistry.read(), lineage, batchId)
               .select(col("h")))
             .getOrElse(batch.select(lit(Array.empty[Byte]).as("h")).limit(0))
           val spanStep = graft.dedup.SpanDedup.incremental(
@@ -443,7 +496,7 @@ object CdcStreamIngest {
           // stage 2: near-dup dedup of the CLEANED text via the
           // signature registry
           val docReg = docRegistry.latestVersion
-            .map(_ => priorRows(docRegistry.read(), checkpointDir, batchId)
+            .map(_ => priorRows(docRegistry.read(), lineage, batchId)
               .select(col(idCol), col(textCol), col("sig")))
             .getOrElse(cleaned
               .select(col(idCol), col("clean_text").as(textCol),
@@ -451,20 +504,21 @@ object CdcStreamIngest {
               .limit(0))
           val sigStep = graft.dedup.Dedup.incrementalDedupSigs(docReg,
             cleaned.select(col(idCol), col("clean_text").as(textCol)),
-            idCol, textCol, n, bands, rowsPerBand, threshold, maxBucket)
+            idCol, textCol, n, bands, rowsPerBand, threshold, maxBucket,
+            registrySizeHint = docRegistry.approxRowCount())
           // survivors keep their span metrics + the stream's lake columns
           curated.upsert(sigStep.kept.select(col(idCol))
             .join(cleaned, Seq(idCol))
             .join(batch.select(col(idCol), col("create_at"),
               col("update_at")), Seq(idCol)))
           spanRegistry.upsertDeferred(spanStep.newSpans
-            .select(col("h"), lit(checkpointDir).as("lineage"),
+            .select(col("h"), lit(lineage).as("lineage"),
               lit(batchId).as("batch_id"),
               lit("2000-01-01T00:00:00.000000+0000").as("create_at"),
               lit("2000-01-01T00:00:00.000000+0000").as("update_at")))
           docRegistry.upsertDeferred(sigStep.registryRows
             .select(col(idCol), col(textCol), col("sig"),
-              lit(checkpointDir).as("lineage"),
+              lit(lineage).as("lineage"),
               lit(batchId).as("batch_id"),
               lit("2000-01-01T00:00:00.000000+0000").as("create_at"),
               lit("2000-01-01T00:00:00.000000+0000").as("update_at")))

@@ -156,6 +156,29 @@ class FileStatsIndexSpec extends AnyFunSuite with SparkSpec {
       table.readForJoinOn("note", Seq("v1").toDF("note")))
   }
 
+  test("readForJoinOn pins the probe to the table column's type") {
+    val table = statsTable()
+    table.upsert(txnsAcrossMinutes(16, 20).toDF())
+    // `amount` is an integral stats column (kind "i"): an untyped probe
+    // frame (doubles, strings — the analyst reality) must neither throw
+    // from BigInt inside the prune predicate nor silently prune files
+    // that hold matching rows. 305.0 and "1210" cast cleanly and must
+    // prune to the same two files; 305.5 can match no stored int and
+    // may prune to nothing.
+    val doubles = Seq(305.0, 1210.0).toDF("amount")
+    val prunedD = table.readForJoinOn("amount", doubles)
+    assert(prunedD.inputFiles.length <= 2,
+      s"typed-cast probe should prune 16 files to 2, got " +
+        s"${prunedD.inputFiles.length}")
+    assert(prunedD.filter($"amount".isin(305, 1210)).select("id")
+      .as[String].collect().toSet === Set("k3-5", "k12-10"))
+    val strings = Seq("305", "1210", "not-a-number").toDF("amount")
+    assert(table.readForJoinOn("amount", strings)
+      .filter($"amount".isin(305, 1210)).count() === 2L,
+      "string probes must cast to the table type; uncastable values " +
+        "drop (they can match no stored row)")
+  }
+
   test("readForJoinOn refuses an append (merge-on-read) chain loudly") {
     val table = new VersionedLakeTable(spark, LakeTableSpec(
       path = tmpDir("vjoinonmor"), recordKeys = Seq("id"),

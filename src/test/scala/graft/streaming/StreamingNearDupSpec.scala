@@ -174,4 +174,29 @@ class StreamingNearDupSpec extends AnyFunSuite with SparkSpec {
     assert(keptIds(cleaned) === before,
       "replay must not dedup the batch against its own registry rows")
   }
+
+  test("a checkpoint recreated at the SAME path is a fresh lineage") {
+    // the standard reprocess move: delete the checkpoint, keep the
+    // registry, restart at the SAME path. Batch ids restart at 0 — a
+    // path-string lineage would hide every accumulated registry row
+    // with batch_id >= 0 and dedup the new stream against a truncated
+    // registry. The persisted-query-id lineage gives the recreated
+    // checkpoint a fresh id, so doc 4 must still drop against the
+    // REGISTERED (and itself dropped) doc 3 from the first run.
+    val cleaned = newCleaned()
+    val registry = newRegistry()
+    val ckpt = tmpDir("snd-ckpt-recreate")
+    run(writeBatches(Seq(rows.take(3))), cleaned, registry, ckpt)
+    assert(keptIds(cleaned) === Seq(1L, 2L))
+    // wipe the checkpoint wholesale and run new data at the same path
+    def rmTree(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p))
+        Files.list(p).iterator().asScala.toSeq.foreach(rmTree)
+      Files.deleteIfExists(p)
+    }
+    rmTree(Paths.get(ckpt))
+    run(writeBatches(Seq(rows.drop(3))), cleaned, registry, ckpt)
+    assert(keptIds(cleaned) === Seq(1L, 2L, 5L),
+      "a recreated checkpoint must see the whole accumulated registry")
+  }
 }
