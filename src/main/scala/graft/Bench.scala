@@ -32,22 +32,16 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     def makeSession(): SparkSession = {
-      val s = SparkSession.builder()
-        .master(s"local[$cpus]")
-        .withExtensions(new graft.functions.GraftExtensions)
+      // engine defaults live in GraftSession (scan-floor batch size,
+      // bucketed-scan ordering, shuffle=cores — each with its measured
+      // rationale there); the bench adds only its experiment knob
+      val s = GraftSession.configure(
+          SparkSession.builder().master(s"local[$cpus]"), cpus.toInt)
         // experiment knob only — AQE stays ON by default (coalescing and
         // skew-join matter more at real scale than its per-query planning
         // cost at bench scale)
         .config("spark.sql.adaptive.enabled",
           sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
-        .config("spark.sql.shuffle.partitions", cpus)
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        // 4096 → 16384 rows per vectorized parquet batch: −15% on the
-        // 60M-row scan floor (MatScanProfile 0.60 → 0.51 s, query −12%)
-        // for ~0.5 MB more per open column batch — the scan constant the
-        // m_q87_mat attribution named as the next lever
-        .config("spark.sql.parquet.columnarReaderBatchSize", "16384")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
       s.sparkContext.setLogLevel("WARN")

@@ -83,14 +83,63 @@ object AsofJoin {
         ColumnBridge.logicalPlan(df)))
   }
 
+  /** The bucket count when `df` is a narrow chain (subquery alias /
+    * filter / projection that passes `keyCol` through untouched) over ONE
+    * catalog scan bucketed on exactly `keyCol`. This is the layout
+    * [[graft.sql.QueryEngine.saveBucketed]] writes — the detection that
+    * lets [[asof]] plan the zero-exchange merge without the caller
+    * knowing the table's history. Conservative by construction: any
+    * unrecognized operator (aggregate, join, a projection that computes
+    * the key) returns None and [[asof]] keeps the carry form. */
+  private[graft] def bucketCountOn(df: DataFrame, keyCol: String)
+      : Option[Int] = {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, SubqueryAlias}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    def walk(p: LogicalPlan): Option[Int] = p match {
+      case SubqueryAlias(_, c) => walk(c)
+      case Filter(_, c)        => walk(c)
+      case Project(exprs, c) if exprs.exists {
+          case a: AttributeReference => a.name == keyCol
+          case _                     => false
+        } => walk(c)
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => fs.bucketSpec.collect {
+          case spec if spec.bucketColumnNames == Seq(keyCol) =>
+            spec.numBuckets
+        }
+        case _ => None
+      }
+      case _ => None
+    }
+    walk(df.queryExecution.analyzed)
+  }
+
   /** Left as-of join: every fact row survives; `payloadCols` (from `dims`)
     * arrive null when the key has no dim version at-or-before the fact.
     * `facts` and `dims` must both have `keyCol` + `tsCol`; payload names
-    * must not collide with fact column names. */
+    * must not collide with fact column names.
+    *
+    * LAYOUT DETECTION (r13 verdict): when BOTH inputs are scans of
+    * tables bucketed on `keyCol` with the same bucket count — the
+    * ingest-paid layout [[graft.sql.QueryEngine.saveBucketed]] writes —
+    * this call plans [[asofMerge]] automatically (zero exchanges; zero
+    * sorts too when the in-bucket (key, ts) sort is visible — the
+    * 0.65×-of-DuckDB path, m_asof_merge_x1000) instead of requiring the
+    * caller to know the tables' write history. Anything else falls back
+    * to the union-carry form (measured a WASH against merge on raw
+    * inputs, and the only form that tolerates arbitrary upstream plans).
+    * Output, tie semantics, and determinism contract are identical
+    * either way (AsofJoinSpec pins both). */
   def asof(facts: DataFrame, dims: DataFrame, keyCol: String, tsCol: String,
       payloadCols: Seq[String]): DataFrame = {
     require(payloadCols.nonEmpty, "need at least one payload column")
-    carry(tagged(facts, dims, keyCol, tsCol, payloadCols, None),
+    val bucketed = for {
+      nf <- bucketCountOn(facts, keyCol)
+      nd <- bucketCountOn(dims, keyCol) if nf == nd
+    } yield nf
+    if (bucketed.isDefined) asofMerge(facts, dims, keyCol, tsCol, payloadCols)
+    else carry(tagged(facts, dims, keyCol, tsCol, payloadCols, None),
       Seq(keyCol), tsCol, payloadCols, facts.columns.toSeq)
   }
 

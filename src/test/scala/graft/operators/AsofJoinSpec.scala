@@ -192,6 +192,49 @@ class AsofJoinSpec extends AnyFunSuite with SparkSpec {
       "spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
   }
 
+  test("asof auto-detects the bucketed layout: the SAME user call plans " +
+      "merge on bucketed inputs, carry otherwise") {
+    def ensure(name: String, df: org.apache.spark.sql.DataFrame): Unit =
+      if (!spark.catalog.tableExists(name)) {
+        df.repartition(4, $"k").write.mode("overwrite")
+          .bucketBy(4, "k").sortBy("k", "ts").saveAsTable(name)
+      }
+    ensure("asof_facts_bkt", facts)
+    ensure("asof_dims_bkt", dims)
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering",
+      "true")
+    try {
+      // bucketed scans (with a pass-through filter/projection in the
+      // way): asof() itself must plan the zero-exchange merge
+      val auto = AsofJoin.asof(
+        spark.table("asof_facts_bkt").filter($"fid" >= 0L),
+        spark.table("asof_dims_bkt").select($"k", $"ts", $"state"),
+        "k", "ts", Seq("state"))
+      val plan = auto.queryExecution.executedPlan.toString
+      assert(plan.contains("AsofMerge"),
+        s"asof() on bucketed inputs must plan the merge:\n$plan")
+      assert(!plan.contains("Exchange"), s"expected zero exchanges:\n$plan")
+      val got = auto.collect()
+        .map(r => (r.getLong(0), Option(r.getString(3)))).toMap
+      assert(got === out)
+      // raw in-memory inputs: the same call keeps the carry form
+      val rawPlan = AsofJoin.asof(facts, dims, "k", "ts", Seq("state"))
+        .queryExecution.executedPlan.toString
+      assert(rawPlan.contains("AsofCarry"),
+        s"asof() on raw inputs must keep the carry:\n$rawPlan")
+      // mismatched bucket counts: co-partitioning is lost — carry
+      if (!spark.catalog.tableExists("asof_dims_bkt8"))
+        dims.repartition(8, $"k").write.mode("overwrite")
+          .bucketBy(8, "k").sortBy("k", "ts").saveAsTable("asof_dims_bkt8")
+      val mixedPlan = AsofJoin.asof(spark.table("asof_facts_bkt"),
+          spark.table("asof_dims_bkt8"), "k", "ts", Seq("state"))
+        .queryExecution.executedPlan.toString
+      assert(mixedPlan.contains("AsofCarry"),
+        s"mismatched bucket counts must fall back to carry:\n$mixedPlan")
+    } finally spark.conf.set(
+      "spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
+  }
+
   test("seeded fuzz: distributed as-of equals the in-memory reference") {
     val rnd = new scala.util.Random(11)
     // dims unique per (key, ts) — the operator's determinism contract
