@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import scala.jdk.CollectionConverters._
@@ -271,14 +272,56 @@ object PipelineQueries {
       |ORDER BY q_id, rank""".stripMargin
 
   // ---------------------------------------------------------------- q45
-  /** IVF approximate top-10 (16 centroids, probe 4) — the bucketed scale
-    * path. Rows-only for the driver; recall vs q44 asserted in the suite. */
+  /** IVF approximate top-10 (16 centroids, probe 4), driver-pinned as an
+    * INTEGRITY row (r13 verdict #3 — the q71/q72 pattern for approximate
+    * paths): the hit SET is engine-specific (trained centroids), but the
+    * operator's structural contract is not. One row, every flag asserted
+    * TRUE by the oracle: each of the 8 query vectors returns exactly
+    * k=10 distinct neighbors at contiguous ranks 1..10, never itself,
+    * cosines non-increasing in rank, and every returned cosine equals an
+    * independently recomputed exact cosine of that (q, n) pair — a
+    * degenerate probe path, broken ranking, or corrupted score can't
+    * fake any of them. RECALL vs the exact top-10 stays pinned by
+    * hash-green q71; this entry pins everything recall can't see. */
   def q45SimsearchIvf(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
-    Similarity.ivfTopK(e, e.filter(col("vec_id") < 8),
-      "vec_id", "embedding", k = 10, nCentroids = 16, nProbe = 4)
-      .orderBy("q_id", "rank")
+    val queries = e.filter(col("vec_id") < 8)
+    val ivf = Similarity.ivfTopK(e, queries, "vec_id", "embedding",
+      k = 10, nCentroids = 16, nProbe = 4)
+    val qSide = e.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val nSide = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("rank"))
+    val perQ = ivf
+      .join(qSide, "q_id").join(nSide, "n_id")
+      .withColumn("exact",
+        Similarity.cosine(col("q_emb"), col("n_emb"),
+          Similarity.l2Norm(col("q_emb")), Similarity.l2Norm(col("n_emb"))))
+      .withColumn("prev_cos", lag(col("cosine"), 1).over(w))
+      .groupBy(col("q_id"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("rank")).as("rk_min"), max(col("rank")).as("rk_max"),
+        countDistinct(col("rank")).as("rk_distinct"),
+        countDistinct(col("n_id")).as("n_distinct"),
+        min(col("n_id") =!= col("q_id")).as("no_self"),
+        min(coalesce(col("prev_cos") >= col("cosine"), lit(true)))
+          .as("sorted"),
+        min(abs(col("exact") - col("cosine")) < lit(1e-6)).as("exact_ok"))
+    perQ.agg(
+      count(lit(1)).cast("long").as("n_queries"),
+      min(col("n_rows") === 10 && col("rk_min") === 1 &&
+        col("rk_max") === 10 && col("rk_distinct") === 10 &&
+        col("n_distinct") === 10).as("per_query_topk_ok"),
+      min(col("no_self")).as("self_excluded_ok"),
+      min(col("sorted")).as("cosine_sorted_ok"),
+      min(col("exact_ok")).as("cosine_exact_ok"))
   }
+
+  val q45SimsearchIvfSql: String =
+    """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+      |  TRUE AS per_query_topk_ok, TRUE AS self_excluded_ok,
+      |  TRUE AS cosine_sorted_ok, TRUE AS cosine_exact_ok
+      |FROM embeddings WHERE vec_id < 8""".stripMargin
 
   // ---------------------------------------------------------------- q53
   /** Exact embedding-cosine near-dup pairs (the all-pairs baseline). */
@@ -325,11 +368,58 @@ object PipelineQueries {
   val q54EmbedNeardupClusteredSql: String = q53EmbedNeardupSql
 
   // ---------------------------------------------------------------- q55
-  /** SimHash banded near-dup over documents (rows-only; Hamming ≤ 3 with
-    * 4 bands is exhaustive by pigeonhole). */
-  def q55SimhashNeardup(s: SparkSession, dir: String): DataFrame =
-    Dedup.simHashNearDup(docs(s, dir), "doc_id", "text", maxHamming = 3)
-      .orderBy("doc_a", "doc_b")
+  /** SimHash banded near-dup over documents (Hamming ≤ 3 with 4 bands is
+    * exhaustive by pigeonhole), driver-pinned as a SUMMARY row (r13
+    * verdict #3): the pair list itself is engine-specific, but the
+    * operator's recall obligations are not. The oracle computes
+    * `n_exact_dup_pairs` (identical-normalized-text pairs — Hamming 0 by
+    * construction, so the banding MUST recover every one) from the
+    * documents table and asserts the flags TRUE: all exact dups
+    * recovered; ≥50% of exact bigram-Jaccard τ≥0.95 pairs recovered
+    * (calibrated 62.5% at sf0.01, 82% at sf0.1 — a broken hash recovers
+    * ~0%); the pair set non-empty and well-formed (doc_a < doc_b,
+    * hamming ≤ 3). Precision-vs-Jaccard is deliberately NOT a flag: this
+    * template-heavy corpus gives RANDOM pairs 0.62 mean unigram Jaccard,
+    * so no floor separates signal from noise — SimHash discriminates on
+    * term-frequency profiles, which exact set-Jaccard can't see. */
+  def q55SimhashNeardup(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val pairs = Dedup
+      .simHashNearDup(d, "doc_id", "text", maxHamming = 3)
+      .localCheckpoint(true) // three consumers; pin the operator output
+    val hits = pairs.select(col("doc_a"), col("doc_b"), lit(true).as("hit"))
+    val nt = d.select(col("doc_id"), TextOps.normalized(col("text")).as("nt"))
+    val exactPairs = nt.as("a")
+      .join(nt.as("b"), col("a.nt") === col("b.nt") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val exactAgg = exactPairs.join(hits, Seq("doc_a", "doc_b"), "left")
+      .agg(count(lit(1)).cast("long").as("n_exact_dup_pairs"),
+        coalesce(min(coalesce(col("hit"), lit(false))), lit(true))
+          .as("exact_dups_recovered"))
+    val highJ = Dedup.ngramJaccardPairs(d, "doc_id", "text", n = 2,
+        threshold = 0.95)
+      .select(col("doc_a"), col("doc_b"))
+    val recallAgg = highJ.join(hits, Seq("doc_a", "doc_b"), "left")
+      .agg(coalesce(
+        sum(when(col("hit"), 1L).otherwise(0L)) * 2 >= count(lit(1)),
+        lit(true)).as("high_jaccard_recall_ok"))
+    val shapeAgg = pairs.agg(
+      (count(lit(1)) >= 1L).as("found_any"),
+      coalesce(min(col("doc_a") < col("doc_b") && col("hamming") <= 3),
+        lit(true)).as("pairs_shape_ok"))
+    exactAgg.crossJoin(recallAgg).crossJoin(shapeAgg)
+  }
+
+  val q55SimhashNeardupSql: String =
+    s"""WITH w AS (SELECT doc_id, $normSql AS nt FROM documents)
+      |SELECT CAST((SELECT count(*) FROM w a JOIN w b
+      |    ON a.nt = b.nt AND a.doc_id < b.doc_id) AS BIGINT)
+      |    AS n_exact_dup_pairs,
+      |  TRUE AS exact_dups_recovered,
+      |  TRUE AS high_jaccard_recall_ok,
+      |  TRUE AS found_any,
+      |  TRUE AS pairs_shape_ok""".stripMargin
 
   // ---------------------------------------------------------------- q71
   /** IVF quality, driver-checked (the q19 pattern for approximate paths):
@@ -523,17 +613,33 @@ object PipelineQueries {
       |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q50
-  /** SimHash-64 per document via the native Catalyst expression. No SQL
-    * oracle (xxhash64 bit pattern is Spark-specific); properties are
-    * asserted in the suite. */
+  /** SimHash-64 per document via the native Catalyst expression,
+    * driver-pinned through its DEFINING algebraic properties (r13
+    * verdict #3): the 64 bits are engine-specific (xxhash64 mixing), but
+    * SimHash's per-bit vote sum is order-invariant and sign-stable under
+    * multiset scaling — `simhash(reverse(w)) == simhash(w)` always, and
+    * `simhash(w ++ w) == simhash(w)` because doubling every balance
+    * preserves every sign (including the zero balances both map to an
+    * unset bit). A kernel that sneaks in any positional or
+    * normalization-dependent term flips a flag and the driver's hash
+    * goes red, per document. Hamming-vs-Jaccard proximity stays pinned
+    * by hash-green q72. */
   def q50Simhash(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
     docs(s, dir)
-      .withColumn("words",
-        TextOps.tokens(col("text")))
-      .select(col("doc_id"), expr("simhash64(words)").as("simhash"))
+      .withColumn("words", TextOps.tokens(col("text")))
+      .select(col("doc_id"),
+        (expr("simhash64(words)") === expr("simhash64(reverse(words))"))
+          .as("order_invariant_ok"),
+        (expr("simhash64(words)") === expr("simhash64(concat(words, words))"))
+          .as("multiset_scale_ok"))
       .orderBy("doc_id")
   }
+
+  val q50SimhashSql: String =
+    """SELECT doc_id, TRUE AS order_invariant_ok, TRUE AS multiset_scale_ok
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q51
   /** Multimodal binary plumbing: payload bytes, content hash, frame-sample

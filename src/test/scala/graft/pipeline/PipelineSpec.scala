@@ -46,9 +46,14 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("IVF top-k achieves high recall against brute force") {
+    // the raw operator at q45's exact config (the q45 entry itself now
+    // emits the driver-pinned integrity flags, not the hit list)
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    def ivfHits() = Similarity.ivfTopK(e, e.filter(col("vec_id") < 8),
+      "vec_id", "embedding", k = 10, nCentroids = 16, nProbe = 4)
     val brute = PipelineQueries.q44SimsearchBrute(spark, sfDir)
       .select("q_id", "n_id").as[(Long, Long)].collect().toSet
-    val ivf = PipelineQueries.q45SimsearchIvf(spark, sfDir)
+    val ivf = ivfHits()
       .select("q_id", "n_id").as[(Long, Long)].collect().toSet
     val recall = ivf.intersect(brute).size.toDouble / brute.size
     // The corpus embeddings are ISOTROPIC noise (measured: same-label mean
@@ -60,10 +65,14 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(recall >= 0.5, f"IVF recall@10 too low: $recall%.2f")
     // every IVF hit is a real vector pair with correctly computed cosine —
     // spot-check one query's ranking is internally consistent
-    val oneQ = PipelineQueries.q45SimsearchIvf(spark, sfDir)
+    val oneQ = ivfHits()
       .filter(col("q_id") === 0).orderBy("rank")
       .select("cosine").as[Double].collect()
     assert(oneQ.sameElements(oneQ.sorted(Ordering[Double].reverse)))
+    // and the q45 entry's integrity flags must all read true
+    val flagRow = PipelineQueries.q45SimsearchIvf(spark, sfDir).head()
+    assert((1 until flagRow.length).forall(flagRow.getBoolean),
+      s"q45 integrity flags: $flagRow")
   }
 
   test("IVF holds ≥0.9 recall at 4/16 probes on clustered embeddings") {
@@ -325,7 +334,11 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("simhash banded near-dup agrees with the strongest jaccard pairs") {
-    val sim = PipelineQueries.q55SimhashNeardup(spark, sfDir)
+    // the raw operator (the q55 entry itself now emits the driver-pinned
+    // summary flags, not the pair list)
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val sim = graft.dedup.Dedup
+      .simHashNearDup(d, "doc_id", "text", maxHamming = 3)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     val jac = PipelineQueries.q41NgramJaccard(spark, sfDir)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
@@ -333,6 +346,10 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     // the banded Hamming path is exhaustive at ≤3 bits (pigeonhole), so any
     // overlap gap runs the other way: strong-jaccard pairs may sit >3 bits
     assert(sim.intersect(jac).nonEmpty)
+    // and the q55 entry's summary flags must all read true
+    val flagRow = PipelineQueries.q55SimhashNeardup(spark, sfDir).head()
+    assert((1 until flagRow.length).forall(flagRow.getBoolean),
+      s"q55 summary flags: $flagRow")
   }
 
   test("approx_count_distinct stays within its error bound of the exact count") {
