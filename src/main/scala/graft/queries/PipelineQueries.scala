@@ -1900,6 +1900,102 @@ object PipelineQueries {
       |WHERE d.doc_id NOT IN (SELECT doc_id FROM drops)
       |ORDER BY d.doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q158
+  /** q157's composed streaming curation on a corpus where stage 2
+    * PROVABLY fires at the oracle level (r13 verdict #4: q157's own drop
+    * set is empty at τ=0.9 — span dedup removes exactly the shared text
+    * that made raw documents near-dups). Every doc_id % 7 == 0 spawns a
+    * synthetic pair built from its normalized words suffixed with the
+    * doc id (`the → thex42`) — corpus-UNIQUE words, so neither synthetic
+    * doc can lose a span to the template-heavy corpus's cross-doc
+    * trigram collisions (the first cut prepended a word to RAW text and
+    * stage 1 ate 30–50% of every companion through exactly those
+    * collisions — zero drops at τ=0.9, measured):
+    *  - A (id + 1,000,000): the suffixed text verbatim;
+    *  - B (id + 2,000,000): A with ONE word prepended — every k=3 span
+    *    boundary shifts, so stage 1 keeps B's spans as novel keys and
+    *    B's cleaned text survives near-identical to A's. Only stage 2's
+    *    bigram shingles over the CLEANED text reveal the pair (Jaccard
+    *    n/(n+1), ≥0.9 for every doc with ≥10 words, typically ≈0.97 —
+    *    deep in the recall-total band regime).
+    * A arrives before B (id order → last micro-batches), so the
+    * incremental drop rule fires exactly as a continuously-ingesting
+    * near-dup would: the oracle's drop set is non-empty at sf0.01 AND
+    * sf0.1, and the streamed result must land on the one-statement
+    * composition's bits with every B adjudicated. */
+  def q158StreamCurateMisaligned(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val d0 = docs(s, dir).select(col("doc_id"), col("text"))
+    val sel = d0.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"),
+        array_join(transform(
+            TextOps.words(TextOps.normalized(col("text"))),
+            w => concat(w, lit("x"), col("doc_id"))), " ").as("stext"))
+    val d = d0
+      .unionByName(sel.select((col("doc_id") + 1000000L).as("doc_id"),
+        col("stext").as("text")))
+      .unionByName(sel.select((col("doc_id") + 2000000L).as("doc_id"),
+        concat(lit("offsetword "), col("stext")).as("text")))
+      .withColumn("create_at", lit("2000-01-01T00:00:00.000000+0000"))
+      .withColumn("update_at", lit("2000-01-01T00:00:00.000000+0000"))
+    val cuts = d.stat.approxQuantile("doc_id", Array(0.33, 0.66), 0.001)
+    val srcDir = Files.createTempDirectory("graft_q158_src").toString
+    val bounds = Seq((Long.MinValue, cuts(0).toLong),
+      (cuts(0).toLong, cuts(1).toLong), (cuts(1).toLong, Long.MaxValue))
+    bounds.zipWithIndex.foreach { case ((lo, hi), b) =>
+      val stage = Files.createTempDirectory(s"graft_q158_b$b").toString
+      d.filter(col("doc_id") > lo && col("doc_id") <= hi)
+        .repartition(1).write.mode("overwrite").parquet(stage)
+      val part = Files.list(Paths.get(stage)).iterator().asScala
+        .find(_.getFileName.toString.startsWith("part-")).get
+      val dst = Paths.get(srcDir, s"b$b.parquet")
+      Files.move(part, dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + b * 60000L))
+    }
+    val curated = new KeyedLakeTable(s, LakeTableSpec(
+      Files.createTempDirectory("graft_q158_cur").toString,
+      recordKeys = Seq("doc_id"), precombine = "update_at",
+      partitionSource = "create_at"))
+    val spanReg = new graft.sink.VersionedLakeTable(s, LakeTableSpec(
+      Files.createTempDirectory("graft_q158_sreg").toString,
+      recordKeys = Seq("h"), precombine = "update_at",
+      partitionSource = "create_at", tieBreak = Seq("batch_id")))
+    val docReg = new graft.sink.VersionedLakeTable(s, LakeTableSpec(
+      Files.createTempDirectory("graft_q158_dreg").toString,
+      recordKeys = Seq("doc_id"), precombine = "update_at",
+      partitionSource = "create_at", tieBreak = Seq("batch_id")))
+    graft.streaming.CdcStreamIngest.toCuratedTable(
+      s.readStream.schema(d.schema).option("maxFilesPerTrigger", 1)
+        .parquet(srcDir),
+      "doc_id", "text", k = 3, n = 2, bands = 16, rowsPerBand = 8,
+      threshold = 0.9, curated, spanReg, docReg,
+      Files.createTempDirectory("graft_q158_ckpt").toString)
+    curated.read()
+      .select(col("doc_id"), col("n_spans"), col("n_kept"),
+        col("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  /** q157's one-statement oracle over the AUGMENTED corpus (documents ∪
+    * the suffixed/misaligned synthetic pairs) — built by substituting
+    * the source CTE so the two compositions cannot drift apart. */
+  val q158StreamCurateMisalignedSql: String = {
+    val suffixed = "array_to_string(list_transform(" +
+      s"string_split($normSql, ' '), " +
+      "w -> w || 'x' || CAST(doc_id AS VARCHAR)), ' ')"
+    "WITH aug AS (\n" +
+      "  SELECT doc_id, text FROM documents\n" +
+      "  UNION ALL\n" +
+      s"  SELECT doc_id + 1000000 AS doc_id, $suffixed AS text\n" +
+      "  FROM documents WHERE doc_id % 7 = 0\n" +
+      "  UNION ALL\n" +
+      s"  SELECT doc_id + 2000000 AS doc_id, 'offsetword ' || $suffixed AS text\n" +
+      "  FROM documents WHERE doc_id % 7 = 0),\n" +
+      q157StreamCurateSql.stripPrefix("WITH ")
+        .replace("FROM documents", "FROM aug")
+  }
+
   // ---------------------------------------------------------------- q97
   /** Intra-document repetition metrics + keep/drop verdict
     * ([[graft.text.Repetition]]) — the boilerplate/degenerate-repetition
