@@ -41,6 +41,17 @@ import org.apache.spark.sql.functions._
   * aggregation pass against MG's two; use MG where it doesn't, which is
   * exactly the 100 TB web-text tail (billions of distinct tokens).
   *
+  * The vocabulary-≫-memory regime is MEASURED, not extrapolated
+  * ([[graft.HhHeapProfile]], wide3 = 750M tokens / ~600M distinct,
+  * r14): at a 4 GiB heap MG completes in 76.2 s — within 1.3× of its
+  * 16 GiB number, state k-bounded by construction — while the full
+  * groupBy's vocabulary-sized aggregation state OOM-kills the JVM on
+  * its first pass (at 6 GiB its first pass limps through at 62 s and
+  * the repeat dies; at 16 GiB both complete and the difference is
+  * spill-regime variance only — BENCH_COMPARE r13/r14 carry all three
+  * heap points). "Vocabulary exceeds aggregate memory" is therefore a
+  * completes-vs-crashes separation, not a throughput ratio.
+  *
   * Counterpart of the reference's frequency profiling (the vendor export
   * pipeline's per-table counts) lifted to token granularity; threshold
   * semantics follow Misra & Gries (1982) / the MG summary in Cormode's
