@@ -38,7 +38,8 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.parquet.columnarReaderBatchSize", "16384")
+      .config("spark.sql.parquet.columnarReaderBatchSize",
+        sys.env.getOrElse("SPARK_GRAFT_READER_BATCH", "16384"))
       .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
 
   /** A local[cpus] session with the engine defaults — the CLI mains'
