@@ -1780,9 +1780,10 @@ object PipelineQueries {
     * removes exactly the shared text that made raw documents near-dups,
     * so the oracle here pins the full stage-1 path through the streaming
     * machinery plus stage 2's NO-FALSE-DROPS side. Stage 2 actually
-    * firing after stage 1 is pinned by StreamingCurateSpec's offset
-    * fixture (a doc whose spans misalign with its near-dup's, so only
-    * the cleaned-text shingles reveal the pair). */
+    * firing after stage 1 is pinned at unit level by
+    * StreamingCurateSpec's offset fixture AND at the driver-oracle
+    * level by [[q158StreamCurateMisaligned]], whose injected corpus
+    * drops a non-empty stage-2 set at both fixture scales. */
   def q157StreamCurate(s: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
     val d = docs(s, dir)

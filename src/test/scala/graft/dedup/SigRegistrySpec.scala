@@ -59,6 +59,25 @@ class SigRegistrySpec extends AnyFunSuite with SparkSpec {
       "fixture sanity: some incoming docs must actually drop")
   }
 
+  test("the adaptive semi-filter skip never changes the kept set") {
+    // registrySizeHint drives a PLAN choice only (skip the candidate
+    // semi-join when candidates reach half the registry): force both
+    // branches on the same split and pin equality — a hint of 0 makes
+    // every candidate set 'big' (always skip), no hint always filters
+    val (n, b, r, t) = cfg
+    val existing = docs.filter(col("doc_id") % 3 =!= 0)
+    val incoming = docs.filter(col("doc_id") % 3 === 0)
+    val reg = registryOf(existing)
+    def kept(hint: Long): Set[Long] =
+      Dedup.incrementalDedupSigs(reg, incoming, "doc_id", "text", n, b, r, t,
+          registrySizeHint = hint)
+        .kept.select("doc_id").as[Long].collect().toSet
+    assert(kept(0L) === kept(-1L),
+      "skip-semi and filter-semi branches must produce the same survivors")
+    assert(kept(Long.MaxValue) === kept(-1L),
+      "an over-large hint (never skip) must also be a no-op on the result")
+  }
+
   test("batch-over-batch fold through registryRows == text form on the " +
       "accumulated corpus") {
     val (n, b, r, t) = cfg
