@@ -443,4 +443,29 @@ class VersionedLakeTableSpec extends AnyFunSuite with SparkSpec {
     assert(v === 0) // no new version for an empty batch
     assert(table.versions === Seq(0))
   }
+
+  test("approxRowCount: exact on compacted snapshots, upper bound on MoR") {
+    val table = new VersionedLakeTable(spark, LakeTableSpec(
+      path = tmpDir("vapprox"), recordKeys = Seq("id"),
+      precombine = "update_at", partitionSource = "create_at",
+      tieBreak = Seq("note")))
+    assert(table.approxRowCount() === 0L, "no commits yet reads 0")
+    val log = Workload.generate(seed = 36, n = 120)
+    table.upsert(log.txns.take(80).toDF())
+    assert(table.approxRowCount() === table.read().count(),
+      "footer count must be EXACT on a copy-on-write snapshot")
+    // an append (merge-on-read) commit stores extra key versions: the
+    // footer sum counts STORED rows — an upper bound on the merged count
+    table.upsertDeferred(log.txns.drop(80).toDF())
+    val merged = table.read().count()
+    val approx = table.approxRowCount()
+    assert(approx >= merged,
+      s"footer count $approx must bound the merged count $merged")
+    // time travel composes: version 0's count is the pre-append exact
+    assert(table.approxRowCount(Some(0)) ===
+      table.read(Some(0)).count())
+    // compaction restores exactness
+    table.compactSnapshot()
+    assert(table.approxRowCount() === table.read().count())
+  }
 }

@@ -253,4 +253,22 @@ class CdcStreamIngestSpec extends AnyFunSuite with SparkSpec {
     val minutes = back.select("create_minute").as[String].collect().toSet
     assert(minutes === Set("15", "16"))
   }
+
+  test("lineageToken reads the persisted query id, not the path string") {
+    import java.nio.file.{Files, Paths}
+    // the exact shape Structured Streaming writes at query start
+    val ckpt = tmpDir("lineage-tok")
+    Files.writeString(Paths.get(ckpt, "metadata"),
+      """{"id":"11111111-2222-3333-4444-555555555555"}""")
+    val tok = CdcStreamIngest.lineageToken(spark, ckpt)
+    assert(tok === "11111111-2222-3333-4444-555555555555")
+    // spelling-invariant: a trailing slash resolves to the same token
+    assert(CdcStreamIngest.lineageToken(spark, ckpt + "/") === tok)
+    // a metadata file without an id fails loudly rather than silently
+    // degrading the replay guard to a broken lineage
+    val bad = tmpDir("lineage-bad")
+    Files.writeString(Paths.get(bad, "metadata"), """{"foo":"bar"}""")
+    intercept[IllegalStateException](
+      CdcStreamIngest.lineageToken(spark, bad))
+  }
 }
