@@ -1,0 +1,124 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Fixed-iteration PageRank over an edge table — the web-graph centrality
+  * signal large-scale crawl curation uses to weight documents (Common
+  * Crawl's page-rank/harmonic-centrality rankings; Brin & Page 1998). The
+  * reference engine has no graph layer; this is part of the
+  * training-data-pipeline surface built on top of the lake.
+  *
+  * Semantics: classic damped PageRank with uniform teleport and dangling-
+  * mass redistribution,
+  *
+  *   r'(v) = (1-d)/N + d * ( dangling/N + sum_{(u,v) in E} r(u)/outdeg(u) )
+  *
+  * computed for a FIXED iteration count (the production form at corpus
+  * scale: convergence checks add an extra global pass per round for a
+  * signal that is consumed as a coarse quality weight, so pipelines run a
+  * fixed small k).
+  *
+  * Exactness contract — integer fixed-point: ranks are maintained as
+  * BIGINT multiples of 1/`scale` (default 1e-12), every division is
+  * truncating integral division, and the evaluation order is pinned by
+  * the formula below. Floating-point PageRank is NOT cross-engine
+  * reproducible (per-destination sums reduce in partition order); the
+  * fixed-point form makes every engine — Spark at any partitioning, the
+  * DuckDB oracle (q161) — produce bit-identical ranks. Truncation loses
+  * < outdeg ulps of mass per node per round, which is noise at 1e-12
+  * resolution and perfectly deterministic.
+  *
+  *   r0(v)  = scale div N
+  *   base   = (15 * (scale div N)) div 100                      [driver]
+  *   dang_k = sum of r_k(v) over zero-outdeg v                  [scalar]
+  *   r_{k+1}(v) = base + (85 * ((dang_k div N)
+  *                + sum_{(u,v)} (r_k(u) div outdeg(u)))) div 100
+  *
+  * Scale shape (the 100 TB posture):
+  *   - edges are canonicalized once (distinct) and CACHED repartitioned on
+  *     `src`, so every iteration's rank⋈edge join shuffles only the rank
+  *     frame (|V| rows, two narrow columns) — the edge table (|E|, the big
+  *     side) never moves again;
+  *   - per iteration: one co-partitioned join, one groupBy(dst) partial
+  *     aggregate (the pregel exchange, unavoidable), and ONE scalar
+  *     aggregate for the dangling mass (a single driver long — not a
+  *     driver-side data collect);
+  *   - rank frames are cached per iteration and the predecessor is
+  *     unpersisted, so lineage stays one-iteration deep and no round
+  *     recomputes history (the classic iterative-DataFrame trap).
+  */
+object PageRank {
+
+  val Scale: Long = 1000000000000L // 1e-12 rank resolution
+
+  /** Ranks after `iters` damped rounds over `edges` (columns `srcCol`,
+    * `dstCol`; duplicate edges are collapsed). Output: (`node`, `rank`)
+    * with `rank` a BIGINT in units of 1/`scale`. */
+  def run(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
+          iters: Int = 5, scale: Long = Scale): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val spark = edges.sparkSession
+
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+      .repartition(col("src"))
+      .cache()
+
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .cache()
+    val n = nodes.count()
+    require(n > 0, "pagerank over an empty edge set")
+
+    val outdeg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("od"))
+      .cache()
+
+    val r0 = scale / n
+    val base = (15L * r0) / 100L
+
+    var ranks = nodes.select(col("node"), lit(r0).as("r")).cache()
+    for (_ <- 1 to iters) {
+      val dang = ranks.join(outdeg, Seq("node"), "left_anti")
+        .agg(coalesce(sum(col("r")), lit(0L)).as("d"))
+        .head().getLong(0)
+      val dangShare = dang / n
+      val contribs = e
+        .join(ranks.join(outdeg, Seq("node")).withColumnRenamed("node", "src"),
+          Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(expr("r div od")).as("c"))
+      val next = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) +
+            expr(s"(85 * (${dangShare}L + coalesce(c, 0L))) div 100"))
+            .as("r"))
+        .cache()
+      next.count() // materialize before dropping the predecessor
+      ranks.unpersist()
+      ranks = next
+    }
+    ranks.select(col("node"), col("r").as("rank"))
+  }
+
+  /** The corpus graph q161 ranks: directed customer→supplier edges for
+    * every (order, lineitem) pair, plus supplier→customer back-edges for
+    * suppliers with `l_suppkey % 3 = 0` — a deterministic rule that leaves
+    * two thirds of the suppliers DANGLING, so both the propagation and the
+    * dangling-mass paths are exercised (and oracled) at every scale
+    * factor. Node ids are namespaced (`c<custkey>` / `s<suppkey>`). */
+  def corpusEdges(spark: SparkSession, dir: String): DataFrame = {
+    val orders = graft.Tables.load(spark, dir, "orders")
+    val li = graft.Tables.load(spark, dir, "lineitem")
+    val joined = li.join(orders, col("l_orderkey") === col("o_orderkey"))
+    val fwd = joined.select(
+      concat(lit("c"), col("o_custkey")).as("src"),
+      concat(lit("s"), col("l_suppkey")).as("dst"))
+    val bwd = joined.where(col("l_suppkey") % 3 === 0).select(
+      concat(lit("s"), col("l_suppkey")).as("src"),
+      concat(lit("c"), col("o_custkey")).as("dst"))
+    fwd.unionAll(bwd)
+  }
+}

@@ -14,7 +14,8 @@ import graft.dedup.{Dedup, SpanDedup}
 import graft.functions.GraftFunctions
 import graft.multimodal.{AudioDedup, AudioOps, Banded64, ImageDedup, ImageOps, MultimodalOps, VideoOps}
 import graft.sim.{ProductQuantize, Quantize, Similarity}
-import graft.text.{Bpe, HashClassifier, HeavyHitters, NgramLM, Repetition, Retrieval, TextOps, TfIdf}
+import graft.graph.PageRank
+import graft.text.{Bpe, HashClassifier, HeavyHitters, LineClean, NgramLM, Repetition, Retrieval, TextOps, TfIdf}
 
 /** CORRECTNESS entries for the large-scale training-data-pipeline operator
   * families (dedup, similarity search, text analysis, multimodal), over the
@@ -2848,4 +2849,144 @@ object PipelineQueries {
       |SELECT source, COUNT(*) AS docs_kept, CAST(SUM(tok) AS BIGINT) AS toks_kept
       |FROM kept GROUP BY source
       |ORDER BY source""".stripMargin
+
+  // --------------------------------------------------------------- q159
+  /** The corpus re-lined for the line-cleaning family (q159/q160): the
+    * driver corpus is single-line, so lines are derived as fixed 8-word
+    * chunks joined by newlines — deterministic, identically derivable by
+    * the SQL oracle (same fixture-derivation precedent as q66/q158).
+    * Tokens via [[TextOps.tokens]] == the oracle's `string_split` of the
+    * normalized text (the pinned FastTokens contract). */
+  private def linedDocs(s: SparkSession, dir: String): DataFrame = {
+    val ws = TextOps.tokens(col("text"))
+    docs(s, dir).select(
+      col("doc_id"),
+      array_join(
+        transform(
+          sequence(lit(0),
+            floor((size(ws) + lit(7)) / lit(8)).cast("int") - 1),
+          i => array_join(slice(ws, i * lit(8) + lit(1), lit(8)), " ")),
+        "\n").as("text"))
+  }
+
+  /** The line-fixture SQL shared by the q159/q160 oracles. */
+  private val linedSql: String =
+    s"""w AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+      |lined AS (
+      |  SELECT doc_id,
+      |    array_to_string(list_transform(range((len(ws) + 7) // 8),
+      |      i -> array_to_string(ws[i*8+1 : i*8+8], ' ')), chr(10)) AS text
+      |  FROM w)""".stripMargin
+
+  /** Per-document C4 line cleaning ([[graft.text.LineClean.cleanDocs]],
+    * Raffel et al. 2020 §2.2): drop lines under 8 words or containing a
+    * blocklist term, then drop documents keeping < 2 lines. The terminal-
+    * punctuation rule is configured off — this corpus has no punctuation
+    * (the rule is spec-pinned on crafted fixtures instead). Zero shuffles:
+    * the whole rule set is one codegen projection + filter. */
+  def q159LineClean(s: SparkSession, dir: String): DataFrame =
+    LineClean.cleanDocs(linedDocs(s, dir), "text",
+      minWords = 8, requirePunct = false,
+      blocklist = Seq("customer"), minKeptLines = 2)
+      .select("doc_id", "text", "n_lines_total", "n_lines_kept")
+      .orderBy("doc_id")
+
+  val q159LineCleanSql: String =
+    s"""WITH $linedSql,
+      |split AS (
+      |  SELECT doc_id, string_split(text, chr(10)) AS ls FROM lined),
+      |cleaned AS (
+      |  SELECT doc_id,
+      |    len(ls) AS n_lines_total,
+      |    list_filter(ls, l ->
+      |      len(string_split_regex(trim(l), '\\s+')) >= 8
+      |      AND NOT contains(lower(l), 'customer')) AS kept
+      |  FROM split)
+      |SELECT doc_id, array_to_string(kept, chr(10)) AS text,
+      |  n_lines_total, len(kept) AS n_lines_kept
+      |FROM cleaned
+      |WHERE len(kept) >= 2
+      |ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------- q160
+  /** Corpus-global repeated-line removal
+    * ([[graft.text.LineClean.dropRepeatedLines]] — RefinedWeb's line
+    * dedup): any line occurring in >= 2 distinct documents is boilerplate
+    * and is removed from EVERY document, first occurrences included. The
+    * corpus has 135 naturally repeated 8-word lines at sf0.01, so the
+    * operator fires without fixture injection. The frequency exchange
+    * carries (md5, doc_id) — never line text. */
+  def q160LineDedup(s: SparkSession, dir: String): DataFrame =
+    LineClean.dropRepeatedLines(linedDocs(s, dir), "doc_id", "text",
+      maxDocs = 2)
+      .orderBy("doc_id")
+
+  val q160LineDedupSql: String =
+    s"""WITH $linedSql,
+      |w2 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM lined),
+      |lines AS (
+      |  SELECT doc_id,
+      |    unnest(range(len(ls))) AS pos,
+      |    unnest(ls) AS line
+      |  FROM w2),
+      |hot AS (
+      |  SELECT md5(line) AS h FROM lines
+      |  GROUP BY md5(line) HAVING COUNT(DISTINCT doc_id) >= 2),
+      |kept AS (
+      |  SELECT doc_id, pos, line FROM lines
+      |  WHERE md5(line) NOT IN (SELECT h FROM hot))
+      |SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+      |FROM kept GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------- q161
+  /** Fixed-iteration PageRank ([[graft.graph.PageRank]]) over the derived
+    * customer↔supplier graph — the crawl-curation centrality signal, under
+    * the integer fixed-point contract that makes every rank bit-identical
+    * across engines and partitionings (floating PageRank is not: per-node
+    * sums reduce in partition order). 5 rounds, damping 0.85, dangling
+    * mass redistributed uniformly. */
+  def q161Pagerank(s: SparkSession, dir: String): DataFrame =
+    PageRank.run(PageRank.corpusEdges(s, dir), iters = 5)
+      .orderBy("node")
+
+  val q161PagerankSql: String = {
+    val scale = "1000000000000"
+    val iters = (1 to 5).map { k =>
+      s"""c$k AS (
+        |  SELECT e.dst AS node, SUM(r.r // o.od) AS c
+        |  FROM edges e
+        |  JOIN r${k - 1} r ON e.src = r.node
+        |  JOIN od o ON e.src = o.node
+        |  GROUP BY e.dst),
+        |d$k AS (
+        |  SELECT COALESCE(SUM(r.r), 0) AS dang
+        |  FROM r${k - 1} r LEFT JOIN od o ON r.node = o.node
+        |  WHERE o.node IS NULL),
+        |r$k AS (
+        |  SELECT n.node,
+        |    (15 * ($scale // (SELECT n FROM nn))) // 100
+        |    + (85 * (((SELECT dang FROM d$k) // (SELECT n FROM nn))
+        |             + COALESCE(c.c, 0))) // 100 AS r
+        |  FROM nodes n LEFT JOIN c$k c ON n.node = c.node)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH j AS (
+      |  SELECT o_custkey, l_suppkey
+      |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      |edges AS (
+      |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+      |  FROM j
+      |  UNION
+      |  SELECT DISTINCT 's' || l_suppkey, 'c' || o_custkey
+      |  FROM j WHERE l_suppkey % 3 = 0),
+      |nodes AS (
+      |  SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+      |nn AS (SELECT COUNT(*) AS n FROM nodes),
+      |od AS (SELECT src AS node, COUNT(*) AS od FROM edges GROUP BY src),
+      |r0 AS (
+      |  SELECT node, $scale // (SELECT n FROM nn) AS r FROM nodes),
+      |$iters
+      |SELECT node, CAST(r AS BIGINT) AS rank FROM r5 ORDER BY node""".stripMargin
+  }
 }
