@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Paired timing for the r14-continuation families (q159/q160/q161) at
+  * sf0.1: Spark side with one untimed warmup + min-of-3 against a noop
+  * sink, construction outside the timed region (the bench protocol). The
+  * DuckDB half of the pairing runs in the same session window via
+  * tools/oracle_time-style timing of the identical oracle SQL (see
+  * BENCH_COMPARE r14 continuation). Run:
+  * SPARK_GRAFT_SF_DIR=… runMain graft.GraphLineProfile. */
+object GraphLineProfile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time(tag: String)(f: => Unit): Unit = {
+      f // warmup
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      println(f"$tag%-18s min ${ts.min}%.3f  runs ${ts.map(t => f"$t%.3f").mkString(" ")}")
+    }
+    def noop(name: String): Unit =
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.mode("overwrite").format("noop").save()
+
+    time("q159_line_clean") { noop("q159_line_clean") }
+    time("q160_line_dedup") { noop("q160_line_dedup") }
+    time("q161_pagerank") { noop("q161_pagerank") }
+    spark.stop()
+  }
+}

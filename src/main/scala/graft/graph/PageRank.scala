@@ -60,9 +60,13 @@ object PageRank {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val spark = edges.sparkSession
 
+    // One exchange, not two: hash-partitioning on src already co-locates
+    // every (src, dst) pair, so the duplicate-collapse aggregate runs
+    // partition-local on top of the same shuffle (EnsureRequirements
+    // accepts a subset partitioning for the distinct's clustering).
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct()
       .repartition(col("src"))
+      .dropDuplicates("src", "dst")
       .cache()
 
     val nodes = e.select(col("src").as("node"))
@@ -79,11 +83,18 @@ object PageRank {
     val r0 = scale / n
     val base = (15L * r0) / 100L
 
-    var ranks = nodes.select(col("node"), lit(r0).as("r")).cache()
-    for (_ <- 1 to iters) {
-      val dang = ranks.join(outdeg, Seq("node"), "left_anti")
+    // The dangling mass of frame k is ALSO the action that materializes
+    // frame k's cache — one scalar aggregate per iteration does double
+    // duty (materialize + collect one long), so each round costs exactly
+    // one co-partitioned join, one groupBy(dst) exchange, and one job.
+    def dangOf(r: DataFrame): Long =
+      r.join(outdeg, Seq("node"), "left_anti")
         .agg(coalesce(sum(col("r")), lit(0L)).as("d"))
         .head().getLong(0)
+
+    var ranks = nodes.select(col("node"), lit(r0).as("r")).cache()
+    var dang = dangOf(ranks)
+    for (_ <- 1 to iters) {
       val dangShare = dang / n
       val contribs = e
         .join(ranks.join(outdeg, Seq("node")).withColumnRenamed("node", "src"),
@@ -96,10 +107,14 @@ object PageRank {
             expr(s"(85 * (${dangShare}L + coalesce(c, 0L))) div 100"))
             .as("r"))
         .cache()
-      next.count() // materialize before dropping the predecessor
+      dang = dangOf(next) // materializes next's cache in the same job
       ranks.unpersist()
       ranks = next
     }
+    // The working frames' data is consumed (the final rank frame is
+    // materialized in cache); drop them so repeated runs never accumulate
+    // cached RDDs. A later eviction of the result merely recomputes.
+    e.unpersist(); nodes.unpersist(); outdeg.unpersist()
     ranks.select(col("node"), col("r").as("rank"))
   }
 
