@@ -2996,4 +2996,55 @@ object PipelineQueries {
       |$iters
       |SELECT node, CAST(r AS BIGINT) AS rank FROM r5 ORDER BY node""".stripMargin
   }
+
+  // --------------------------------------------------------------- q162
+  /** Streaming corpus-global line dedup end-to-end
+    * ([[graft.streaming.CdcStreamIngest.toLineDedupTable]]): the lined
+    * corpus arrives as THREE mtime-ordered micro-batches split by
+    * `doc_id % 3` — an interleaved split, so repeated lines STRADDLE
+    * batches and the head's retroactive machinery (re-clean upserts,
+    * soft-delete tombstones when every line goes hot) must fire to land
+    * on the one-shot answer. The live table state must equal
+    * [[q160LineDedup]] exactly — q160's SQL oracles it verbatim — which
+    * pins registry accumulation, the (lineage, batch-id) replay guard,
+    * checkpointing, the tombstone path, and both lake tables at once.
+    * Unlike q151/q153 this holds WITHOUT monotone arrival ids: the drop
+    * rule is corpus-symmetric, so any order lands on the same state. */
+  def q162StreamLineDedup(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val d = linedDocs(s, dir)
+      .withColumn("create_at", lit("2000-01-01T00:00:00.000000+0000"))
+      .withColumn("update_at", lit("2000-01-01T00:00:00.000000+0000"))
+    val srcDir = Files.createTempDirectory("graft_q162_src").toString
+    (0 until 3).foreach { b =>
+      val stage = Files.createTempDirectory(s"graft_q162_b$b").toString
+      d.filter(pmod(col("doc_id"), lit(3)) === b)
+        .repartition(1).write.mode("overwrite").parquet(stage)
+      val part = Files.list(Paths.get(stage)).iterator().asScala
+        .find(_.getFileName.toString.startsWith("part-")).get
+      val dst = Paths.get(srcDir, s"b$b.parquet")
+      Files.move(part, dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + b * 60000L))
+    }
+    val cleaned = new KeyedLakeTable(s, LakeTableSpec(
+      Files.createTempDirectory("graft_q162_clean").toString,
+      recordKeys = Seq("doc_id"), precombine = "update_at",
+      partitionSource = "create_at", softDeleteCol = Some("_gone")))
+    val registry = new graft.sink.VersionedLakeTable(s, LakeTableSpec(
+      Files.createTempDirectory("graft_q162_reg").toString,
+      recordKeys = Seq("doc_id", "pos"), precombine = "update_at",
+      partitionSource = "create_at", tieBreak = Seq("batch_id")))
+    graft.streaming.CdcStreamIngest.toLineDedupTable(
+      s.readStream.schema(d.schema).option("maxFilesPerTrigger", 1)
+        .parquet(srcDir),
+      "doc_id", "text", maxDocs = 2, cleaned, registry,
+      Files.createTempDirectory("graft_q162_ckpt").toString)
+    cleaned.readLive().select(col("doc_id"), col("text"))
+      .orderBy("doc_id")
+  }
+
+  /** q160's one-shot SQL verbatim — the streamed pipeline must reproduce
+    * the batch operator's exact corpus state. */
+  def q162StreamLineDedupSql: String = q160LineDedupSql
 }

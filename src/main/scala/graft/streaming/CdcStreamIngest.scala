@@ -444,6 +444,135 @@ object CdcStreamIngest {
     query.awaitTermination()
   }
 
+  /** Streaming corpus-global line dedup —
+    * [[graft.text.LineClean.dropRepeatedLines]] (RefinedWeb boilerplate
+    * removal: a line occurring in >= `maxDocs` DISTINCT documents is
+    * removed from EVERY document) as a continuously-ingesting pipeline
+    * with RETROACTIVE correction. Line dedup is the one member of the
+    * streaming curation family whose drop rule has no first-occurrence
+    * privilege: a line's hotness is a property of the WHOLE corpus, so a
+    * document emitted clean in batch 1 becomes dirty when batch 40
+    * delivers the occurrence that crosses the threshold. The head
+    * resolves it through the lake's own merge semantics instead of
+    * reprocessing: affected prior documents are RE-CLEANED and upserted
+    * (latest-wins by key), and a document whose every line went hot is
+    * soft-deleted ([[graft.sink.LakeTableSpec.softDeleteCol]] tombstone)
+    * — counts only grow, so tombstones never resurrect.
+    *
+    * Because the rule is corpus-symmetric, the final table state is
+    * invariant under BOTH micro-batch boundaries AND arrival order (the
+    * other heads need monotone ids; this one does not): `readLive()`
+    * equals the one-shot `dropRepeatedLines` over the full corpus —
+    * StreamingLineDedupSpec pins 1/3/row-at-a-time splits and a reversed
+    * arrival order; q162 pins the whole pipeline against q160's SQL
+    * oracle verbatim.
+    *
+    * Per micro-batch (counts are MONOTONE — the levers follow):
+    *  1. explode the batch into (id, pos, line, md5) rows;
+    *  2. hotness can change only for lines PRESENT in the batch, so the
+    *     distinct-doc count aggregates only `all ⋉ batch-lines` — never
+    *     the whole registry's distinct line set;
+    *  3. affected = batch docs ∪ prior docs sharing a now-hot batch
+    *     line; only THEIR lines are re-swept (against the full hot set
+    *     restricted to their lines — a re-clean must drop already-hot
+    *     lines too) and reassembled;
+    *  4. survivors upsert with the tombstone flag false, all-hot docs
+    *     upsert as tombstones; the batch's line rows append to the
+    *     registry keyed (id, pos).
+    *
+    * RESTART SAFETY: same (lineage, batch-id) protocol as the other
+    * registries ([[priorRows]]) — a replay sees exactly the pre-batch
+    * line rows, recomputes the identical upserts (idempotent by key),
+    * and its re-appended line rows collapse by (id, pos) on MoR read; a
+    * continuation stream under a fresh checkpoint sees every prior
+    * lineage's rows.
+    *
+    * SCALE SHAPE: every exchange before reassembly carries (md5, id,
+    * pos) — line text crosses only the per-affected-doc reassembly
+    * groupBy, the same width discipline as the batch operator. The
+    * registry read is a whole-scan like the other heads'; a 100 TB
+    * registry would bucket-write on the line hash and additionally
+    * maintain an (h, doc-count) summary table so step 2's aggregate
+    * reads counters instead of re-counting pairs — the per-batch join
+    * shape is unchanged.
+    *
+    * `cleaned`'s spec must set `softDeleteCol`; `registry`'s spec must
+    * key on (`idCol`, `pos`). */
+  def toLineDedupTable(stream: DataFrame, idCol: String, textCol: String,
+      maxDocs: Int, cleaned: KeyedLakeTable,
+      registry: graft.sink.VersionedLakeTable,
+      checkpointDir: String, delim: String = "\n"): Unit = {
+    val goneCol = cleaned.spec.softDeleteCol.getOrElse(throw
+      new IllegalArgumentException("toLineDedupTable: cleaned table needs " +
+        "spec.softDeleteCol — retroactive all-hot docs tombstone"))
+    var lineage: String = null
+    val query = stream.writeStream
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        if (!batch0.isEmpty) {
+          if (lineage == null)
+            lineage = lineageToken(batch0.sparkSession, checkpointDir)
+          val batch = batch0.localCheckpoint(true)
+          val lineCols = Seq(idCol, "pos", "line", "h",
+            "create_at", "update_at").map(col)
+          val batchLines = batch
+            .select(col(idCol), col("create_at"), col("update_at"),
+              posexplode(graft.text.LineClean.lines(col(textCol), delim))
+                .as(Seq("pos", "line")))
+            .withColumn("h", md5(col("line")))
+            .select(lineCols: _*)
+            // feeds the count, the affected set, the reassembly, and the
+            // registry append — pin once
+            .localCheckpoint(true)
+          val prior = registry.latestVersion
+            .map(_ => priorRows(registry.read(), lineage, batchId)
+              .select(lineCols: _*))
+            .getOrElse(batchLines.limit(0))
+          val all = prior.unionByName(batchLines)
+          // hotness can only CHANGE for lines present in this batch
+          val hotBatch = all
+            .join(batchLines.select(col("h")).distinct(), Seq("h"),
+              "left_semi")
+            .groupBy(col("h")).agg(countDistinct(col(idCol)).as("__d"))
+            .where(col("__d") >= maxDocs).select(col("h"))
+          val affected = prior.join(hotBatch, Seq("h"), "left_semi")
+            .select(col(idCol))
+            .union(batch.select(col(idCol)))
+            .distinct()
+          val affLines = all.join(affected, Seq(idCol), "left_semi")
+            .localCheckpoint(true)
+          // the FULL hot set restricted to the affected docs' lines: a
+          // re-cleaned doc drops its already-hot lines too
+          val hotAff = all
+            .join(affLines.select(col("h")).distinct(), Seq("h"),
+              "left_semi")
+            .groupBy(col("h")).agg(countDistinct(col(idCol)).as("__d"))
+            .where(col("__d") >= maxDocs).select(col("h"))
+          val rebuiltText = affLines.join(hotAff, Seq("h"), "left_anti")
+            .groupBy(col(idCol))
+            .agg(array_join(
+              transform(
+                array_sort(collect_list(struct(col("pos"), col("line")))),
+                p => p.getField("line")),
+              delim).as(textCol))
+          val docMeta = affLines.groupBy(col(idCol))
+            .agg(max(col("create_at")).as("create_at"),
+              max(col("update_at")).as("update_at"))
+          cleaned.upsert(docMeta
+            .join(rebuiltText, Seq(idCol), "left")
+            .withColumn(goneCol, col(textCol).isNull)
+            .withColumn(textCol, coalesce(col(textCol), lit(""))))
+          registry.upsertDeferred(batchLines
+            .withColumn("lineage", lit(lineage))
+            .withColumn("batch_id", lit(batchId)))
+          ()
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+  }
+
   /** The COMPOSED streaming curation pipeline: span (C4) dedup feeding
     * MinHash-LSH near-dup dedup in ONE foreachBatch — the two-stage
     * text-curation shape a production ingest actually runs (clean
