@@ -37,6 +37,25 @@ object GraphLineProfile {
     time("q159_line_clean") { noop("q159_line_clean") }
     time("q160_line_dedup") { noop("q160_line_dedup") }
     time("q161_pagerank") { noop("q161_pagerank") }
+    time("q163_bpe_encode") { noop("q163_bpe_encode") }
+
+    // the tokenizer-form A/B: interpreted HOF fold vs codegen'd replace
+    // chain, same bits (BpeSpec), 8 merges over the corpus
+    import graft.text.Bpe
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+      .localCheckpoint(true)
+    val merges = Seq(
+      Bpe.Merge(1, "e", "r", "er", 0L), Bpe.Merge(2, "i", "n", "in", 0L),
+      Bpe.Merge(3, "s", "t", "st", 0L), Bpe.Merge(4, "t", "a", "ta", 0L),
+      Bpe.Merge(5, "ta", "b", "tab", 0L), Bpe.Merge(6, "tab", "l", "tabl", 0L),
+      Bpe.Merge(7, "tabl", "e", "table", 0L), Bpe.Merge(8, "o", "w", "ow", 0L))
+    def noopDf(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
+    time("tokenize_fold") { noopDf(Bpe.tokenize(docs, "text", merges)) }
+    time("tokenize_fast") { noopDf(Bpe.tokenizeFast(docs, "text", merges)) }
     spark.stop()
   }
 }

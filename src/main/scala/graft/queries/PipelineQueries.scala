@@ -3047,4 +3047,61 @@ object PipelineQueries {
   /** q160's one-shot SQL verbatim — the streamed pipeline must reproduce
     * the batch operator's exact corpus state. */
   def q162StreamLineDedupSql: String = q160LineDedupSql
+
+  // --------------------------------------------------------------- q163
+  /** The FIXED pretrained merge table q163 applies — the production
+    * tokenization shape: a corpus is encoded with an EXISTING tokenizer
+    * (frozen vocabulary), not one retrained per run, so the table is a
+    * constant of the query and the oracle. Chosen from the corpus's own
+    * top pair statistics with a 4-deep cascade (t,a → ta,b → tab,l →
+    * tabl,e) so multi-char pair symbols and a whole-word token are
+    * exercised, at every scale factor. */
+  private val q163Merges: Seq[Bpe.Merge] = Seq(
+    Bpe.Merge(1, "e", "r", "er", 0L),
+    Bpe.Merge(2, "i", "n", "in", 0L),
+    Bpe.Merge(3, "s", "t", "st", 0L),
+    Bpe.Merge(4, "t", "a", "ta", 0L),
+    Bpe.Merge(5, "ta", "b", "tab", 0L),
+    Bpe.Merge(6, "tab", "l", "tabl", 0L),
+    Bpe.Merge(7, "tabl", "e", "table", 0L),
+    Bpe.Merge(8, "o", "w", "ow", 0L))
+
+  /** Corpus BPE ENCODING with a pretrained merge table
+    * ([[graft.text.Bpe.tokenizeFast]]) — the inference-side tokenizer
+    * pass a training pipeline runs over every document. Zero shuffles:
+    * the whole encoder is a codegen'd chain of literal string replaces
+    * over a double-separator word representation (provably equal to the
+    * leftmost-greedy fold — BpeSpec pins both forms equal); the DuckDB
+    * oracle executes the IDENTICAL replace chain, so the segmentation is
+    * pinned bit-for-bit, not just counted. */
+  def q163BpeEncode(s: SparkSession, dir: String): DataFrame =
+    Bpe.tokenizeFast(docs(s, dir), "text", q163Merges)
+      .select(col("doc_id"),
+        size(col("tokens")).cast("long").as("n_tokens"),
+        size(array_distinct(col("tokens"))).cast("long")
+          .as("n_distinct_tokens"))
+      .orderBy("doc_id")
+
+  val q163BpeEncodeSql: String = {
+    val sep = "\u001f"
+    val sep2 = sep + sep
+    val chain = q163Merges.foldLeft("s0") { (acc, m) =>
+      s"replace($acc, '$sep${m.left}$sep2${m.right}$sep', " +
+        s"'$sep${m.merged}$sep')"
+    }
+    s"""WITH t AS (SELECT doc_id, unnest($wordsSql) AS wd FROM documents),
+      |w AS (SELECT doc_id, wd FROM t WHERE wd <> ''),
+      |seeded AS (
+      |  SELECT doc_id,
+      |    '$sep2' || regexp_replace(wd, '(.)', '\\1$sep2', 'g') AS s0
+      |  FROM w),
+      |enc AS (SELECT doc_id, $chain AS s FROM seeded),
+      |toks AS (SELECT doc_id, string_split(s, '$sep2') AS ls FROM enc),
+      |tok AS (
+      |  SELECT doc_id, unnest(ls[2 : len(ls) - 1]) AS tk FROM toks)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |  CAST(COUNT(DISTINCT tk) AS BIGINT) AS n_distinct_tokens
+      |FROM tok GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+  }
 }

@@ -122,4 +122,36 @@ object Bpe {
         applyMerge(c, m.left, m.right)))
     df.withColumn(outCol, flatten(perWord))
   }
+
+  /** [[tokenize]] re-expressed as chained LITERAL string replaces — the
+    * corpus-tokenization hot path. Each word becomes a double-separator
+    * representation (`␟␟a␟␟b␟␟…`, U+001F — outside any alphanumeric
+    * vocabulary) and each merge is ONE non-overlapping left-to-right
+    * `replace` of `␟l␟␟r␟` with `␟lr␟`: the double boundary means a
+    * replacement consumes only the INNER separator pair, so the shared
+    * boundary with an adjacent candidate survives and `l r l r`
+    * collapses to `lr lr` exactly as the leftmost-greedy fold does
+    * (BpeSpec pins `tokenizeFast == tokenize` on the corpus plus the
+    * adversarial overlap fixtures, and q163's DuckDB oracle runs the
+    * SAME replace chain). Unlike the [[applyMerge]] fold — nested
+    * interpreted higher-order aggregates, one lambda frame per symbol —
+    * the replace chain is a plain codegen'd string pipeline: at corpus
+    * scale this is the difference between an interpreted and a compiled
+    * tokenizer, same bits. */
+  def tokenizeFast(df: DataFrame, textCol: String, merges: Seq[Merge],
+      outCol: String = "tokens"): DataFrame = {
+    val sep = "\u001f"
+    val sep2 = sep + sep
+    val ordered = merges.sortBy(_.rank)
+    val ws = filter(TextOps.tokens(col(textCol)), w => w =!= "")
+    val perWord = transform(ws, w => {
+      val seeded = concat(lit(sep2), regexp_replace(w, "(.)", "$1" + sep2))
+      val folded = ordered.foldLeft(seeded)((c, m) =>
+        replace(c, lit(sep + m.left + sep2 + m.right + sep),
+          lit(sep + m.merged + sep)))
+      val arr = split(folded, java.util.regex.Pattern.quote(sep2))
+      slice(arr, lit(2), size(arr) - 2)
+    })
+    df.withColumn(outCol, flatten(perWord))
+  }
 }

@@ -56,4 +56,41 @@ class BpeSpec extends AnyFunSuite with SparkSpec {
     assert(t.map(_.getString(3)).toSeq == Seq("lo", "low"))
     assert(t.map(_.getInt(0)).toSeq == Seq(1, 2))
   }
+
+  test("tokenizeFast == tokenize on adversarial overlap fixtures") {
+    // the exact cases where the double-separator replace chain could
+    // diverge from the fold: back-to-back candidate pairs sharing a
+    // boundary, odd runs, multi-char (post-merge) pair symbols, and a
+    // cascade up to a whole-word token
+    val merges = Seq(
+      Bpe.Merge(1, "a", "b", "ab", 0L),
+      Bpe.Merge(2, "ab", "ab", "abab", 0L),
+      Bpe.Merge(3, "c", "c", "cc", 0L),
+      Bpe.Merge(4, "abab", "x", "ababx", 0L))
+    val df = Seq(
+      (1L, "abababab ababab abab ab a b"),
+      (2L, "ccc cccc ccccc c cc"),
+      (3L, "abababx ababxy xabab"),
+      (4L, "zzz abcabc aabb")).toDF("doc_id", "text")
+    val slow = Bpe.tokenize(df, "text", merges).select("doc_id", "tokens")
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val fast = Bpe.tokenizeFast(df, "text", merges).select("doc_id", "tokens")
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(fast === slow)
+    // spot-check the hand-computed expectations, not just agreement
+    assert(slow(1L) == Seq("abab", "abab", "abab", "ab", "abab", "ab", "a", "b"))
+    assert(slow(2L) == Seq("cc", "c", "cc", "cc", "cc", "cc", "c", "c", "cc"))
+  }
+
+  test("tokenizeFast == tokenize on the real corpus with trained merges") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val m = Bpe.train(docs, "text", nMerges = 8)
+    val slow = Bpe.tokenize(docs, "text", m)
+      .select("doc_id", "tokens").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val fast = Bpe.tokenizeFast(docs, "text", m)
+      .select("doc_id", "tokens").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(fast === slow)
+  }
 }
