@@ -56,6 +56,21 @@ object GraphLineProfile {
       df.write.mode("overwrite").format("noop").save()
     time("tokenize_fold") { noopDf(Bpe.tokenize(docs, "text", merges)) }
     time("tokenize_fast") { noopDf(Bpe.tokenizeFast(docs, "text", merges)) }
+
+    // PageRank ×10 decade: ten DISJOINT suffix-tagged copies of the
+    // corpus graph (~650k → 6.5M edges, 16k → 160k nodes) — per-copy
+    // ranks must equal the ×1 run, so the decade is self-verifying; the
+    // DuckDB twin replicates identically (see tools notes in
+    // BENCH_COMPARE r14 continuation)
+    import org.apache.spark.sql.functions.{col, concat, lit, explode, sequence}
+    val e1 = graft.graph.PageRank.corpusEdges(spark, sfDir)
+    val e10 = e1.select(col("src"), col("dst"),
+        explode(sequence(lit(0), lit(9))).as("r"))
+      .select(concat(col("src"), lit("_"), col("r")).as("src"),
+        concat(col("dst"), lit("_"), col("r")).as("dst"))
+    time("pagerank_x10") {
+      noopDf(graft.graph.PageRank.run(e10, iters = 5))
+    }
     spark.stop()
   }
 }
