@@ -2054,4 +2054,90 @@ object CdcQueries {
       |  FROM cdc WHERE event_id % 3 <= 1)
       |WHERE rn = 1
       |ORDER BY id""".stripMargin
+
+  // --------------------------------------------------------------- q164
+  /** Ordered funnel analysis over the event stream: how many users did
+    * view → click → purchase IN THAT ORDER (each stage's event strictly
+    * after the previous stage's FIRST qualifying event — the product-
+    * analytics funnel, not a mere per-type existence check). The classic
+    * window spelling sorts every user's history; this one is three
+    * conditional MIN aggregates chained through co-partitioned joins —
+    * every exchange hashes user_id (high cardinality, skew-free here),
+    * no windows, no per-user history buffering, so a hot user costs the
+    * same as a cold one at any corpus size. */
+  def q164Funnel(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts_us"))
+    val a = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts_us").as("t0"))
+    val b = e.filter(col("event_type") === "click")
+      .join(a, Seq("user_id"))
+      .filter(col("ts_us") > col("t0"))
+      .groupBy("user_id").agg(min("ts_us").as("t1"))
+    val c = e.filter(col("event_type") === "purchase")
+      .join(b, Seq("user_id"))
+      .filter(col("ts_us") > col("t1"))
+      .groupBy("user_id").agg(min("ts_us").as("t2"))
+    a.agg(count(lit(1)).as("n_users"))
+      .select(lit("1_view").as("stage"), col("n_users"))
+      .unionAll(b.agg(count(lit(1)).as("n_users"))
+        .select(lit("2_click").as("stage"), col("n_users")))
+      .unionAll(c.agg(count(lit(1)).as("n_users"))
+        .select(lit("3_purchase").as("stage"), col("n_users")))
+      .orderBy("stage")
+  }
+
+  val q164FunnelSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+      |a AS (
+      |  SELECT user_id, MIN(ts_us) AS t0 FROM e
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |b AS (
+      |  SELECT e.user_id, MIN(ts_us) AS t1 FROM e JOIN a USING (user_id)
+      |  WHERE event_type = 'click' AND ts_us > a.t0 GROUP BY e.user_id),
+      |c AS (
+      |  SELECT e.user_id, MIN(ts_us) AS t2 FROM e JOIN b USING (user_id)
+      |  WHERE event_type = 'purchase' AND ts_us > b.t1 GROUP BY e.user_id)
+      |SELECT '1_view' AS stage, COUNT(*) AS n_users FROM a
+      |UNION ALL SELECT '2_click', COUNT(*) FROM b
+      |UNION ALL SELECT '3_purchase', COUNT(*) FROM c
+      |ORDER BY stage""".stripMargin
+
+  // --------------------------------------------------------------- q165
+  /** Weekly cohort retention over the event stream: users bucketed by
+    * the calendar week of their FIRST event, then counted per
+    * (cohort_week, week_offset) where they were active again — the
+    * standard retention triangle. Integer epoch-week arithmetic
+    * (`ts_us div week_us`, exact on both engines) instead of date
+    * truncation keeps the bucket rule engine-portable. Shape: one
+    * per-user MIN aggregate, one co-partitioned join back to the
+    * events, one (cohort, offset) count-distinct — all exchanges
+    * metadata-narrow, no windows. */
+  def q165CohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val weekUs = 7L * 86400L * 1000000L
+    val e = events(s, dir).select(col("user_id"), col("ts_us"))
+    val first = e.groupBy("user_id").agg(min("ts_us").as("t0"))
+    e.join(first, Seq("user_id"))
+      .select(col("user_id"),
+        expr(s"t0 div ${weekUs}L").as("cohort_week"),
+        (expr(s"ts_us div ${weekUs}L") - expr(s"t0 div ${weekUs}L"))
+          .as("week_offset"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  val q165CohortRetentionSql: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+      |f AS (SELECT user_id, MIN(ts_us) AS t0 FROM e GROUP BY user_id),
+      |j AS (
+      |  SELECT e.user_id,
+      |    f.t0 // 604800000000 AS cohort_week,
+      |    (e.ts_us // 604800000000) - (f.t0 // 604800000000) AS week_offset
+      |  FROM e JOIN f USING (user_id))
+      |SELECT cohort_week, week_offset,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM j GROUP BY cohort_week, week_offset
+      |ORDER BY cohort_week, week_offset""".stripMargin
 }
