@@ -3104,4 +3104,58 @@ object PipelineQueries {
       |FROM tok GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
   }
+
+  // --------------------------------------------------------------- q166
+  /** Per-node triangle counts ([[graft.graph.Triangles]], degree-ordered
+    * wedge join) over the supplier CO-PART graph: suppliers are adjacent
+    * when some part ships from both — a co-occurrence projection, the
+    * non-bipartite graph shape the customer↔supplier edge set cannot
+    * give (bipartite graphs have no triangles). The projection's group
+    * fan-out is bounded by suppliers-per-part here; at corpus scale a
+    * co-occurrence projection needs its own per-group cap — the triangle
+    * operator itself is hub-safe by the degree orientation. */
+  def q166Triangles(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val ps = li.select(col("l_partkey").as("p"), col("l_suppkey").as("sk"))
+      .distinct()
+    val e = ps.as("x").join(ps.as("y"),
+        col("x.p") === col("y.p") && col("x.sk") < col("y.sk"))
+      .select(col("x.sk").as("src"), col("y.sk").as("dst"))
+    graft.graph.Triangles.perNode(e).orderBy("node")
+  }
+
+  val q166TrianglesSql: String = {
+    val aLow = "(da.d < db.d OR (da.d = db.d AND und.a < und.b))"
+    s"""WITH ps AS (
+      |  SELECT DISTINCT l_partkey AS p, l_suppkey AS sk FROM lineitem),
+      |und AS (
+      |  SELECT DISTINCT x.sk AS a, y.sk AS b
+      |  FROM ps x JOIN ps y ON x.p = y.p AND x.sk < y.sk),
+      |deg AS (
+      |  SELECT node, COUNT(*) AS d FROM (
+      |    SELECT a AS node FROM und UNION ALL SELECT b FROM und) t
+      |  GROUP BY node),
+      |ori AS (
+      |  SELECT
+      |    CASE WHEN $aLow THEN und.a ELSE und.b END AS u,
+      |    CASE WHEN $aLow THEN und.b ELSE und.a END AS v,
+      |    CASE WHEN $aLow THEN db.d ELSE da.d END AS dv
+      |  FROM und
+      |  JOIN deg da ON und.a = da.node
+      |  JOIN deg db ON und.b = db.node),
+      |w AS (
+      |  SELECT e1.u AS u, e1.v AS v, e2.v AS w
+      |  FROM ori e1 JOIN ori e2 ON e1.u = e2.u
+      |  WHERE e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v)),
+      |tri AS (
+      |  SELECT w.u, w.v, w.w
+      |  FROM w JOIN ori o ON o.u = w.v AND o.v = w.w),
+      |nodes AS (
+      |  SELECT u AS node FROM tri
+      |  UNION ALL SELECT v FROM tri
+      |  UNION ALL SELECT w FROM tri)
+      |SELECT node, COUNT(*) AS n_triangles
+      |FROM nodes GROUP BY node
+      |ORDER BY node""".stripMargin
+  }
 }

@@ -1,0 +1,70 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.graph.Triangles
+
+/** Contract of degree-ordered triangle counting: hand-computable graphs
+  * give exact per-node counts, bipartite/tree graphs give zero, the
+  * canonicalization collapses duplicates/reversals/self-loops, and the
+  * result is partitioning-invariant. */
+class TrianglesSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def counts(edges: Seq[(String, String)], parts: Int = 1)
+      : Map[String, Long] = {
+    val df0 = edges.toDF("src", "dst")
+    val df: DataFrame = if (parts > 1) df0.repartition(parts) else df0
+    Triangles.perNode(df)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  private val k4 = Seq( // complete graph on 4 nodes: 4 triangles
+    ("a", "b"), ("a", "c"), ("a", "d"),
+    ("b", "c"), ("b", "d"), ("c", "d"))
+
+  test("K4: every node sits in exactly 3 of the 4 triangles") {
+    assert(counts(k4) === Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
+  }
+
+  test("sum of per-node counts is 3x the total") {
+    val total = Triangles.total(k4.toDF("src", "dst"))
+      .head().getLong(0)
+    assert(total === 4L)
+    assert(counts(k4).values.sum === 3L * total)
+  }
+
+  test("triangle-free graphs give an empty result") {
+    val star = (1 to 5).map(i => ("hub", s"leaf$i"))
+    val bipartite = for (c <- Seq("c1", "c2"); s <- Seq("s1", "s2", "s3"))
+      yield (c, s)
+    assert(counts(star).isEmpty)
+    assert(counts(bipartite).isEmpty)
+  }
+
+  test("duplicates, reversed duplicates, and self-loops are canonicalized") {
+    val noisy = k4 ++ k4.map(_.swap) ++ k4 ++
+      Seq(("a", "a"), ("b", "b"))
+    assert(counts(noisy) === counts(k4))
+  }
+
+  test("a hub closing one triangle: only the triangle's nodes count") {
+    // hub connects to 5 leaves; leaves l1-l2 also connect to each other
+    val g = (1 to 5).map(i => ("hub", s"l$i")) ++ Seq(("l1", "l2"))
+    assert(counts(g) === Map("hub" -> 1L, "l1" -> 1L, "l2" -> 1L))
+  }
+
+  test("two triangles sharing an edge") {
+    val g = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("b", "d"), ("c", "d"))
+    assert(counts(g) ===
+      Map("a" -> 1L, "b" -> 2L, "c" -> 2L, "d" -> 1L))
+  }
+
+  test("partitioning-invariant") {
+    assert(counts(k4, parts = 7) === counts(k4))
+  }
+}
