@@ -71,6 +71,45 @@ object GraphLineProfile {
     time("pagerank_x10") {
       noopDf(graft.graph.PageRank.run(e10, iters = 5))
     }
+
+    // line-dedup ×10 decade: ten replica-tagged copies of the LINED
+    // corpus (each line gets a per-replica suffix, so replicas are
+    // disjoint and each replica's hot set equals the ×1 run —
+    // self-verifying, same trick as pagerank_x10)
+    import org.apache.spark.sql.functions.{array_join, split, transform,
+      concat_ws}
+    val ws = graft.text.TextOps.tokens(col("text"))
+    val lined1 = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"),
+        array_join(
+          transform(
+            org.apache.spark.sql.functions.sequence(lit(0),
+              org.apache.spark.sql.functions.floor(
+                (org.apache.spark.sql.functions.size(ws) + lit(7)) / lit(8))
+                .cast("int") - 1),
+            i => array_join(org.apache.spark.sql.functions.slice(
+              ws, i * lit(8) + lit(1), lit(8)), " ")),
+          "\n").as("text"))
+    def linedRep(n: Int): org.apache.spark.sql.DataFrame = lined1
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0), lit(n - 1))).as("r"))
+      .select((col("doc_id") + col("r").cast("long") * lit(10000000L))
+          .as("doc_id"),
+        array_join(
+          transform(split(col("text"), "\n"),
+            l => concat_ws(" #", l, col("r").cast("string"))),
+          "\n").as("text"))
+      .localCheckpoint(true)
+    val lined10 = linedRep(10)
+    time("linededup_x10") {
+      noopDf(graft.text.LineClean.dropRepeatedLines(
+        lined10, "doc_id", "text", maxDocs = 2))
+    }
+    val lined100 = linedRep(100)
+    time("linededup_x100") {
+      noopDf(graft.text.LineClean.dropRepeatedLines(
+        lined100, "doc_id", "text", maxDocs = 2))
+    }
     spark.stop()
   }
 }
