@@ -111,9 +111,12 @@ object PageRank {
       ranks.unpersist()
       ranks = next
     }
-    // The working frames' data is consumed (the final rank frame is
-    // materialized in cache); drop them so repeated runs never accumulate
-    // cached RDDs. A later eviction of the result merely recomputes.
+    // Drop the working frames (their data is consumed — the final rank
+    // frame is materialized in cache). The RESULT frame itself stays
+    // cached by design: it is the returned value, and unpersisting it
+    // here would make the caller's first action replay every iteration.
+    // Callers holding many results across one session own that cleanup
+    // (`result.unpersist()`); eviction merely recomputes.
     e.unpersist(); nodes.unpersist(); outdeg.unpersist()
     ranks.select(col("node"), col("r").as("rank"))
   }

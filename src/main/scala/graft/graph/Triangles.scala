@@ -53,8 +53,6 @@ object Triangles {
           .otherwise(col("b")).as("u"),
         when(lt(col("da"), col("a"), col("db"), col("b")), col("b"))
           .otherwise(col("a")).as("v"),
-        when(lt(col("da"), col("a"), col("db"), col("b")), col("da"))
-          .otherwise(col("db")).as("du"),
         when(lt(col("da"), col("a"), col("db"), col("b")), col("db"))
           .otherwise(col("da")).as("dv"))
     // wedges from each u's (√m-bounded) out-neighborhood, neighbor pair

@@ -2857,7 +2857,7 @@ object PipelineQueries {
     * the SQL oracle (same fixture-derivation precedent as q66/q158).
     * Tokens via [[TextOps.tokens]] == the oracle's `string_split` of the
     * normalized text (the pinned FastTokens contract). */
-  private def linedDocs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def linedDocs(s: SparkSession, dir: String): DataFrame = {
     val ws = TextOps.tokens(col("text"))
     docs(s, dir).select(
       col("doc_id"),
@@ -3056,7 +3056,7 @@ object PipelineQueries {
     * top pair statistics with a 4-deep cascade (t,a → ta,b → tab,l →
     * tabl,e) so multi-char pair symbols and a whole-word token are
     * exercised, at every scale factor. */
-  private val q163Merges: Seq[Bpe.Merge] = Seq(
+  private[graft] val q163Merges: Seq[Bpe.Merge] = Seq(
     Bpe.Merge(1, "e", "r", "er", 0L),
     Bpe.Merge(2, "i", "n", "in", 0L),
     Bpe.Merge(3, "s", "t", "st", 0L),
@@ -3076,6 +3076,11 @@ object PipelineQueries {
     * pinned bit-for-bit, not just counted. */
   def q163BpeEncode(s: SparkSession, dir: String): DataFrame =
     Bpe.tokenizeFast(docs(s, dir), "text", q163Merges)
+      // a doc whose text normalizes to nothing has no encoding — drop it
+      // (the oracle's word-level unnest loses such docs before the GROUP
+      // BY, so keeping an (id, 0, 0) row here would be a latent mismatch
+      // on any corpus with an empty-normalizing document)
+      .where(size(col("tokens")) > 0)
       .select(col("doc_id"),
         size(col("tokens")).cast("long").as("n_tokens"),
         size(array_distinct(col("tokens"))).cast("long")

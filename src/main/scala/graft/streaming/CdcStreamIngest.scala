@@ -505,6 +505,11 @@ object CdcStreamIngest {
     val goneCol = cleaned.spec.softDeleteCol.getOrElse(throw
       new IllegalArgumentException("toLineDedupTable: cleaned table needs " +
         "spec.softDeleteCol — retroactive all-hot docs tombstone"))
+    // a mis-keyed registry would not fail — MoR latest-wins would
+    // silently collapse each doc's line rows to one — so reject it loudly
+    require(registry.spec.recordKeys == Seq(idCol, "pos"),
+      s"toLineDedupTable: registry must be keyed ($idCol, pos), got " +
+        registry.spec.recordKeys.mkString("(", ", ", ")"))
     var lineage: String = null
     val query = stream.writeStream
       .foreachBatch { (batch0: DataFrame, batchId: Long) =>
