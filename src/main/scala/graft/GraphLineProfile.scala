@@ -68,6 +68,15 @@ object GraphLineProfile {
     time("pagerank_x10") {
       noopDf(graft.graph.PageRank.run(e10, iters = 5))
     }
+    if (sys.env.get("SPARK_GRAFT_PAGERANK_X100").contains("1")) {
+      val e100 = e1.select(col("src"), col("dst"),
+          explode(sequence(lit(0), lit(99))).as("r"))
+        .select(concat(col("src"), lit("_"), col("r")).as("src"),
+          concat(col("dst"), lit("_"), col("r")).as("dst"))
+      time("pagerank_x100") {
+        noopDf(graft.graph.PageRank.run(e100, iters = 5))
+      }
+    }
 
     // line-dedup ×10/×100 decades: replica-tagged copies of the SAME
     // lined fixture the oracled q159/q160 derive (PipelineQueries
