@@ -56,9 +56,33 @@ object PageRank {
     * `dstCol`; duplicate edges are collapsed). Output: (`node`, `rank`)
     * with `rank` a BIGINT in units of 1/`scale`. */
   def run(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
-          iters: Int = 5, scale: Long = Scale): DataFrame = {
+          iters: Int = 5, scale: Long = Scale): DataFrame =
+    core(edges, srcCol, dstCol, None, iters, scale)
+
+  /** PERSONALIZED PageRank (TrustRank, Gyöngyi et al. VLDB'04): teleport
+    * and dangling mass return only to `seeds` (one column `seedCol`,
+    * restricted to nodes actually in the graph), so rank measures
+    * proximity to a trusted set — the crawl-curation form that scores
+    * pages by how reachable they are from known-good seeds rather than
+    * from everywhere. Same integer fixed-point contract as [[run]]:
+    *
+    *   r0(v)     = scale div |S| if v ∈ S else 0
+    *   r_{k+1}(v)= [v ∈ S]·((15·(scale div |S|)) div 100
+    *                        + (85·((dang_k div |S|) + contrib(v))) div 100)
+    *             + [v ∉ S]·((85·contrib(v)) div 100)
+    *
+    * [[run]] is exactly this recurrence with S = all nodes. */
+  def personalized(edges: DataFrame, seeds: DataFrame,
+                   srcCol: String = "src", dstCol: String = "dst",
+                   seedCol: String = "node",
+                   iters: Int = 5, scale: Long = Scale): DataFrame =
+    core(edges, srcCol, dstCol,
+      Some(seeds.select(col(seedCol).as("node"))), iters, scale)
+
+  private def core(edges: DataFrame, srcCol: String, dstCol: String,
+                   seedsOpt: Option[DataFrame], iters: Int,
+                   scale: Long): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val spark = edges.sparkSession
 
     // One exchange, not two: hash-partitioning on src already co-locates
     // every (src, dst) pair, so the duplicate-collapse aggregate runs
@@ -76,11 +100,26 @@ object PageRank {
     val n = nodes.count()
     require(n > 0, "pagerank over an empty edge set")
 
+    // seed flags ride with the node frame; seeds outside the graph are
+    // ignored (they can receive no flow and would distort |S|)
+    val flagged = seedsOpt match {
+      case None => nodes.select(col("node"), lit(true).as("is_seed"))
+      case Some(sd) => nodes.join(
+          sd.distinct().select(col("node"), lit(true).as("is_seed")),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("is_seed"), lit(false))
+          .as("is_seed"))
+    }
+    val flaggedC = flagged.cache()
+    val s = seedsOpt.fold(n)(_ =>
+      flaggedC.where(col("is_seed")).count())
+    require(s > 0, "personalized pagerank with no seed inside the graph")
+
     val outdeg = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("od"))
       .cache()
 
-    val r0 = scale / n
+    val r0 = scale / s
     val base = (15L * r0) / 100L
 
     // The dangling mass of frame k is ALSO the action that materializes
@@ -92,19 +131,24 @@ object PageRank {
         .agg(coalesce(sum(col("r")), lit(0L)).as("d"))
         .head().getLong(0)
 
-    var ranks = nodes.select(col("node"), lit(r0).as("r")).cache()
+    var ranks = flaggedC
+      .select(col("node"),
+        when(col("is_seed"), lit(r0)).otherwise(lit(0L)).as("r"))
+      .cache()
     var dang = dangOf(ranks)
     for (_ <- 1 to iters) {
-      val dangShare = dang / n
+      val dangShare = dang / s
       val contribs = e
         .join(ranks.join(outdeg, Seq("node")).withColumnRenamed("node", "src"),
           Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum(expr("r div od")).as("c"))
-      val next = nodes.join(contribs, Seq("node"), "left")
+      val next = flaggedC.join(contribs, Seq("node"), "left")
         .select(col("node"),
-          (lit(base) +
-            expr(s"(85 * (${dangShare}L + coalesce(c, 0L))) div 100"))
+          when(col("is_seed"),
+            lit(base) +
+              expr(s"(85 * (${dangShare}L + coalesce(c, 0L))) div 100"))
+            .otherwise(expr("(85 * coalesce(c, 0L)) div 100"))
             .as("r"))
         .cache()
       dang = dangOf(next) // materializes next's cache in the same job
@@ -118,6 +162,7 @@ object PageRank {
     // Callers holding many results across one session own that cleanup
     // (`result.unpersist()`); eviction merely recomputes.
     e.unpersist(); nodes.unpersist(); outdeg.unpersist()
+    flaggedC.unpersist()
     ranks.select(col("node"), col("r").as("rank"))
   }
 

@@ -3163,4 +3163,72 @@ object PipelineQueries {
       |FROM nodes GROUP BY node
       |ORDER BY node""".stripMargin
   }
+
+  // --------------------------------------------------------------- q167
+  /** PERSONALIZED PageRank ([[graft.graph.PageRank.personalized]] —
+    * TrustRank): teleport restricted to the nation-0 customers, so rank
+    * measures proximity to the trusted seed set instead of global
+    * centrality — the known-good-seeds curation signal. Same integer
+    * fixed-point contract and graph as q161; the oracle unrolls the
+    * seed-conditional recurrence with every multi-referenced CTE
+    * MATERIALIZED (the q161 inliner finding). */
+  def q167PprTrust(s: SparkSession, dir: String): DataFrame = {
+    val seeds = Tables.load(s, dir, "customer")
+      .where(col("c_nationkey") === 0)
+      .select(concat(lit("c"), col("c_custkey")).as("node"))
+    PageRank.personalized(PageRank.corpusEdges(s, dir), seeds, iters = 5)
+      .orderBy("node")
+  }
+
+  val q167PprTrustSql: String = {
+    val scale = "1000000000000"
+    val sc = s"(SELECT s FROM sc)"
+    val iters = (1 to 5).map { k =>
+      s"""c$k AS MATERIALIZED (
+        |  SELECT e.dst AS node, SUM(r.r // o.od) AS c
+        |  FROM edges e
+        |  JOIN r${k - 1} r ON e.src = r.node
+        |  JOIN od o ON e.src = o.node
+        |  GROUP BY e.dst),
+        |d$k AS MATERIALIZED (
+        |  SELECT COALESCE(SUM(r.r), 0) AS dang
+        |  FROM r${k - 1} r LEFT JOIN od o ON r.node = o.node
+        |  WHERE o.node IS NULL),
+        |r$k AS MATERIALIZED (
+        |  SELECT f.node,
+        |    CASE WHEN f.is_seed THEN
+        |      (15 * ($scale // $sc)) // 100
+        |      + (85 * (((SELECT dang FROM d$k) // $sc)
+        |               + COALESCE(c.c, 0))) // 100
+        |    ELSE (85 * COALESCE(c.c, 0)) // 100 END AS r
+        |  FROM flags f LEFT JOIN c$k c ON f.node = c.node)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH j AS (
+      |  SELECT o_custkey, l_suppkey
+      |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      |edges AS MATERIALIZED (
+      |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+      |  FROM j
+      |  UNION
+      |  SELECT DISTINCT 's' || l_suppkey, 'c' || o_custkey
+      |  FROM j WHERE l_suppkey % 3 = 0),
+      |nodes AS MATERIALIZED (
+      |  SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+      |seeds AS MATERIALIZED (
+      |  SELECT 'c' || c_custkey AS node FROM customer WHERE c_nationkey = 0
+      |  INTERSECT SELECT node FROM nodes),
+      |sc AS MATERIALIZED (SELECT COUNT(*) AS s FROM seeds),
+      |flags AS MATERIALIZED (
+      |  SELECT n.node, (sd.node IS NOT NULL) AS is_seed
+      |  FROM nodes n LEFT JOIN seeds sd ON n.node = sd.node),
+      |od AS MATERIALIZED (
+      |  SELECT src AS node, COUNT(*) AS od FROM edges GROUP BY src),
+      |r0 AS MATERIALIZED (
+      |  SELECT node,
+      |    CASE WHEN is_seed THEN $scale // $sc ELSE 0 END AS r
+      |  FROM flags),
+      |$iters
+      |SELECT node, CAST(r AS BIGINT) AS rank FROM r5 ORDER BY node""".stripMargin
+  }
 }

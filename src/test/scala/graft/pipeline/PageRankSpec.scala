@@ -85,6 +85,67 @@ class PageRankSpec extends AnyFunSuite {
     assert(r.values.sum > PageRank.Scale * 9 / 10)
   }
 
+  // ------------------------------------------------- personalized form
+
+  /** Reference model for the seed-restricted recurrence. */
+  private def referencePpr(edges: Seq[(String, String)], seeds: Set[String],
+                           iters: Int,
+                           scale: Long = PageRank.Scale): Map[String, Long] = {
+    val e = edges.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    val sd = seeds intersect nodes.toSet
+    val s = sd.size.toLong
+    val od = e.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val in = e.groupBy(_._2)
+    val base = (15L * (scale / s)) / 100L
+    var r = nodes.map(v => v -> (if (sd(v)) scale / s else 0L)).toMap
+    for (_ <- 1 to iters) {
+      val dang = nodes.filterNot(od.contains).map(r).sum
+      val ds = dang / s
+      r = nodes.map { v =>
+        val c = in.getOrElse(v, Nil).map { case (u, _) => r(u) / od(u) }.sum
+        v -> (if (sd(v)) base + (85L * (ds + c)) / 100L
+              else (85L * c) / 100L)
+      }.toMap
+    }
+    r
+  }
+
+  private def runPpr(edges: Seq[(String, String)], seeds: Seq[String],
+                     iters: Int = 5): Map[String, Long] =
+    PageRank.personalized(edges.toDF("src", "dst"),
+        seeds.toDF("node"), iters = iters)
+      .collect().map(row => row.getString(0) -> row.getLong(1)).toMap
+
+  test("personalized: bit-identical to the seed reference model") {
+    assert(runPpr(hand, Seq("a", "d")) ===
+      referencePpr(hand, Set("a", "d"), 5))
+  }
+
+  test("personalized with ALL nodes as seeds equals plain run") {
+    val allNodes = (hand.map(_._1) ++ hand.map(_._2)).distinct
+    assert(runPpr(hand, allNodes) === run(hand))
+  }
+
+  test("seeds outside the graph are ignored (do not distort |S|)") {
+    assert(runPpr(hand, Seq("a", "d", "ghost", "phantom")) ===
+      runPpr(hand, Seq("a", "d")))
+  }
+
+  test("non-seed rank flows only from reachability") {
+    // seed only 'a': 'd' has no in-edges at all -> rank exactly 0
+    val r = runPpr(hand, Seq("a"))
+    assert(r("d") === 0L)
+    assert(r("b") > 0L, "b is reachable from the seed")
+  }
+
+  test("personalized rejects an empty effective seed set loudly") {
+    val e = intercept[IllegalArgumentException] {
+      runPpr(hand, Seq("ghost"))
+    }
+    assert(e.getMessage.contains("seed"))
+  }
+
   test("corpus edge rule: mod-3 suppliers have out-edges, others dangle") {
     val edges = PageRank.corpusEdges(spark, "/root/testdata/sf0.001")
     val srcs = edges.select("src").distinct()
