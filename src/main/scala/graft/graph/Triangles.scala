@@ -75,4 +75,32 @@ object Triangles {
     perNode(edges, srcCol, dstCol)
       .agg((coalesce(sum(col("n_triangles")), lit(0L)) / 3)
         .cast("long").as("n_triangles"))
+
+  /** Local clustering coefficient per node (Watts & Strogatz 1998):
+    * `2·T(v) / (d(v)·(d(v)−1))` — the fraction of a node's neighbor
+    * pairs that are themselves adjacent, the standard community-density
+    * signal derived from [[perNode]]. Exactness: the numerator and
+    * denominator are exact BIGINT products; ONE IEEE double division per
+    * row is deterministic on any engine. Degree-1 nodes have no neighbor
+    * pair — coefficient 0 by convention. Output: (node, degree,
+    * n_triangles, coef) for every node of the canonicalized graph. */
+  def clusteringCoef(edges: DataFrame, srcCol: String = "src",
+                     dstCol: String = "dst"): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    deg.join(perNode(edges, srcCol, dstCol), Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .withColumn("coef",
+        when(col("degree") >= 2,
+          (lit(2L) * col("n_triangles")).cast("double") /
+            (col("degree") * (col("degree") - 1L)).cast("double"))
+          .otherwise(lit(0.0)))
+  }
 }

@@ -3231,4 +3231,41 @@ object PipelineQueries {
       |$iters
       |SELECT node, CAST(r AS BIGINT) AS rank FROM r5 ORDER BY node""".stripMargin
   }
+
+  // --------------------------------------------------------------- q168
+  /** Local clustering coefficient
+    * ([[graft.graph.Triangles.clusteringCoef]], Watts & Strogatz 1998)
+    * over the same supplier co-part graph as q166 — the community-
+    * density signal: what fraction of each supplier's co-part partners
+    * are partners of each other. Exact BIGINT numerator/denominator,
+    * one IEEE double division per row. */
+  def q168ClusteringCoef(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val ps = li.select(col("l_partkey").as("p"), col("l_suppkey").as("sk"))
+      .distinct()
+    val e = ps.as("x").join(ps.as("y"),
+        col("x.p") === col("y.p") && col("x.sk") < col("y.sk"))
+      .select(col("x.sk").as("src"), col("y.sk").as("dst"))
+    graft.graph.Triangles.clusteringCoef(e).orderBy("node")
+  }
+
+  val q168ClusteringCoefSql: String =
+    // q166's construction through `tri`/`deg`, with the per-node counts
+    // left-joined back onto the degree table
+    q166TrianglesSql.replace(
+      """SELECT node, COUNT(*) AS n_triangles
+        |FROM nodes GROUP BY node
+        |ORDER BY node""".stripMargin,
+      """,
+        |tcount AS (
+        |  SELECT node, COUNT(*) AS n_triangles
+        |  FROM nodes GROUP BY node)
+        |SELECT d.node, d.d AS degree,
+        |  COALESCE(t.n_triangles, 0) AS n_triangles,
+        |  CASE WHEN d.d >= 2 THEN
+        |    CAST(2 * COALESCE(t.n_triangles, 0) AS DOUBLE)
+        |      / CAST(d.d * (d.d - 1) AS DOUBLE)
+        |  ELSE CAST(0 AS DOUBLE) END AS coef
+        |FROM deg d LEFT JOIN tcount t ON d.node = t.node
+        |ORDER BY d.node""".stripMargin)
 }

@@ -67,4 +67,29 @@ class TrianglesSpec extends AnyFunSuite {
   test("partitioning-invariant") {
     assert(counts(k4, parts = 7) === counts(k4))
   }
+
+  test("clustering coefficient: K4 is fully clustered, paths are not") {
+    val coefs = Triangles.clusteringCoef(k4.toDF("src", "dst"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    // K4: every node degree 3, 3 triangles, coef 2*3/(3*2) = 1.0
+    assert(coefs.values.forall(_ == ((3L, 3L, 1.0))))
+    // path a-b-c: middle node has the pair but no closure; ends degree 1
+    val path = Seq(("a", "b"), ("b", "c"))
+    val p = Triangles.clusteringCoef(path.toDF("src", "dst"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(p("b") === ((2L, 0L, 0.0)))
+    assert(p("a") === ((1L, 0L, 0.0)) && p("c") === ((1L, 0L, 0.0)))
+    // one closed + one open wedge at b: coef 2*1/(3*2) = 1/3
+    val mixed = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("b", "d"))
+    val m = Triangles.clusteringCoef(mixed.toDF("src", "dst"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(m("b") === ((3L, 1L, 1.0 / 3.0)))
+    assert(m("d") === ((1L, 0L, 0.0)))
+  }
 }
