@@ -2615,13 +2615,62 @@ object PipelineQueries {
       |LIMIT 50""".stripMargin
 
   // --------------------------------------------------------------- q114
-  /** The learned BPE merge table (16 merges, min pair count 2) —
-    * iterative training is not SQL-expressible, so the driver records
-    * rows-only; the counting machinery is pinned hash-green by q113 and
-    * the merge/apply semantics by the hand-computed BpeSpec fixtures. */
+  /** The learned BPE merge table (16 merges, min pair count 2). The
+    * oracle REPLAYS the full training loop: 16 unrolled rounds of
+    * (pair-count → argmax → apply-merge) as chained MATERIALIZED CTEs,
+    * with the merge application expressed as the same double-separator
+    * literal `replace` the q163 encoder uses (leftmost non-overlapping —
+    * provably equal to the greedy fold, BpeSpec). Each round's state CTE
+    * is vocabulary-sized (the Zipf collapse both engines share), so the
+    * unroll is 16 cheap scans, not a corpus replay; MATERIALIZED blocks
+    * the exponential CTE re-inlining the PageRank oracle hit (each s_j
+    * is referenced twice). This retires the sheet's last no-oracle
+    * declaration: the full merge SEQUENCE — order, symbols, counts, and
+    * the min-pair-count early stop — is now hash-pinned, not just
+    * round 1 (q113) and the spec fixtures. */
   def q114BpeMerges(s: SparkSession, dir: String): DataFrame =
     Bpe.trainTable(s, docs(s, dir), "text", nMerges = 16)
       .orderBy("rank")
+
+  val q114BpeMergesSql: String = {
+    val sep = "\u001f"
+    val sep2 = sep + sep
+    val n = 16
+    val rounds = (1 to n).map { j =>
+      s"""p$j AS (
+        |  SELECT syms[i] AS lft, syms[i + 1] AS rgt,
+        |    CAST(SUM(n) AS BIGINT) AS pair_count
+        |  FROM (
+        |    SELECT ls[2 : len(ls) - 1] AS syms, n,
+        |      unnest(range(1, len(ls) - 2)) AS i
+        |    FROM (SELECT string_split(r, '$sep2') AS ls, n FROM s${j - 1}))
+        |  GROUP BY 1, 2 HAVING SUM(n) >= 2),
+        |m$j AS MATERIALIZED (
+        |  SELECT lft, rgt, pair_count FROM p$j
+        |  ORDER BY pair_count DESC, lft, rgt LIMIT 1),
+        |s$j AS MATERIALIZED (
+        |  SELECT replace(r,
+        |    coalesce((SELECT '$sep' || lft || '$sep2' || rgt || '$sep'
+        |      FROM m$j), chr(1)),
+        |    coalesce((SELECT '$sep' || lft || rgt || '$sep' FROM m$j), ''))
+        |    AS r, n
+        |  FROM s${j - 1})""".stripMargin
+    }
+    val finals = (1 to n).map { j =>
+      s"""SELECT CAST($j AS INT) AS rank, lft AS "left", rgt AS "right",
+        |  lft || rgt AS merged, pair_count FROM m$j""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""WITH t AS (SELECT unnest($wordsSql) AS wd FROM documents),
+      |wc AS (
+      |  SELECT wd, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM t WHERE wd <> '' GROUP BY 1),
+      |s0 AS MATERIALIZED (
+      |  SELECT '$sep2' || regexp_replace(wd, '(.)', '\\1$sep2', 'g') AS r, n
+      |  FROM wc),
+      |${rounds.mkString(",\n")}
+      |SELECT * FROM ($finals)
+      |ORDER BY rank""".stripMargin
+  }
 
   // --------------------------------------------------------------- q131
   /** Exact vocabulary heavy hitters WITHOUT a vocabulary-sized shuffle
@@ -2859,14 +2908,18 @@ object PipelineQueries {
     * normalized text (the pinned FastTokens contract). */
   private[graft] def linedDocs(s: SparkSession, dir: String): DataFrame = {
     val ws = TextOps.tokens(col("text"))
+    // Zero-word guard: Spark's sequence(0, -1) yields [0, -1] (not empty),
+    // which would render "\n" where the oracle's range(0) renders "" — the
+    // same empty-doc edge q163 guards (advisor r14, low #1).
     docs(s, dir).select(
       col("doc_id"),
-      array_join(
-        transform(
-          sequence(lit(0),
-            floor((size(ws) + lit(7)) / lit(8)).cast("int") - 1),
-          i => array_join(slice(ws, i * lit(8) + lit(1), lit(8)), " ")),
-        "\n").as("text"))
+      when(size(ws) === 0, lit("")).otherwise(
+        array_join(
+          transform(
+            sequence(lit(0),
+              floor((size(ws) + lit(7)) / lit(8)).cast("int") - 1),
+            i => array_join(slice(ws, i * lit(8) + lit(1), lit(8)), " ")),
+          "\n")).as("text"))
   }
 
   /** The line-fixture SQL shared by the q159/q160 oracles. */

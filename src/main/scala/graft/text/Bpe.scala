@@ -137,7 +137,15 @@ object Bpe {
     * interpreted higher-order aggregates, one lambda frame per symbol —
     * the replace chain is a plain codegen'd string pipeline: at corpus
     * scale this is the difference between an interpreted and a compiled
-    * tokenizer, same bits. */
+    * tokenizer, same bits.
+    *
+    * PRECONDITION (structurally enforced): no word may contain the
+    * U+001F separator, or the seeded representation is ambiguous and the
+    * chain can diverge from [[tokenize]]. Words here always come from
+    * [[TextOps.tokens]] ([[graft.functions.FastTokens.compute]]), which
+    * emits only `[a-z0-9]` bytes — U+001F cannot survive tokenization.
+    * BpeSpec pins the stripping invariant so a tokenizer change that
+    * starts passing control bytes through fails loudly. */
   def tokenizeFast(df: DataFrame, textCol: String, merges: Seq[Merge],
       outCol: String = "tokens"): DataFrame = {
     val sep = "\u001f"

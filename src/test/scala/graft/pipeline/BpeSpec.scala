@@ -82,6 +82,26 @@ class BpeSpec extends AnyFunSuite with SparkSpec {
     assert(slow(2L) == Seq("cc", "c", "cc", "cc", "cc", "cc", "c", "c", "cc"))
   }
 
+  test("tokenizer strips U+001F — tokenizeFast's separator precondition") {
+    // tokenizeFast seeds each word with U+001F separators; a word
+    // containing that byte would make the representation ambiguous. The
+    // precondition is enforced one layer down: FastTokens emits only
+    // [a-z0-9] bytes, so control characters are deleted before seeding.
+    // This pin fails loudly if the tokenizer ever passes them through.
+    val df = Seq((1L, "abcd ef gh")).toDF("doc_id", "text")
+    val toks = df.select(graft.text.TextOps.tokens(
+      org.apache.spark.sql.functions.col("text")).as("t"))
+      .head().getSeq[String](0)
+    assert(toks == Seq("abcd", "ef", "gh"))
+    // and the fast/slow equality holds on the stripped form
+    val merges = Seq(Bpe.Merge(1, "a", "b", "ab", 0L))
+    val slow = Bpe.tokenize(df, "text", merges).select("tokens")
+      .head().getSeq[String](0)
+    val fast = Bpe.tokenizeFast(df, "text", merges).select("tokens")
+      .head().getSeq[String](0)
+    assert(fast === slow)
+  }
+
   test("tokenizeFast == tokenize on the real corpus with trained merges") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val m = Bpe.train(docs, "text", nMerges = 8)
