@@ -3321,4 +3321,52 @@ object PipelineQueries {
         |  ELSE CAST(0 AS DOUBLE) END AS coef
         |FROM deg d LEFT JOIN tcount t ON d.node = t.node
         |ORDER BY d.node""".stripMargin)
+
+  // --------------------------------------------------------------- q169
+  /** STREAMING PageRank maintenance
+    * ([[graft.streaming.CdcStreamIngest.toPagerankTable]]): the corpus
+    * edge derivation arrives as three micro-batches; each batch upserts
+    * into a (src, dst)-keyed edge lake table (duplicates and replays
+    * collapse there) and the ranks table is refreshed with the pinned
+    * fixed-k recurrence over the ACCUMULATED edges. The final ranks
+    * table must be bit-equal to the one-shot batch operator — oracled by
+    * q161's SQL verbatim, split-invariance spec-pinned
+    * (StreamingPagerankSpec). */
+  def q169StreamPagerank(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val e = PageRank.corpusEdges(s, dir)
+      .withColumn("create_at", lit("2000-01-01T00:00:00.000000+0000"))
+      .withColumn("update_at", lit("2000-01-01T00:00:00.000000+0000"))
+    val srcDir = Files.createTempDirectory("graft_q169_src").toString
+    (0 until 3).foreach { b =>
+      val stage = Files.createTempDirectory(s"graft_q169_b$b").toString
+      e.filter(pmod(abs(xxhash64(col("src"), col("dst"))), lit(3)) === b)
+        .repartition(1).write.mode("overwrite").parquet(stage)
+      val part = Files.list(Paths.get(stage)).iterator().asScala
+        .find(_.getFileName.toString.startsWith("part-")).get
+      val dst = Paths.get(srcDir, s"b$b.parquet")
+      Files.move(part, dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + b * 60000L))
+    }
+    val edgeTable = new KeyedLakeTable(s, LakeTableSpec(
+      Files.createTempDirectory("graft_q169_edges").toString,
+      recordKeys = Seq("src", "dst"), precombine = "update_at",
+      partitionSource = "create_at"))
+    val ranksTable = new KeyedLakeTable(s, LakeTableSpec(
+      Files.createTempDirectory("graft_q169_ranks").toString,
+      recordKeys = Seq("node"), precombine = "update_at",
+      partitionSource = "create_at"))
+    graft.streaming.CdcStreamIngest.toPagerankTable(
+      s.readStream.schema(e.schema).option("maxFilesPerTrigger", 1)
+        .parquet(srcDir),
+      edgeTable, ranksTable, iters = 5,
+      Files.createTempDirectory("graft_q169_ckpt").toString)
+    ranksTable.read().select(col("node"), col("rank"))
+      .orderBy("node")
+  }
+
+  /** q161's one-shot SQL verbatim — the streamed maintenance must
+    * reproduce the batch operator's exact ranks. */
+  def q169StreamPagerankSql: String = q161PagerankSql
 }

@@ -578,6 +578,60 @@ object CdcStreamIngest {
     query.awaitTermination()
   }
 
+  /** Streaming graph maintenance (q169): micro-batches of EDGES upsert
+    * into a keyed edge lake table, and ranks are recomputed after each
+    * batch over the ACCUMULATED edge set with the pinned fixed-k
+    * recurrence ([[graft.graph.PageRank.run]]) and upserted into a ranks
+    * table (keyed `node`, latest-wins) — the incremental-PageRank head
+    * completing the streaming family (span/line/near-dup/semantic all
+    * have one; the graph signal now does too).
+    *
+    * Why recompute-from-uniform rather than warm-start: the engine's
+    * PageRank contract is bit-exactness (integer fixed-point, q161's
+    * oracle). A fixed-k warm start from the previous batch's ranks makes
+    * the output depend on batch boundaries — not split-invariant and
+    * equal to no batch-side oracle — so the deterministic production
+    * form recomputes the fixed-k recurrence over the maintained edge
+    * set; the ranks table is then bit-equal to the batch operator at
+    * EVERY batch boundary (StreamingPagerankSpec pins 1/2/3-way splits
+    * against the one-shot run, q169 against q161's SQL verbatim). What
+    * the stream maintains incrementally is the EDGE SET — O(batch)
+    * upsert work per round against O(corpus) re-derivation, the
+    * expensive half at scale: rank recomputation is k joins over the
+    * |E|-row lake table (edges cached partitioned on src inside
+    * [[graft.graph.PageRank.run]]), while re-deriving edges replays the
+    * full source corpus. Duplicate edges in a batch, replays, and
+    * cross-batch duplicates all collapse in the (src, dst)-keyed upsert
+    * before they ever reach the rank recurrence. */
+  def toPagerankTable(stream: DataFrame, edges: KeyedLakeTable,
+      ranks: KeyedLakeTable, iters: Int, checkpointDir: String): Unit = {
+    require(edges.spec.recordKeys == Seq("src", "dst"),
+      "toPagerankTable: edge table must be keyed (src, dst), got " +
+        edges.spec.recordKeys.mkString("(", ", ", ")"))
+    require(ranks.spec.recordKeys == Seq("node"),
+      "toPagerankTable: ranks table must be keyed (node), got " +
+        ranks.spec.recordKeys.mkString("(", ", ", ")"))
+    val query = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          edges.upsert(batch)
+          val ranked = graft.graph.PageRank.run(
+            edges.read().select(col("src"), col("dst")), iters = iters)
+          ranks.upsert(ranked
+            .withColumn("create_at",
+              lit("2000-01-01T00:00:00.000000+0000"))
+            .withColumn("update_at",
+              lit("2000-01-01T00:00:00.000000+0000")))
+          ranked.unpersist()
+          ()
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+  }
+
   /** The COMPOSED streaming curation pipeline: span (C4) dedup feeding
     * MinHash-LSH near-dup dedup in ONE foreachBatch — the two-stage
     * text-curation shape a production ingest actually runs (clean
