@@ -100,9 +100,20 @@ object GraphLineProfile {
       noopDf(graft.text.LineClean.dropRepeatedLines(
         lined10, "doc_id", "text", maxDocs = 2))
     }
+    // the reassembly-free broadcast-probe form (r14 prescription #6):
+    // same bits (LineCleanSpec), hot set broadcast as ONE sorted-array
+    // row, per-doc binary-search filter — the (pos, line) regroup gone
+    time("linededup_ip_x10") {
+      noopDf(graft.text.LineClean.dropRepeatedLinesInPlace(
+        lined10, "doc_id", "text", maxDocs = 2))
+    }
     val lined100 = linedRep(100)
     time("linededup_x100") {
       noopDf(graft.text.LineClean.dropRepeatedLines(
+        lined100, "doc_id", "text", maxDocs = 2))
+    }
+    time("linededup_ip_x100") {
+      noopDf(graft.text.LineClean.dropRepeatedLinesInPlace(
         lined100, "doc_id", "text", maxDocs = 2))
     }
     spark.stop()

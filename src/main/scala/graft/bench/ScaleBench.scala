@@ -877,7 +877,154 @@ object ScaleBench {
       () => noop(graft.sim.Similarity.semanticDedupIncremental(
         hist.unionByName(batch), "vec_id", "embedding", "label", cents,
         empty, tau = 0.3).kept)
+    }),
+
+    // ------- graph/event DECADES (r14 prescription: the crossing claims
+    // — PageRank 0.18× at ×100 — must live in the driver's BENCH
+    // artifact, not a profiling main). All fixtures are replica-tagged
+    // DISJOINT copies (per-copy answers equal the ×1 run — the
+    // self-verifying construction BENCH_COMPARE r14 records), built
+    // untimed through [[materialized]]. The ×100 entries run in the
+    // fresh-session class ([[freshNames]]) with min-of-2, the ×10 with
+    // min-of-3.
+    "m_pagerank_x10" -> ((s, dir) => {
+      val e = pagerankEdges(s, dir, 10)
+      () => { val r = graft.graph.PageRank.run(e, iters = 5)
+        noop(r); r.unpersist(); () }
+    }),
+    "m_pagerank_x100" -> ((s, dir) => {
+      val e = pagerankEdges(s, dir, 100)
+      () => { val r = graft.graph.PageRank.run(e, iters = 5)
+        noop(r); r.unpersist(); () }
+    }),
+    "m_ppr_x10" -> ((s, dir) => {
+      val e = pagerankEdges(s, dir, 10)
+      val sd = pprSeeds(s, dir, 10)
+      () => { val r = graft.graph.PageRank.personalized(e, sd, iters = 5)
+        noop(r); r.unpersist(); () }
+    }),
+    "m_ppr_x100" -> ((s, dir) => {
+      val e = pagerankEdges(s, dir, 100)
+      val sd = pprSeeds(s, dir, 100)
+      () => { val r = graft.graph.PageRank.personalized(e, sd, iters = 5)
+        noop(r); r.unpersist(); () }
+    }),
+    "m_triangles_x10" -> ((s, dir) => {
+      val e = copartEdges(s, dir, 10)
+      () => noop(graft.graph.Triangles.perNode(e))
+    }),
+    "m_triangles_x100" -> ((s, dir) => {
+      val e = copartEdges(s, dir, 100)
+      () => noop(graft.graph.Triangles.perNode(e))
+    }),
+    "m_linededup_x100" -> ((s, dir) => {
+      val d = linedTimes(s, dir, 100)
+      () => noop(graft.text.LineClean.dropRepeatedLines(
+        d, "doc_id", "text", maxDocs = 2))
+    }),
+    // the reassembly-free broadcast-probe twin (same bits —
+    // LineCleanSpec): whichever form the artifact shows faster at ×100
+    // is the recorded recommendation for the broadcast-sized-hot-set
+    // regime
+    "m_linededup_ip_x100" -> ((s, dir) => {
+      val d = linedTimes(s, dir, 100)
+      () => noop(graft.text.LineClean.dropRepeatedLinesInPlace(
+        d, "doc_id", "text", maxDocs = 2))
+    }),
+    "m_funnel_x100" -> ((s, dir) => {
+      val e = eventsTimes(s, dir, 100)
+      () => noop(graft.queries.CdcQueries.funnelOf(e))
+    }),
+    "m_cohort_x100" -> ((s, dir) => {
+      val e = eventsTimes(s, dir, 100)
+      () => noop(graft.queries.CdcQueries.cohortOf(
+        e.select(col("user_id"), col("ts_us"))))
     }))
+
+  /** Entries the bench must run in a FRESH SparkContext (stop + rebuild,
+    * one fixture pass untimed, min-of-2): the tens-of-seconds decade
+    * passes, which both suffer and cause late-session heap/shuffle
+    * pressure in the shared 100+-entry JVM (the same distortion that
+    * moved q100/q115 35–60% before the long-entry isolation protocol). */
+  def freshNames: Set[String] = Set(
+    "m_pagerank_x10", "m_pagerank_x100", "m_ppr_x10", "m_ppr_x100",
+    "m_triangles_x10", "m_triangles_x100",
+    "m_linededup_x100", "m_linededup_ip_x100",
+    "m_funnel_x100", "m_cohort_x100")
+
+  /** Replica-tagged corpus PageRank edges: `times` disjoint copies of
+    * [[graft.graph.PageRank.corpusEdges]], node ids suffixed per copy. */
+  private def pagerankEdges(s: SparkSession, dir: String,
+      times: Int): DataFrame =
+    materialized(s, s"pr_edges_x$times") {
+      graft.graph.PageRank.corpusEdges(s, dir)
+        .select(col("src"), col("dst"),
+          graft.ops.Replicate.rep(times).as("r"))
+        .select(concat(col("src"), lit("_"), col("r")).as("src"),
+          concat(col("dst"), lit("_"), col("r")).as("dst"))
+        .repartition(s.sparkContext.defaultParallelism)
+    }
+
+  /** q167's trust seeds (nation-0 customers), tagged per replica so each
+    * copy's personalized ranks equal the ×1 run. */
+  private def pprSeeds(s: SparkSession, dir: String, times: Int): DataFrame =
+    materialized(s, s"ppr_seeds_x$times") {
+      graft.Tables.load(s, dir, "customer")
+        .where(col("c_nationkey") === 0)
+        .select(concat(lit("c"), col("c_custkey")).as("node"),
+          graft.ops.Replicate.rep(times).as("r"))
+        .select(concat(col("node"), lit("_"), col("r")).as("node"))
+    }
+
+  /** q166's supplier co-part graph (suppliers adjacent when a part ships
+    * from both), tagged per replica. The projection self-join is fixture
+    * cost — the timed thunk is the wedge machinery only. */
+  private def copartEdges(s: SparkSession, dir: String,
+      times: Int): DataFrame =
+    materialized(s, s"copart_x$times") {
+      val ps = graft.Tables.load(s, dir, "lineitem")
+        .select(col("l_partkey").as("p"), col("l_suppkey").as("sk"))
+        .distinct()
+      ps.as("x").join(ps.as("y"),
+          col("x.p") === col("y.p") && col("x.sk") < col("y.sk"))
+        .select(col("x.sk").as("src"), col("y.sk").as("dst"),
+          graft.ops.Replicate.rep(times).as("r"))
+        .select((col("src") * times + col("r")).as("src"),
+          (col("dst") * times + col("r")).as("dst"))
+        .repartition(s.sparkContext.defaultParallelism)
+    }
+
+  /** The q159/q160 lined corpus (PipelineQueries.linedDocs — the decade
+    * measures the hash-green queries' exact input), replica-tagged: each
+    * line suffixed per copy, ids offset, so each copy's hot set equals
+    * the ×1 run. */
+  private def linedTimes(s: SparkSession, dir: String,
+      times: Int): DataFrame =
+    materialized(s, s"lined_x$times") {
+      graft.queries.PipelineQueries.linedDocs(s, dir)
+        .select(col("doc_id"), col("text"),
+          graft.ops.Replicate.rep(times).as("r"))
+        .select((col("doc_id") + col("r") * lit(10000000L)).as("doc_id"),
+          array_join(
+            transform(split(col("text"), "\n"),
+              l => concat_ws(" #", l, col("r").cast("string"))),
+            "\n").as("text"))
+        .repartition(s.sparkContext.defaultParallelism)
+    }
+
+  /** The events stream ×`times` with per-replica user-id offsets
+    * (disjoint user populations — per-copy funnels/cohorts equal the ×1
+    * run). */
+  private def eventsTimes(s: SparkSession, dir: String,
+      times: Int): DataFrame =
+    materialized(s, s"events_x$times") {
+      graft.queries.CdcQueries.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts_us"),
+          graft.ops.Replicate.rep(times).as("r"))
+        .select((col("user_id") + col("r") * lit(100000000L)).as("user_id"),
+          col("event_type"), col("ts_us"))
+        .repartition(s.sparkContext.defaultParallelism)
+    }
 
   /** Time each side strictly interleaved — A,B,A,B,A,B — and return BOTH
     * sides' full sample arrays (the bench records min into "queries" and

@@ -26,24 +26,34 @@ import org.apache.spark.sql.functions._
   */
 object Triangles {
 
-  /** Per-node triangle participation counts: one row (node, n_triangles)
-    * for every node of at least one triangle. The graph is
-    * `edges`(srcCol, dstCol) read as UNDIRECTED; duplicates and
-    * self-loops are dropped. Σ n_triangles = 3 × (total triangles). */
-  def perNode(edges: DataFrame, srcCol: String = "src",
-              dstCol: String = "dst"): DataFrame = {
-    val und = edges
+  // the (degree, id) total order shared by orientation and wedge pairing
+  private def lt(d1: Column, n1: Column, d2: Column, n2: Column): Column =
+    d1 < d2 || (d1 === d2 && n1 < n2)
+
+  /** Canonical simple undirected edge set: (a < b), self-loops and
+    * duplicate/reversed duplicates collapsed. */
+  private[graft] def canonical(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame =
+    edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .where(col("a") =!= col("b"))
       .distinct()
+
+  /** The degree orientation: each canonical edge directed from its LOWER
+    * (degree, id) endpoint `u` to its higher one `v` (`dv` = v's degree,
+    * the wedge-ordering key). This is the hub-safety mechanism — a
+    * celebrity node has the maximal (degree, id), so every one of its
+    * edges points INTO it and its out-neighborhood (the only thing the
+    * wedge join squares) is EMPTY; out-degrees are O(√m) for every node
+    * (Suri–Vassilvitskii lemma). TrianglesSpec pins this structurally on
+    * a celebrity fixture: max out-degree stays √m-bounded while the
+    * hub's raw degree is ~the whole graph. */
+  private[graft] def oriented(und: DataFrame): DataFrame = {
     val deg = und.select(col("a").as("node"))
       .unionAll(und.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("d"))
-    // orient low (degree, id) -> high; (d, node) is a total order
-    def lt(d1: Column, n1: Column, d2: Column, n2: Column): Column =
-      d1 < d2 || (d1 === d2 && n1 < n2)
-    val ori = und
+    und
       .join(deg.withColumnRenamed("node", "a").withColumnRenamed("d", "da"),
         Seq("a"))
       .join(deg.withColumnRenamed("node", "b").withColumnRenamed("d", "db"),
@@ -55,6 +65,16 @@ object Triangles {
           .otherwise(col("a")).as("v"),
         when(lt(col("da"), col("a"), col("db"), col("b")), col("db"))
           .otherwise(col("da")).as("dv"))
+  }
+
+  /** Per-node triangle participation counts: one row (node, n_triangles)
+    * for every node of at least one triangle. The graph is
+    * `edges`(srcCol, dstCol) read as UNDIRECTED; duplicates and
+    * self-loops are dropped. Σ n_triangles = 3 × (total triangles). */
+  def perNode(edges: DataFrame, srcCol: String = "src",
+              dstCol: String = "dst"): DataFrame = {
+    val und = canonical(edges, srcCol, dstCol)
+    val ori = oriented(und)
     // wedges from each u's (√m-bounded) out-neighborhood, neighbor pair
     // ordered by the same (degree, id) orientation so the closing edge
     // can only be v -> w
@@ -86,11 +106,7 @@ object Triangles {
     * n_triangles, coef) for every node of the canonicalized graph. */
   def clusteringCoef(edges: DataFrame, srcCol: String = "src",
                      dstCol: String = "dst"): DataFrame = {
-    val und = edges
-      .select(least(col(srcCol), col(dstCol)).as("a"),
-        greatest(col(srcCol), col(dstCol)).as("b"))
-      .where(col("a") =!= col("b"))
-      .distinct()
+    val und = canonical(edges, srcCol, dstCol)
     val deg = und.select(col("a").as("node"))
       .unionAll(und.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("degree"))

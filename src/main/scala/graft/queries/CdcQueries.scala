@@ -2065,9 +2065,13 @@ object CdcQueries {
     * every exchange hashes user_id (high cardinality, skew-free here),
     * no windows, no per-user history buffering, so a hot user costs the
     * same as a cold one at any corpus size. */
-  def q164Funnel(s: SparkSession, dir: String): DataFrame = {
-    val e = events(s, dir)
-      .select(col("user_id"), col("event_type"), col("ts_us"))
+  def q164Funnel(s: SparkSession, dir: String): DataFrame =
+    funnelOf(events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts_us")))
+
+  /** The funnel chain over an arbitrary (user_id, event_type, ts_us)
+    * frame — shared by q164 and the ScaleBench ×100 decade fixture. */
+  private[graft] def funnelOf(e: DataFrame): DataFrame = {
     val a = e.filter(col("event_type") === "view")
       .groupBy("user_id").agg(min("ts_us").as("t0"))
     val b = e.filter(col("event_type") === "click")
@@ -2114,9 +2118,13 @@ object CdcQueries {
     * per-user MIN aggregate, one co-partitioned join back to the
     * events, one (cohort, offset) count-distinct — all exchanges
     * metadata-narrow, no windows. */
-  def q165CohortRetention(s: SparkSession, dir: String): DataFrame = {
+  def q165CohortRetention(s: SparkSession, dir: String): DataFrame =
+    cohortOf(events(s, dir).select(col("user_id"), col("ts_us")))
+
+  /** The retention triangle over an arbitrary (user_id, ts_us) frame —
+    * shared by q165 and the ScaleBench ×100 decade fixture. */
+  private[graft] def cohortOf(e: DataFrame): DataFrame = {
     val weekUs = 7L * 86400L * 1000000L
-    val e = events(s, dir).select(col("user_id"), col("ts_us"))
     val first = e.groupBy("user_id").agg(min("ts_us").as("t0"))
     e.join(first, Seq("user_id"))
       .select(col("user_id"),

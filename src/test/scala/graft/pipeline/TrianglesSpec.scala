@@ -68,6 +68,37 @@ class TrianglesSpec extends AnyFunSuite {
     assert(counts(k4, parts = 7) === counts(k4))
   }
 
+  test("celebrity node: orientation keeps every out-neighborhood √m-bounded") {
+    // one hub of degree 2000 (≈ the whole graph) + a ring of background
+    // edges among the leaves. The naive wedge join would square the
+    // hub's neighborhood (C(2000,2) ≈ 2M wedge rows from ONE node — the
+    // "last reducer" that serializes the job); the degree orientation
+    // points every hub edge INTO the hub, so its out-neighborhood is
+    // EMPTY and the max out-degree over the whole graph stays tiny.
+    val hub = (1 to 2000).map(i => ("hub", f"l$i%04d"))
+    val ring = (1 to 2000).map(i => (f"l$i%04d", f"l${i % 2000 + 1}%04d"))
+    val edges = (hub ++ ring).toDF("src", "dst")
+    val ori = Triangles.oriented(Triangles.canonical(edges, "src", "dst"))
+    val outDeg = ori.groupBy("u")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("od"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val m = 4000 // canonical edge count
+    // hub emits NOTHING; every node's wedge fan-out is O(√m), so the
+    // biggest per-node wedge contribution is C(3,2)=3 rows, not 2M
+    assert(!outDeg.contains("hub"))
+    assert(outDeg.values.max <= math.sqrt(m.toDouble).ceil.toLong,
+      s"max out-degree ${outDeg.values.max}")
+    // and the counts stay exact: each leaf closes no triangle with the
+    // ring alone... except consecutive ring pairs through the hub —
+    // (hub, l_i, l_{i+1}) IS a triangle. 2000 of them; hub in all.
+    val c = Triangles.perNode(edges).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(c("hub") === 2000L)
+    assert(c(f"l${1}%04d") === 2L) // each leaf sits in 2 ring triangles
+    assert(c.values.sum === 3L * 2000L)
+  }
+
   test("clustering coefficient: K4 is fully clustered, paths are not") {
     val coefs = Triangles.clusteringCoef(k4.toDF("src", "dst"))
       .collect()
