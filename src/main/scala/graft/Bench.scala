@@ -219,7 +219,19 @@ object Bench {
           } else if (warmReadEntries(name)) {
             try {
               val thunk = mk(spark, runDir)
-              thunk() // warmup, untimed
+              // THREE untimed warmups, not one: the r14 "0.18 s residual"
+              // between this thunk and MatScanProfile's reading of the
+              // same work was isolated this round to JIT compile depth —
+              // in a fresh JVM the q87-shaped pass reads ~2.0 s and the
+              // SAME work settles to ~1.31 s after several passes
+              // (2026-08-16, same-window pair at identical batch/file
+              // config; relayout-writeback was tested and refuted with
+              // SPARK_GRAFT_RELAYOUT=false), so min-of-3 after one
+              // warmup sits on the early compile curve, not the steady
+              // state. Steady state is the honest claim for a long-lived
+              // production executor JVM — and the DuckDB twin (C++, no
+              // compile curve) is at ITS steady state after one pass.
+              (1 to 3).foreach(_ => thunk())
               (1 to 3).map { _ =>
                 val t0 = System.nanoTime()
                 thunk()
