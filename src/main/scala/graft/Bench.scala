@@ -167,7 +167,11 @@ object Bench {
         Files.writeString(f, sqlJson)
         val pb = new ProcessBuilder("python3", "tools/duck_time.py",
           runDir, f.toString, "3")
-        pb.redirectErrorStream(false)
+        // stderr INHERITed, not left on an undrained pipe: duck_time.py
+        // prints a full DuckDB error per failing oracle, and a filled
+        // ~64KB pipe buffer would block the child (and this bench) while
+        // silently discarding the diagnostics
+        pb.redirectError(ProcessBuilder.Redirect.INHERIT)
         val proc = pb.start()
         val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
         proc.waitFor()

@@ -12,8 +12,13 @@ import org.apache.spark.sql.functions._
   * with the construction pinned here.
   *
   * Fixture: the same replica-tagged disjoint construction as
-  * m_pagerank_x10/x100 (per-copy ranks equal the ×1 run —
-  * self-verifying), materialized to scratch parquet untimed. One timed
+  * m_pagerank_x10/x100. NOTE on what the construction guarantees: the
+  * copies are EXCHANGEABLE (replica i's ranks equal replica j's exactly,
+  * under the integer fixed-point contract), but NOT equal to the ×1
+  * run's — PageRank normalizes by the global node count, so every rank
+  * in a ×times graph is ~times× smaller. The self-check below therefore
+  * verifies replica symmetry, not ×1 equality. Materialized to scratch
+  * parquet untimed. One timed
   * pass (min-of-N is pointless at these absolutes — the pass itself
   * amortizes every constant), fresh session. The edge cache at this
   * size exceeds the executor heap — MEMORY_AND_DISK spills the tail,
@@ -46,15 +51,24 @@ object PageRankDecadeProfile {
     val r = graft.graph.PageRank.run(e, iters = 5)
     r.write.mode("overwrite").format("noop").save()
     val secs = (System.nanoTime() - t0) / 1e9
-    // self-verification: replica 0's ranks must equal the ×1 run
-    val x1 = graft.graph.PageRank.run(
-      graft.graph.PageRank.corpusEdges(spark, sfDir), iters = 5)
+    // self-verification: REPLICA SYMMETRY, not ×1 equality — PageRank.run
+    // normalizes by the GLOBAL node count (r0 = scale div N, and base/dang
+    // likewise), so in a ×times graph every rank is ~times× smaller than
+    // the ×1 run's; what the disjoint construction DOES guarantee is that
+    // the copies are exchangeable, and the integer fixed-point contract
+    // (order-free integer sums, global scalars shared) makes replica 0's
+    // ranks EXACTLY equal replica 1's, node for node.
     val rep0 = r.filter(col("node").endsWith("_0"))
       .select(expr("substring(node, 1, length(node) - 2)").as("node"),
         col("rank"))
-    val diff = rep0.join(x1.withColumnRenamed("rank", "rank1"), Seq("node"))
-      .filter(col("rank") =!= col("rank1")).count()
-    println(f"[prdecade] x$times%d pagerank $secs%.1f s  rep0_mismatches=$diff%d")
+    val rep1 = r.filter(col("node").endsWith("_1"))
+      .select(expr("substring(node, 1, length(node) - 2)").as("node"),
+        col("rank").as("rank1"))
+    val joined = rep0.join(rep1, Seq("node"), "full")
+    val diff = joined
+      .filter(col("rank").isNull || col("rank1").isNull ||
+        col("rank") =!= col("rank1")).count()
+    println(f"[prdecade] x$times%d pagerank $secs%.1f s  rep0_vs_rep1_mismatches=$diff%d")
     spark.stop()
   }
 }

@@ -882,9 +882,15 @@ object ScaleBench {
     // ------- graph/event DECADES (r14 prescription: the crossing claims
     // — PageRank 0.18× at ×100 — must live in the driver's BENCH
     // artifact, not a profiling main). All fixtures are replica-tagged
-    // DISJOINT copies (per-copy answers equal the ×1 run — the
-    // self-verifying construction BENCH_COMPARE r14 records), built
-    // untimed through [[materialized]]. The ×100 entries run in the
+    // DISJOINT copies. What that buys differs by family: for dedup/
+    // funnel/cohort the per-copy answers equal the ×1 run (answers are
+    // local to a copy); for pagerank/ppr they do NOT — ranks normalize
+    // by the GLOBAL node/seed count, so per-copy ranks are ~times×
+    // smaller than the ×1 run's. The graph fixtures' self-verifying
+    // property is replica EXCHANGEABILITY (copy i's ranks equal copy
+    // j's exactly under the integer fixed-point contract —
+    // PageRankDecadeProfile checks it). Built untimed through
+    // [[materialized]]. The ×100 entries run in the
     // fresh-session class ([[freshNames]]) with min-of-2, the ×10 with
     // min-of-3.
     "m_pagerank_x10" -> ((s, dir) => {
@@ -966,7 +972,9 @@ object ScaleBench {
     }
 
   /** q167's trust seeds (nation-0 customers), tagged per replica so each
-    * copy's personalized ranks equal the ×1 run. */
+    * copy teleports only to its own seeds (per-copy ranks are mutually
+    * EQUAL across copies, though ~times× smaller than the ×1 run — the
+    * global |S| normalization; see the decade-block note above). */
   private def pprSeeds(s: SparkSession, dir: String, times: Int): DataFrame =
     materialized(s, s"ppr_seeds_x${times}_") {
       graft.Tables.load(s, dir, "customer")

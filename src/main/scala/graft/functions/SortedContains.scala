@@ -18,12 +18,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * exactly what `array_sort` over Spark strings produces (UTF8String
   * compareTo is byte order; for the md5-hex keys this engine probes the
   * order is plain ASCII). An unsorted array silently yields wrong
-  * membership, so callers build the array with `sort_array`/`array_sort`
-  * in the SAME plan (LineCleanSpec pins agreement with `array_contains`
-  * under randomized fixtures). Null array or null key → null (standard
-  * BinaryExpression semantics); null ELEMENTS compare greater than any
-  * key — consistent with `array_sort` placing nulls last, so a sorted
-  * array with a null tail still probes correctly. */
+  * membership, so callers build the array with `array_sort` — and ONLY
+  * `array_sort` — in the SAME plan (LineCleanSpec pins agreement with
+  * `array_contains` under randomized fixtures). Null array or null key →
+  * null (standard BinaryExpression semantics); null ELEMENTS compare
+  * greater than any key — consistent with `array_sort` placing nulls
+  * LAST, so an array_sort-built array with a null tail still probes
+  * correctly. `sort_array(asc)` is NOT a valid builder: it places nulls
+  * FIRST, which would silently break the probe on a null-containing
+  * array (current callers probe md5 hot sets, which are null-free — the
+  * contract matters for new call sites). */
 case class SortedArrayContains(left: Expression, right: Expression)
     extends BinaryExpression {
 

@@ -90,7 +90,7 @@ class DedupScaleSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("empty and punctuation-only docs never pair (degenerate-bucket guard)") {
-    val df = Seq((1L, ""), (2L, ""), (3L, "!!! ???"), (4L, "--- ---"),
+    val df = Seq((1L, ""), (2L, ""), (3L, "!!! ;;;"), (4L, "--- ---"),
       (5L, "real content with several words here"))
       .toDF("doc_id", "text")
     assert(Dedup.minHashLsh(df, "doc_id", "text", n = 2,
