@@ -118,17 +118,36 @@ import graft.text.{HeavyHitters, TextOps}
   */
 object ScaleBench {
 
-  /** JVM-lifetime scratch-parquet memo: fixtures shared across entries and
-    * passes are built once, then re-read from disk by every consumer (the
-    * DSIR scratchDir move). Paths survive the bench's per-entry session
-    * restarts; the OS temp dir is reclaimed with the container. */
+  /** Bumped whenever ANY fixture construction below changes semantics:
+    * the stable scratch paths embed it, so an edited fixture can never be
+    * served stale from a previous run's parquet. */
+  private val FixtureVersion = "r16a"
+
+  /** Corpus signature the stable scratch paths embed — set by Bench.main
+    * to a per-table row-count hash of the corpus under test (the
+    * lineitemX100Path precedent: content-sensitivity at metadata cost),
+    * defaulting to the SF-dir basename for standalone profiling mains. */
+  @volatile var scratchTag: String = java.nio.file.Paths
+    .get(sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    .getFileName.toString
+
+  /** CROSS-RUN scratch-parquet memo: fixtures shared across entries and
+    * passes are built once at a STABLE path keyed by (fixture version,
+    * corpus signature, fixture name), then re-read from disk by every
+    * consumer — including the NEXT bench invocation. r15's run of record
+    * was timeout-killed partly because the 65M-edge pagerank fixture (and
+    * every other decade fixture) was regenerated per run from a random
+    * temp dir; stable paths make fixture cost pay-once-per-corpus, the
+    * same contract [[lineitemX100Path]]/[[asofFixturePath]] already had.
+    * The in-JVM map just skips the _SUCCESS stat on re-reads. */
   private val matCache = scala.collection.mutable.Map.empty[String, String]
   private def materialized(s: SparkSession, key: String)
       (build: => DataFrame): DataFrame = {
     val path = matCache.synchronized {
       matCache.getOrElseUpdate(key, {
-        val p = Files.createTempDirectory(s"graft_sbench_$key").toString + "/t"
-        build.write.parquet(p)
+        val p = s"/tmp/graft_sbfix_${FixtureVersion}_${scratchTag}_$key/t"
+        if (!Files.exists(java.nio.file.Paths.get(s"$p/_SUCCESS")))
+          build.write.mode("overwrite").parquet(p)
         p
       })
     }
@@ -946,6 +965,25 @@ object ScaleBench {
       () => noop(graft.queries.CdcQueries.cohortOf(
         e.select(col("user_id"), col("ts_us"))))
     }))
+
+  /** Entries whose QUESTION is answered and closed: the claim, the
+    * closing round, and the numbers live in BENCH_COMPARE, and re-paying
+    * their fixture + pass cost every round is what drove the bench past
+    * the driver's budget (r15 rc 124). The bench runs them only under
+    * SPARK_GRAFT_BENCH_FULL=1. Settled here:
+    *  - the six m_lsh_incr_* twins (r13: the signature registry's
+    *    per-batch floor beats corpus re-shingling 5.6–7.7× on novel
+    *    batches and the slope claim is recorded; ~70 s of passes + three
+    *    registry fixture builds per round to re-learn a closed answer);
+    *  - the wide2/wide3 heavy-hitter pairs are demoted the same way via
+    *    [[pairedEntries]] filtering in Bench (r13/r14: MG flat across
+    *    three vocabulary decades, groupBy OOMs at 4 GiB — the crossing
+    *    table is recorded; ~280 s + a 750M-token fixture per round). */
+  def settledNames: Set[String] = Set(
+    "m_lsh_incr_sig_x10", "m_lsh_incr_text_x10",
+    "m_lsh_incr_sig_novel_x1", "m_lsh_incr_sig_novel_x10",
+    "m_lsh_incr_text_novel_x1", "m_lsh_incr_text_novel_x10",
+    "m_hh_mg_wide2", "m_hh_full_wide2", "m_hh_mg_wide3", "m_hh_full_wide3")
 
   /** Entries the bench must run in a FRESH SparkContext (stop + rebuild,
     * one fixture pass untimed, min-of-2): the tens-of-seconds decade
