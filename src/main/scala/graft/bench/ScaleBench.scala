@@ -964,6 +964,48 @@ object ScaleBench {
       val e = eventsTimes(s, dir, 100)
       () => noop(graft.queries.CdcQueries.cohortOf(
         e.select(col("user_id"), col("ts_us"))))
+    }),
+    // the THIRD triangle decade (120M sparse edges): tests the m^1.5
+    // slope where the DuckDB twin already fell off at ×100 (32.5 s vs
+    // 7.8 s — BENCH_COMPARE r15); single timed pass by the adaptive rule
+    "m_triangles_x1000" -> ((s, dir) => {
+      val e = sparseTriEdges(s, dir, 1000)
+      () => noop(graft.graph.Triangles.perNode(e))
+    }),
+    // the banded-LSH corpus decade (r15 prescription #6): q42's exact
+    // operator and params over a DUP-HEAVY ×10 corpus (docsTimes replicas
+    // differ by a 2-token tail, Jaccard ≈ 0.97 ≥ τ — every replica
+    // cluster is a real near-dup cluster). The structural claim under
+    // test: banded LSH's candidate set is bucket-bounded, while the
+    // exact-pair twin's shingle self-join grows quadratically inside dup
+    // clusters — the ×1 ratio (2.76×, lever-exhausted, r12–r14) should
+    // CROSS as clusters widen. DuckDB twin: m_q42_x10_duck in
+    // tools/twins_time.py (q41's exact-pair SQL over the same fixture).
+    "m_q42_x10" -> ((s, dir) => {
+      val d = docsTimes(s, dir, 10)
+      () => noop(graft.dedup.Dedup.minHashLsh(d, "doc_id", "text", n = 2,
+        bands = 16, rowsPerBand = 8, threshold = 0.9))
+    }),
+    // warm-start PageRank maintenance pair (q170's operator, priced like
+    // every other incremental family): after ONE new disjoint batch of
+    // edges lands in a ×10 accumulated graph, advance ranks k=2 from the
+    // stored prior ([[graft.graph.PageRank.resume]]) vs recompute k=5
+    // from uniform. Both sides run the SAME per-iteration join over the
+    // same grown edge set, so the pair isolates exactly what warm start
+    // buys: iteration count (fold ≈ 2/5 of rebuild, minus shared
+    // constants); StreamingPagerankWarmSpec pins that the informed r0
+    // lands at least as close to the fixed point as the equal-k cold
+    // start, so the speedup is not paid in quality.
+    "m_spagerank_fold_x10" -> ((s, dir) => {
+      val grown = pagerankEdges(s, dir, 10).unionByName(prBatchEdges(s, dir))
+      val prior = prPrior(s, dir, 10)
+      () => { val r = graft.graph.PageRank.resume(grown, prior, iters = 2)
+        noop(r); r.unpersist(); () }
+    }),
+    "m_spagerank_rebuild_x10" -> ((s, dir) => {
+      val grown = pagerankEdges(s, dir, 10).unionByName(prBatchEdges(s, dir))
+      () => { val r = graft.graph.PageRank.run(grown, iters = 5)
+        noop(r); r.unpersist(); () }
     }))
 
   /** Entries whose QUESTION is answered and closed: the claim, the
@@ -992,9 +1034,10 @@ object ScaleBench {
     * moved q100/q115 35–60% before the long-entry isolation protocol). */
   def freshNames: Set[String] = Set(
     "m_pagerank_x10", "m_pagerank_x100", "m_ppr_x10", "m_ppr_x100",
-    "m_triangles_x10", "m_triangles_x100",
+    "m_triangles_x10", "m_triangles_x100", "m_triangles_x1000",
     "m_linededup_x100", "m_linededup_ip_x100",
-    "m_funnel_x100", "m_cohort_x100")
+    "m_funnel_x100", "m_cohort_x100",
+    "m_q42_x10", "m_spagerank_fold_x10", "m_spagerank_rebuild_x10")
 
   /** Replica-tagged corpus PageRank edges: `times` disjoint copies of
     * [[graft.graph.PageRank.corpusEdges]], node ids suffixed per copy. */
@@ -1065,6 +1108,26 @@ object ScaleBench {
               l => concat_ws(" #", l, col("r").cast("string"))),
             "\n").as("text"))
         .repartition(s.sparkContext.defaultParallelism)
+    }
+
+  /** ONE arriving edge batch for the warm-start PageRank pair: a fresh
+    * disjoint copy of the corpus graph (node ids suffixed `_b` — no
+    * overlap with any [[pagerankEdges]] replica). */
+  private def prBatchEdges(s: SparkSession, dir: String): DataFrame =
+    materialized(s, "pr_batch_") {
+      graft.graph.PageRank.corpusEdges(s, dir)
+        .select(concat(col("src"), lit("_b")).as("src"),
+          concat(col("dst"), lit("_b")).as("dst"))
+        .repartition(s.sparkContext.defaultParallelism)
+    }
+
+  /** The STORED ranks of the ×`times` accumulated graph (k=5 from
+    * uniform — what the maintenance pipeline keeps between batches),
+    * materialized: the warm-start pair's prior is ingest-paid state,
+    * never part of the timed fold. */
+  private def prPrior(s: SparkSession, dir: String, times: Int): DataFrame =
+    materialized(s, s"pr_prior_x${times}_") {
+      graft.graph.PageRank.run(pagerankEdges(s, dir, times), iters = 5)
     }
 
   /** The events stream ×`times` with per-replica user-id offsets

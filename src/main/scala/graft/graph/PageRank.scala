@@ -79,9 +79,28 @@ object PageRank {
     core(edges, srcCol, dstCol,
       Some(seeds.select(col(seedCol).as("node"))), iters, scale)
 
+  /** WARM-START PageRank: [[run]]'s recurrence with r0 taken from `prior`
+    * (columns `node`, `rank` — one row per node, e.g. the previous
+    * micro-batch's output) instead of uniform. Nodes in the current graph
+    * but absent from `prior` (the arriving batch's new nodes) start at
+    * the uniform share `scale div N` of the CURRENT graph; prior rows for
+    * nodes no longer in the graph are dropped. Same integer fixed-point
+    * contract — the output is a deterministic function of (edges, prior,
+    * iters), bit-reproducible across engines and partitionings — but NOT
+    * equal to [[run]] at the same k: warm start trades initialization
+    * for iterations (an informed r0 sits closer to the fixed point, so a
+    * maintenance pipeline runs k=2 per batch where a cold start needs
+    * k=5 — StreamingPagerankWarmSpec pins the convergence claim, the
+    * m_spagerank_fold/rebuild pair prices it). */
+  def resume(edges: DataFrame, prior: DataFrame,
+             srcCol: String = "src", dstCol: String = "dst",
+             iters: Int = 5, scale: Long = Scale): DataFrame =
+    core(edges, srcCol, dstCol, None, iters, scale,
+      Some(prior.select(col("node"), col("rank"))))
+
   private def core(edges: DataFrame, srcCol: String, dstCol: String,
                    seedsOpt: Option[DataFrame], iters: Int,
-                   scale: Long): DataFrame = {
+                   scale: Long, priorOpt: Option[DataFrame] = None): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
 
     // One exchange, not two: hash-partitioning on src already co-locates
@@ -131,10 +150,19 @@ object PageRank {
         .agg(coalesce(sum(col("r")), lit(0L)).as("d"))
         .head().getLong(0)
 
-    var ranks = flaggedC
-      .select(col("node"),
-        when(col("is_seed"), lit(r0)).otherwise(lit(0L)).as("r"))
-      .cache()
+    var ranks = (priorOpt match {
+      case None => flaggedC
+        .select(col("node"),
+          when(col("is_seed"), lit(r0)).otherwise(lit(0L)).as("r"))
+      case Some(pr) => flaggedC
+        // warm start: carried rank where prior knows the node, uniform
+        // share where it doesn't; prior rows for departed nodes drop on
+        // the flaggedC side of the join
+        .join(pr.withColumnRenamed("rank", "r_prior"), Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("r_prior"),
+            when(col("is_seed"), lit(r0)).otherwise(lit(0L))).as("r"))
+    }).cache()
     var dang = dangOf(ranks)
     for (_ <- 1 to iters) {
       val dangShare = dang / s

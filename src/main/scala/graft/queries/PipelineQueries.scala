@@ -3369,4 +3369,128 @@ object PipelineQueries {
   /** q161's one-shot SQL verbatim — the streamed maintenance must
     * reproduce the batch operator's exact ranks. */
   def q169StreamPagerankSql: String = q161PagerankSql
+
+  // --------------------------------------------------------------- q170
+  /** Streaming WARM-START PageRank maintenance
+    * ([[graft.streaming.CdcStreamIngest.toPagerankWarmTable]]): the
+    * corpus edges arrive as THREE md5-bucketed micro-batches; each batch
+    * upserts into the keyed edge table and advances ranks by k=2
+    * iterations FROM THE PREVIOUS BATCH'S RANKS
+    * ([[graft.graph.PageRank.resume]] — new nodes start at the uniform
+    * share of the grown graph). Unlike q169, the output is deliberately
+    * batch-boundary-DEPENDENT (warm start trades split-invariance for
+    * 2.5× fewer per-batch iteration joins); the contract is
+    * determinism-at-fixed-split, so the batches are split by a
+    * CROSS-ENGINE hash (md5 prefix, the engine's standard portable
+    * randomness) and the oracle replays the exact per-batch recurrence —
+    * three batches × two iterations, unrolled CTEs, integer fixed-point
+    * throughout — to the bit. */
+  def q170StreamPagerankWarm(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val bucket = pmod(
+      conv(substring(md5(concat(col("src"), lit("|"), col("dst"))), 1, 8),
+        16, 10).cast("long"), lit(3))
+    val e = PageRank.corpusEdges(s, dir)
+      .withColumn("create_at", lit("2000-01-01T00:00:00.000000+0000"))
+      .withColumn("update_at", lit("2000-01-01T00:00:00.000000+0000"))
+    val srcDir = Files.createTempDirectory("graft_q170_src").toString
+    (0 until 3).foreach { b =>
+      val stage = Files.createTempDirectory(s"graft_q170_b$b").toString
+      e.filter(bucket === b)
+        .repartition(1).write.mode("overwrite").parquet(stage)
+      val part = Files.list(Paths.get(stage)).iterator().asScala
+        .find(_.getFileName.toString.startsWith("part-")).get
+      val dst = Paths.get(srcDir, s"b$b.parquet")
+      Files.move(part, dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + b * 60000L))
+    }
+    val edgeTable = new KeyedLakeTable(s, LakeTableSpec(
+      Files.createTempDirectory("graft_q170_edges").toString,
+      recordKeys = Seq("src", "dst"), precombine = "update_at",
+      partitionSource = "create_at"))
+    val ranksTable = new graft.sink.VersionedLakeTable(s, LakeTableSpec(
+      Files.createTempDirectory("graft_q170_ranks").toString,
+      recordKeys = Seq("node", "batch_id"), precombine = "update_at",
+      partitionSource = "create_at", tieBreak = Seq("batch_id")))
+    graft.streaming.CdcStreamIngest.toPagerankWarmTable(
+      s.readStream.schema(e.schema).option("maxFilesPerTrigger", 1)
+        .parquet(srcDir),
+      edgeTable, ranksTable, itersPerBatch = 2,
+      Files.createTempDirectory("graft_q170_ckpt").toString)
+    ranksTable.read()
+      .groupBy(col("node"))
+      .agg(max(struct(col("batch_id"), col("rank"))).as("m"))
+      .select(col("node"), col("m.rank").as("rank"))
+      .orderBy("node")
+  }
+
+  /** The exact per-batch warm recurrence, unrolled: three cumulative
+    * edge sets (md5-bucket ≤ b), each with its own node/outdeg/count
+    * frames, two iteration rounds per batch, r0 of batch b+1 = batch b's
+    * final ranks LEFT-JOINed onto the grown node set with the uniform
+    * share for new nodes — [[graft.graph.PageRank.resume]]'s
+    * initialization rule, verbatim in SQL. Every multi-referenced CTE is
+    * MATERIALIZED (the q161 lesson: inlining re-expands the chain per
+    * reference, exponential in rounds). */
+  val q170StreamPagerankWarmSql: String = {
+    val scale = "1000000000000"
+    def batchBlock(b: Int): String = {
+      val warm0 =
+        if (b == 1)
+          s"""w${b}0 AS MATERIALIZED (
+            |  SELECT node, $scale // (SELECT n FROM nn$b) AS r FROM n$b)"""
+            .stripMargin
+        else
+          s"""w${b}0 AS MATERIALIZED (
+            |  SELECT n.node,
+            |    COALESCE(p.r, $scale // (SELECT n FROM nn$b)) AS r
+            |  FROM n$b n LEFT JOIN w${b - 1}2 p ON n.node = p.node)"""
+            .stripMargin
+      val iters = (1 to 2).map { k =>
+        s"""c$b$k AS MATERIALIZED (
+          |  SELECT e.dst AS node, SUM(r.r // o.od) AS c
+          |  FROM e$b e
+          |  JOIN w$b${k - 1} r ON e.src = r.node
+          |  JOIN od$b o ON e.src = o.node
+          |  GROUP BY e.dst),
+          |d$b$k AS MATERIALIZED (
+          |  SELECT COALESCE(SUM(r.r), 0) AS dang
+          |  FROM w$b${k - 1} r LEFT JOIN od$b o ON r.node = o.node
+          |  WHERE o.node IS NULL),
+          |w$b$k AS MATERIALIZED (
+          |  SELECT n.node,
+          |    (15 * ($scale // (SELECT n FROM nn$b))) // 100
+          |    + (85 * (((SELECT dang FROM d$b$k) // (SELECT n FROM nn$b))
+          |             + COALESCE(c.c, 0))) // 100 AS r
+          |  FROM n$b n LEFT JOIN c$b$k c ON n.node = c.node)""".stripMargin
+      }.mkString(",\n")
+      s"""e$b AS MATERIALIZED (
+        |  SELECT src, dst FROM bedges WHERE bkt <= ${b - 1}),
+        |n$b AS MATERIALIZED (
+        |  SELECT src AS node FROM e$b UNION SELECT dst FROM e$b),
+        |nn$b AS MATERIALIZED (SELECT COUNT(*) AS n FROM n$b),
+        |od$b AS MATERIALIZED (
+        |  SELECT src AS node, COUNT(*) AS od FROM e$b GROUP BY src),
+        |$warm0,
+        |$iters""".stripMargin
+    }
+    s"""WITH j AS (
+      |  SELECT o_custkey, l_suppkey
+      |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      |alledges AS MATERIALIZED (
+      |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+      |  FROM j
+      |  UNION
+      |  SELECT DISTINCT 's' || l_suppkey, 'c' || o_custkey
+      |  FROM j WHERE l_suppkey % 3 = 0),
+      |bedges AS MATERIALIZED (
+      |  SELECT src, dst,
+      |    CAST(('0x' || substr(md5(src || '|' || dst), 1, 8)) AS BIGINT) % 3
+      |      AS bkt
+      |  FROM alledges),
+      |${(1 to 3).map(batchBlock).mkString(",\n")}
+      |SELECT node, CAST(r AS BIGINT) AS rank FROM w32 ORDER BY node"""
+      .stripMargin
+  }
 }

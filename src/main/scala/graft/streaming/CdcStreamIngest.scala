@@ -632,6 +632,81 @@ object CdcStreamIngest {
     query.awaitTermination()
   }
 
+  /** The WARM-START variant of [[toPagerankTable]] (q170): after each
+    * edge micro-batch upserts into the keyed edge table, ranks are
+    * advanced by a FIXED small `itersPerBatch` of the recurrence starting
+    * from the PREVIOUS batch's ranks ([[graft.graph.PageRank.resume]] —
+    * new nodes start at the uniform share) instead of recomputed
+    * from-uniform at full k. This is the maintenance form a continuously
+    * ingesting pipeline actually runs: an informed r0 sits close to the
+    * fixed point, so k=2 per batch tracks the signal a k=5 cold restart
+    * pays 2.5× the iteration joins for (StreamingPagerankWarmSpec pins
+    * the convergence claim; the m_spagerank_fold/rebuild bench pair
+    * prices it).
+    *
+    * Unlike q169 the output DEPENDS on batch boundaries (that is the
+    * deliberate trade — warm-start is not split-invariant), so the
+    * contract is determinism-at-fixed-split: for a FIXED batch sequence
+    * the ranks are a bit-exact function of it (integer fixed-point all
+    * the way down), and q170's oracle replays the exact per-batch
+    * recurrence in SQL, unrolled.
+    *
+    * Replay safety: ranks append to a VERSIONED table keyed
+    * (node, batch_id) with the standard (lineage, batch-id) protocol —
+    * a replayed batch reads ranks as of the PREVIOUS batch
+    * ([[priorRows]] filters its own crashed append), so replays land on
+    * the same bits. The live state is each node's row at the highest
+    * batch id. */
+  def toPagerankWarmTable(stream: DataFrame, edges: KeyedLakeTable,
+      ranks: graft.sink.VersionedLakeTable, itersPerBatch: Int,
+      checkpointDir: String): Unit = {
+    require(edges.spec.recordKeys == Seq("src", "dst"),
+      "toPagerankWarmTable: edge table must be keyed (src, dst), got " +
+        edges.spec.recordKeys.mkString("(", ", ", ")"))
+    require(ranks.spec.recordKeys == Seq("node", "batch_id"),
+      "toPagerankWarmTable: ranks table must be keyed (node, batch_id), got " +
+        ranks.spec.recordKeys.mkString("(", ", ", ")"))
+    var lineage: String = null
+    val query = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          if (lineage == null)
+            lineage = lineageToken(batch.sparkSession, checkpointDir)
+          edges.upsert(batch)
+          val prior = ranks.latestVersion
+            .map { _ =>
+              // latest rank per node among PRIOR batches only — a
+              // replayed batch must not warm-start from its own
+              // crashed append
+              priorRows(ranks.read(), lineage, batchId)
+                .groupBy(col("node"))
+                .agg(max(struct(col("batch_id"), col("rank"))).as("m"))
+                .select(col("node"), col("m.rank").as("rank"))
+            }
+            .getOrElse {
+              val s = batch.sparkSession
+              import s.implicits._
+              Seq.empty[(String, Long)].toDF("node", "rank")
+            }
+          val ranked = graft.graph.PageRank.resume(
+            edges.read().select(col("src"), col("dst")), prior,
+            iters = itersPerBatch)
+          ranks.upsertDeferred(ranked
+            .select(col("node"), col("rank"),
+              lit(lineage).as("lineage"),
+              lit(batchId).as("batch_id"),
+              lit("2000-01-01T00:00:00.000000+0000").as("create_at"),
+              lit("2000-01-01T00:00:00.000000+0000").as("update_at")))
+          ranked.unpersist()
+          ()
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+  }
+
   /** The COMPOSED streaming curation pipeline: span (C4) dedup feeding
     * MinHash-LSH near-dup dedup in ONE foreachBatch — the two-stage
     * text-curation shape a production ingest actually runs (clean

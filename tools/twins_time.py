@@ -27,15 +27,19 @@ SCALE = 1000000000000
 
 
 def newest(key):
-    # keys carry a trailing underscore before createTempDirectory's random
-    # digits (ScaleBench.materialized) — without it "pr_edges_x10" would
-    # glob-match the x100 fixture too (both continue with digits; that
-    # collision silently paired the x10 twin against the 65M-edge graph
-    # once — r15, recorded)
-    cands = glob.glob(f"/tmp/graft_sbench_{key}_*")
+    # r16: ScaleBench.materialized builds at STABLE paths
+    # /tmp/graft_sbfix_<ver>_<tag>_<key> (cross-run reuse); the trailing
+    # underscore most decade keys carry keeps "pr_edges_x10_" from
+    # glob-matching the x100 fixture (that collision silently paired the
+    # x10 twin against the 65M-edge graph once — r15, recorded). The old
+    # per-JVM graft_sbench_<key>_<digits> scheme stays as a fallback.
+    cands = (glob.glob(f"/tmp/graft_sbfix_*_{key}_") +
+             glob.glob(f"/tmp/graft_sbfix_*_{key}") +
+             glob.glob(f"/tmp/graft_sbench_{key}_*"))
     if not cands:
-        raise SystemExit(f"no fixture /tmp/graft_sbench_{key}_* — "
-                         "run the bench (or the entry) first")
+        raise SystemExit(f"no fixture for {key} under /tmp/graft_sbfix_* "
+                         "or /tmp/graft_sbench_* — run the bench (or the "
+                         "entry) first")
     return max(cands, key=os.path.getmtime) + "/t"
 
 
@@ -143,6 +147,31 @@ UNION ALL SELECT '2_click', COUNT(*) FROM b
 UNION ALL SELECT '3_purchase', COUNT(*) FROM c
 ORDER BY stage"""
 
+# q41's exact-pair SQL (the committed q42 oracle form) over the fixture
+# view `d` — the exact half of the m_q42_x10 decade pair: banded LSH's
+# candidates stay bucket-bounded while this shingle self-join grows
+# quadratically inside dup clusters.
+Q42_EXACT_SQL = """WITH w AS (
+  SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(
+    lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' ') AS ws
+  FROM d),
+sh AS (
+  SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(ws)),
+    i -> ws[i] || ' ' || ws[i+1])) AS shingle
+  FROM w),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+  CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.9
+ORDER BY doc_a, doc_b"""
+
 COHORT_SQL = """WITH f AS (
   SELECT user_id, MIN(ts_us) AS t0 FROM e GROUP BY user_id),
 j AS (
@@ -181,15 +210,16 @@ def main():
         c.execute("SET threads=32")
         return c
 
-    for times, runs, warm in ((10, 3, True), (100, 2, False)):
+    for times, runs, warm in ((10, 3, True), (100, 2, False),
+                              (1000, 1, False)):
         n = f"m_pagerank_x{times}_duck"
-        if on(n):
+        if on(n) and times <= 100:
             con = fresh()
             con.execute(f"CREATE VIEW pe AS SELECT * FROM "
                         f"read_parquet('{newest(f'pr_edges_x{times}')}/*.parquet')")
             run(n, con, pagerank_sql("pe"), runs, warm)
         n = f"m_ppr_x{times}_duck"
-        if on(n):
+        if on(n) and times <= 100:
             con = fresh()
             con.execute(f"CREATE VIEW pe AS SELECT * FROM "
                         f"read_parquet('{newest(f'pr_edges_x{times}')}/*.parquet')")
@@ -203,6 +233,14 @@ def main():
             con.execute(f"CREATE VIEW e AS SELECT * FROM "
                         f"read_parquet('{newest(f'tri_edges_x{times}')}/*.parquet')")
             run(n, con, TRIANGLES_SQL, runs, warm)
+        # pagerank/ppr x1000 twins extrapolate to hours (428 s at x100,
+        # superlinear) — guarded to times <= 100 above; the x1000 decade
+        # is Spark-alone, recorded as such in BENCH_COMPARE
+    if on("m_q42_x10_duck"):
+        con = fresh()
+        con.execute(f"CREATE VIEW d AS SELECT * FROM "
+                    f"read_parquet('{newest('docs_x10')}/*.parquet')")
+        run("m_q42_x10_duck", con, Q42_EXACT_SQL, runs=2, warm=False)
     if on("m_linededup_x100_duck"):
         con = fresh()
         con.execute(f"CREATE VIEW d AS SELECT * FROM "
