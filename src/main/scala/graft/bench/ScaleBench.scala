@@ -1006,6 +1006,25 @@ object ScaleBench {
       val grown = pagerankEdges(s, dir, 10).unionByName(prBatchEdges(s, dir))
       () => { val r = graft.graph.PageRank.run(grown, iters = 5)
         noop(r); r.unpersist(); () }
+    }),
+    // the ×100 decade of the same pair: the ×10 point read fold = 0.66×
+    // of rebuild all-in. The "constant amortizes toward 0.4× as |E|
+    // grows" prediction was REFUTED by this pair's first run (fold
+    // 29.4 s vs rebuild 48.8 s = 0.60× — scale-invariant): the shared
+    // prep (edge canonicalize+cache, node census, prior join) is O(|E|),
+    // not constant, and stays ≈2 iteration-equivalents at every scale.
+    // BENCH_COMPARE r16's warm-start section records the solved model
+    // and the production implication (keep prep incremental too).
+    "m_spagerank_fold_x100" -> ((s, dir) => {
+      val grown = pagerankEdges(s, dir, 100).unionByName(prBatchEdges(s, dir))
+      val prior = prPrior(s, dir, 100)
+      () => { val r = graft.graph.PageRank.resume(grown, prior, iters = 2)
+        noop(r); r.unpersist(); () }
+    }),
+    "m_spagerank_rebuild_x100" -> ((s, dir) => {
+      val grown = pagerankEdges(s, dir, 100).unionByName(prBatchEdges(s, dir))
+      () => { val r = graft.graph.PageRank.run(grown, iters = 5)
+        noop(r); r.unpersist(); () }
     }))
 
   /** Entries whose QUESTION is answered and closed: the claim, the
@@ -1037,7 +1056,8 @@ object ScaleBench {
     "m_triangles_x10", "m_triangles_x100", "m_triangles_x1000",
     "m_linededup_x100", "m_linededup_ip_x100",
     "m_funnel_x100", "m_cohort_x100",
-    "m_q42_x10", "m_spagerank_fold_x10", "m_spagerank_rebuild_x10")
+    "m_q42_x10", "m_spagerank_fold_x10", "m_spagerank_rebuild_x10",
+    "m_spagerank_fold_x100", "m_spagerank_rebuild_x100")
 
   /** Replica-tagged corpus PageRank edges: `times` disjoint copies of
     * [[graft.graph.PageRank.corpusEdges]], node ids suffixed per copy. */

@@ -72,6 +72,24 @@ class StreamingPagerankWarmSpec extends AnyFunSuite with SparkSpec {
     warm.unpersist(); cold.unpersist()
   }
 
+  test("resume drops prior rows for departed nodes (scaladoc contract)") {
+    // prior knows nodes the current graph no longer contains — their
+    // rows must not leak mass into the run: resume with the padded
+    // prior is bit-equal to run(E, 3+2) via the compose identity, and
+    // departed nodes are absent from the output
+    val e = df(circulant(24))
+    val r3 = PageRank.run(e, iters = 3)
+    val padded = r3.select(col("node"), col("rank"))
+      .union(Seq(("ghostA", 123456789L), ("ghostB", 42L))
+        .toDF("node", "rank"))
+    val warm = PageRank.resume(e, padded, iters = 2)
+    val cold5 = PageRank.run(e, iters = 5)
+    val m = ranksMap(warm)
+    assert(m === ranksMap(cold5))
+    assert(!m.contains("ghostA") && !m.contains("ghostB"))
+    r3.unpersist(); warm.unpersist(); cold5.unpersist()
+  }
+
   test("resume is partitioning-invariant (integer fixed-point contract)") {
     val e = df(circulant(40))
     val prior = PageRank.run(e.limit(70), iters = 3)
