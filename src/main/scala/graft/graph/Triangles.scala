@@ -49,10 +49,16 @@ object Triangles {
     * (Suri–Vassilvitskii lemma). TrianglesSpec pins this structurally on
     * a celebrity fixture: max out-degree stays √m-bounded while the
     * hub's raw degree is ~the whole graph. */
-  private[graft] def oriented(und: DataFrame): DataFrame = {
-    val deg = und.select(col("a").as("node"))
+  private[graft] def oriented(und: DataFrame): DataFrame =
+    oriented(und, degrees(und))
+
+  /** Degree table of the canonical edge set: (node, d). */
+  private[graft] def degrees(und: DataFrame): DataFrame =
+    und.select(col("a").as("node"))
       .unionAll(und.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("d"))
+
+  private def oriented(und: DataFrame, deg: DataFrame): DataFrame = {
     und
       .join(deg.withColumnRenamed("node", "a").withColumnRenamed("d", "da"),
         Seq("a"))
@@ -70,10 +76,116 @@ object Triangles {
   /** Per-node triangle participation counts: one row (node, n_triangles)
     * for every node of at least one triangle. The graph is
     * `edges`(srcCol, dstCol) read as UNDIRECTED; duplicates and
-    * self-loops are dropped. Σ n_triangles = 3 × (total triangles). */
+    * self-loops are dropped. Σ n_triangles = 3 × (total triangles).
+    *
+    * FORM SELECTION (r16): the two classical counting forms have
+    * disjoint winning regimes, decided here from one cheap approximate
+    * pass (both forms are exact and bit-identical — the choice is purely
+    * physical, like a join-strategy pick):
+    *  - DENSE graphs (average degree ≥ [[DenseAvgDegree]]): the
+    *    edge-iterator / intersection form. The wedge join materializes
+    *    Σ C(d⁺,2) candidate rows through an exchange — n³-ish on a
+    *    near-complete graph (the sf0.1 co-part projection: ~166M wedges
+    *    from 500k edges) — while adjacency arrays ship only m entries
+    *    and intersect in-stage. Measured 2.1–2.9× on q166/q168
+    *    (plans/r16, OPTIMIZATION_r16.md).
+    *  - SPARSE graphs: the wedge join. Out-neighborhoods are tiny, the
+    *    wedge set is ~linear in m, and the intersection form's
+    *    collect_list aggregation + array-carrying joins cost more than
+    *    they save (measured 4× WORSE at the 12M-edge circulant decade,
+    *    and an allocation-pressure failure at 120M edges).
+    * The statistic is avg degree ≈ 2·m̂/V̂ from one map-side HLL pass
+    * over the raw edge expression (m̂ = distinct canonical pairs, V̂ =
+    * max of per-endpoint distincts — a ≤2× underestimate of |V|, i.e.
+    * a ≤2× density overestimate, noise against the two regimes sitting
+    * ~80× apart). Deterministic (fixed-hash HLL), partitioning-
+    * invariant, and O(scan) with a one-row result. */
   def perNode(edges: DataFrame, srcCol: String = "src",
               dstCol: String = "dst"): DataFrame = {
     val und = canonical(edges, srcCol, dstCol)
+    if (denseByEstimate(edges, srcCol, dstCol))
+      perNodeFromOriented(oriented(und))
+    else perNodeWedgeFromCanonical(und)
+  }
+
+  /** Dense-regime threshold on estimated average degree; override with
+    * spark conf `graft.triangles.denseAvgDegree` (the two measured
+    * regimes sit at ~12 and ~1000 — 64 splits them with wide margin on
+    * both sides of the estimator's ≤2× error). */
+  val DenseAvgDegree: Int = 64
+
+  private[graft] def denseByEstimate(edges: DataFrame, srcCol: String,
+      dstCol: String): Boolean = {
+    val thr = edges.sparkSession.conf
+      .getOption("graft.triangles.denseAvgDegree")
+      .map(_.toInt).getOrElse(DenseAvgDegree)
+    val row = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .where(col("a") =!= col("b"))
+      .agg(approx_count_distinct(struct(col("a"), col("b"))).as("m"),
+        approx_count_distinct(col("a")).as("va"),
+        approx_count_distinct(col("b")).as("vb"))
+      .head()
+    val m = row.getLong(0)
+    val v = math.max(row.getLong(1), row.getLong(2))
+    v > 0 && 2.0 * m / v >= thr
+  }
+
+  /** Intersection (edge-iterator) form over the oriented DAG: each
+    * oriented edge u→v carries its endpoints' out-neighbor ARRAYS and
+    * the triangles through it are N⁺(u) ∩ N⁺(v), computed in-stage — a
+    * triangle {u<v<w} (orientation order) is found exactly once, at its
+    * base edge (u,v), as w ∈ both out-sets. Versus the wedge join this
+    * never materializes the wedge candidate set through an exchange:
+    * the sf0.1 co-part graph is near-complete (1000 suppliers) and its
+    * ~166M wedge rows paid a full hash-partition + sort-merge join per
+    * run; here the only shuffled payloads are the m-row edge list and
+    * the adjacency arrays (Σ|N⁺| = m entries, each array √m-bounded by
+    * the orientation), and the candidate test is an in-partition
+    * array_intersect feeding a map-side partial aggregate. Guide §2.3/
+    * §2.4 (shuffle fewer bytes / remove the exchange outright). */
+  private[graft] def perNodeFromOriented(ori: DataFrame): DataFrame = {
+    val e = ori.select(col("u"), col("v"))
+    // out-neighbor arrays SORTED so the intersection is a single merge
+    // scan (SortedIntersect's contract; elements are distinct and
+    // non-null because ori is a distinct edge set over non-null nodes)
+    val nbrs = e.groupBy(col("u").as("node"))
+      .agg(sort_array(collect_list(col("v"))).as("ns"))
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    val nodeType = ori.schema("u").dataType
+    def intersect(a: Column, b: Column): Column = nodeType match {
+      case IntegerType | LongType | StringType =>
+        org.apache.spark.sql.graft.ColumnBridge.column(
+          graft.functions.SortedIntersect(
+            org.apache.spark.sql.graft.ColumnBridge.expression(a),
+            org.apache.spark.sql.graft.ColumnBridge.expression(b)))
+      // other node-id types: same semantics through the built-in (which
+      // hashes one side per row instead of merge-scanning)
+      case _ => array_intersect(a, b)
+    }
+    // attach N⁺(v) first (an edge whose head has no out-neighbors closes
+    // nothing — inner join drops it), then N⁺(u); the array-carrying side
+    // crosses exactly one exchange
+    val tri = e
+      .join(nbrs.select(col("node").as("v"), col("ns").as("nv")), Seq("v"))
+      .join(nbrs.select(col("node").as("u"), col("ns").as("nu")), Seq("u"))
+      .select(col("u"), col("v"),
+        explode(intersect(col("nu"), col("nv"))).as("w"))
+    tri.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** The wedge-join form (Suri–Vassilvitskii as literal joins) — the
+    * SPARSE-regime winner (see [[perNode]]): materializes every wedge
+    * (u;v,w) through a hash exchange and closes it with a (v,w) join;
+    * on sparse graphs the wedge set is ~linear in m and this beats the
+    * intersection form's collect_list + array-carrying joins. */
+  private[graft] def perNodeWedge(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame =
+    perNodeWedgeFromCanonical(canonical(edges, srcCol, dstCol))
+
+  private def perNodeWedgeFromCanonical(und: DataFrame): DataFrame = {
     val ori = oriented(und)
     // wedges from each u's (√m-bounded) out-neighborhood, neighbor pair
     // ordered by the same (degree, id) orientation so the closing edge
@@ -106,11 +218,19 @@ object Triangles {
     * n_triangles, coef) for every node of the canonicalized graph. */
   def clusteringCoef(edges: DataFrame, srcCol: String = "src",
                      dstCol: String = "dst"): DataFrame = {
+    // ONE canonical edge set + ONE degree aggregate feed both the output
+    // degree column and the orientation — the r15 spelling re-derived
+    // canonical+degrees inside perNode, re-running the caller's whole
+    // edge-construction subtree (q168 paid q166's 8.7M-row co-part
+    // self-join + distinct twice). Guide §1.2 step 1: don't compute
+    // things twice.
     val und = canonical(edges, srcCol, dstCol)
-    val deg = und.select(col("a").as("node"))
-      .unionAll(und.select(col("b").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("degree"))
-    deg.join(perNode(edges, srcCol, dstCol), Seq("node"), "left")
+    val deg = degrees(und).withColumnRenamed("d", "degree")
+    val counts =
+      if (denseByEstimate(edges, srcCol, dstCol))
+        perNodeFromOriented(oriented(und, deg.withColumnRenamed("degree", "d")))
+      else perNodeWedgeFromCanonical(und)
+    deg.join(counts, Seq("node"), "left")
       .select(col("node"), col("degree"),
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
       .withColumn("coef",

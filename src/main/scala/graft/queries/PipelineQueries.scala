@@ -1181,14 +1181,26 @@ object PipelineQueries {
     * (`m_corpus_release_x10`) and record where the per-stage constants
     * amortize. */
   def corpusRelease(d: DataFrame): DataFrame = {
-    // 1. exact dedup, min-id canonical per fingerprint
-    val withFp = d.withColumn("fp", TextOps.fingerprint(col("text")))
-    val canon = withFp.groupBy("fp").agg(min("doc_id").as("keep_id"))
-    val deduped = withFp.join(canon, "fp")
+    // 1. exact dedup, min-id canonical per fingerprint — the group min is
+    //    attached by a window over fp instead of the r15 groupBy+self-join
+    //    spelling: ONE fingerprint pass and ONE exchange of the corpus
+    //    where the join form fingerprinted and shuffled it twice (guide
+    //    §2.3/§2.4; multiplicity-exact for any input, unlike a min_by
+    //    rewrite). Before/after plans: plans/r16/q89_corpus_release_*.txt
+    val deduped = d
+      .withColumn("fp", TextOps.fingerprint(col("text")))
+      .withColumn("keep_id",
+        min("doc_id").over(Window.partitionBy(col("fp"))))
       .filter(col("doc_id") === col("keep_id")).drop("fp", "keep_id")
-    // 2. decontaminate vs the (external, fixed) benchmark slice
+    // 2. decontaminate vs the (external, fixed) benchmark slice. Flags
+    //    are per-doc (its shingle set ∩ the broadcast bench set), so
+    //    flagging over ALL docs — the q89 oracle's own construction —
+    //    leaves clean = deduped ∖ flagged unchanged while keeping the
+    //    stage-1 dedup subtree out of the flag branch (it was computed
+    //    twice: once under the shingle explode, once for the anti-join)
     val bench = d.filter(col("doc_id") % 97 === 0)
-    val flagged = Decontaminate.flagOverlaps(deduped, bench, "doc_id", "text", 4)
+    val flagged = Decontaminate.flagOverlaps(
+      d.select(col("doc_id"), col("text")), bench, "doc_id", "text", 4)
     val clean = deduped.join(flagged.select("doc_id"), Seq("doc_id"), "left_anti")
     // 3. top 50% quality per language
     val w = TextOps.tokens(col("text"))
