@@ -8,7 +8,11 @@ object PlanDump {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val d = "/root/testdata/sf0.001"
+    // SPARK_GRAFT_PLAN_DIR: dump plans against a different corpus scale —
+    // plan SHAPE can be scale-dependent (the triangles operator picks its
+    // form from a density estimate; sf0.001's co-part graph is sparse
+    // where sf0.1's is dense)
+    val d = sys.env.getOrElse("SPARK_GRAFT_PLAN_DIR", "/root/testdata/sf0.001")
     args.foreach { name =>
       println(s"===== $name =====")
       println(SparkEntry.queries(name)(spark, d).queryExecution.explainString(

@@ -107,9 +107,19 @@ object PageRank {
     // every (src, dst) pair, so the duplicate-collapse aggregate runs
     // partition-local on top of the same shuffle (EnsureRequirements
     // accepts a subset partitioning for the distinct's clustering).
+    // Sorted WITHIN partitions before caching (r16): the cache preserves
+    // ordering alongside partitioning, so when the per-iteration
+    // rank⋈edge join plans as sort-merge (the decade regime — at small
+    // |V| AQE broadcasts the rank side instead), the |E|-row side
+    // satisfies the join's sort requirement from the cache and only the
+    // |V|-row rank frame is sorted per round, instead of re-sorting the
+    // edge partitions every iteration (guide §2.4: establish the layout
+    // once). Row order is semantically irrelevant (integer fixed-point
+    // sums are commutative-exact), so results are bit-identical.
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .repartition(col("src"))
       .dropDuplicates("src", "dst")
+      .sortWithinPartitions("src")
       .cache()
 
     val nodes = e.select(col("src").as("node"))
