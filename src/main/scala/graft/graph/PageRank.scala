@@ -139,14 +139,25 @@ object PageRank {
         .select(col("node"), coalesce(col("is_seed"), lit(false))
           .as("is_seed"))
     }
-    val flaggedC = flagged.cache()
+    // The out-degree rides ON the node frame (od null ⇔ dangling) — r17:
+    // the r16 spelling joined `ranks ⋈ outdeg` inside every iteration's
+    // contribution build AND ran a `left_anti outdeg` join for the
+    // dangling mass, i.e. two |V|-row sort-merge joins per round whose
+    // right side never changes. Attaching od once (one left join at
+    // setup) makes the contribution join read (r, od) straight off the
+    // rank frame and turns the dangling-mass scalar into a plain
+    // filter+sum over the frame being materialized — zero joins (guide
+    // §1.2 step 1 / §2.4: don't re-derive per round what one setup pass
+    // can pin to the layout). Arithmetic is untouched: the same (r, od)
+    // pairs flow into `r div od`, and `od is null` selects exactly the
+    // rows the left-anti join kept, so ranks stay bit-identical.
+    val outdeg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("od"))
+
+    val flaggedC = flagged.join(outdeg, Seq("node"), "left").cache()
     val s = seedsOpt.fold(n)(_ =>
       flaggedC.where(col("is_seed")).count())
     require(s > 0, "personalized pagerank with no seed inside the graph")
-
-    val outdeg = e.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("od"))
-      .cache()
 
     val r0 = scale / s
     val base = (15L * r0) / 100L
@@ -156,14 +167,15 @@ object PageRank {
     // duty (materialize + collect one long), so each round costs exactly
     // one co-partitioned join, one groupBy(dst) exchange, and one job.
     def dangOf(r: DataFrame): Long =
-      r.join(outdeg, Seq("node"), "left_anti")
+      r.where(col("od").isNull)
         .agg(coalesce(sum(col("r")), lit(0L)).as("d"))
         .head().getLong(0)
 
     var ranks = (priorOpt match {
       case None => flaggedC
         .select(col("node"),
-          when(col("is_seed"), lit(r0)).otherwise(lit(0L)).as("r"))
+          when(col("is_seed"), lit(r0)).otherwise(lit(0L)).as("r"),
+          col("od"))
       case Some(pr) => flaggedC
         // warm start: carried rank where prior knows the node, uniform
         // share where it doesn't; prior rows for departed nodes drop on
@@ -171,13 +183,15 @@ object PageRank {
         .join(pr.withColumnRenamed("rank", "r_prior"), Seq("node"), "left")
         .select(col("node"),
           coalesce(col("r_prior"),
-            when(col("is_seed"), lit(r0)).otherwise(lit(0L))).as("r"))
+            when(col("is_seed"), lit(r0)).otherwise(lit(0L))).as("r"),
+          col("od"))
     }).cache()
     var dang = dangOf(ranks)
     for (_ <- 1 to iters) {
       val dangShare = dang / s
       val contribs = e
-        .join(ranks.join(outdeg, Seq("node")).withColumnRenamed("node", "src"),
+        .join(ranks.where(col("od").isNotNull)
+            .select(col("node").as("src"), col("r"), col("od")),
           Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum(expr("r div od")).as("c"))
@@ -187,7 +201,8 @@ object PageRank {
             lit(base) +
               expr(s"(85 * (${dangShare}L + coalesce(c, 0L))) div 100"))
             .otherwise(expr("(85 * coalesce(c, 0L)) div 100"))
-            .as("r"))
+            .as("r"),
+          col("od"))
         .cache()
       dang = dangOf(next) // materializes next's cache in the same job
       ranks.unpersist()
@@ -199,8 +214,7 @@ object PageRank {
     // here would make the caller's first action replay every iteration.
     // Callers holding many results across one session own that cleanup
     // (`result.unpersist()`); eviction merely recomputes.
-    e.unpersist(); nodes.unpersist(); outdeg.unpersist()
-    flaggedC.unpersist()
+    e.unpersist(); nodes.unpersist(); flaggedC.unpersist()
     ranks.select(col("node"), col("r").as("rank"))
   }
 

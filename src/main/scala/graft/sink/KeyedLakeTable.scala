@@ -70,10 +70,77 @@ final case class LakeTableSpec(
   * (touched partitions + batch), which the never-changing `partitionSource`
   * invariant keeps proportional to batch size.
   */
+object KeyedLakeTable {
+  /** Cross-instance memo of resolved reads, keyed by (Spark application,
+    * table path, mergeSchema) and guarded by the table's COMMIT VERSION
+    * (r17, VERDICT r16 #5): `spark.read.parquet(dir)` pays a recursive
+    * O(partition-dirs) driver-side listing on EVERY call, and one
+    * incremental-view fold reads its two state tables ~5 times per cycle
+    * — re-listing a table nothing has written to. Every graft write bumps
+    * a `_graft_commit` marker (one tiny underscore-prefixed file, invisible
+    * to scans exactly like `_SUCCESS`); a read re-uses the memoized
+    * resolved frame only while the marker value is UNCHANGED, so any
+    * graft writer — this instance, another instance, another JoinView
+    * over the same paths — invalidates it. The multi-writer contract is
+    * preserved for every writer that goes through this class (the only
+    * supported kind — see JoinView's single-maintainer posture); a table
+    * without a marker (pre-r17 layout, foreign writer) never memoizes and
+    * keeps the old list-every-time behavior. */
+  private val readMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, Boolean), (String, DataFrame)]
+}
+
 final class KeyedLakeTable(spark: SparkSession, val spec: LakeTableSpec) {
   import spec._
 
   private val partCols = LakeOps.partitionCols
+
+  private def hadoopFs = new org.apache.hadoop.fs.Path(path)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def commitMarker = new org.apache.hadoop.fs.Path(path, "_graft_commit")
+
+  /** Called after every successful write: new marker value = reads must
+    * re-list. (A crash between data write and bump leaves the OLD value in
+    * place and the next read of this session re-lists only if it never
+    * memoized — the stale-memo window is closed by the bump happening
+    * before the writing call returns.) */
+  private def bumpCommit(): Unit = {
+    val out = hadoopFs.create(commitMarker, true)
+    try out.write(java.util.UUID.randomUUID().toString.getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def markerVersion(): Option[String] =
+    try {
+      val f = hadoopFs
+      if (!f.exists(commitMarker)) None
+      else {
+        val in = f.open(commitMarker)
+        try Some(new String(in.readAllBytes(), "UTF-8"))
+        finally in.close()
+      }
+    } catch { case _: java.io.IOException => None }
+
+  /** The table's base read, memoized per (app, path, mergeSchema) while
+    * the commit marker is unchanged — two cheap FS calls instead of an
+    * O(dirs) recursive listing on a warm hit. */
+  private def rawRead(mergeSchema: Boolean): DataFrame = {
+    def build(): DataFrame =
+      if (mergeSchema) spark.read.option("mergeSchema", "true").parquet(path)
+      else spark.read.parquet(path)
+    markerVersion() match {
+      case None => build()
+      case Some(v) =>
+        val key = (spark.sparkContext.applicationId, path, mergeSchema)
+        val hit = KeyedLakeTable.readMemo.get(key)
+        if (hit != null && hit._1 == v) hit._2
+        else {
+          val df = build()
+          KeyedLakeTable.readMemo.put(key, (v, df))
+          df
+        }
+    }
+  }
 
   /** Batch prep shared by both write modes: reject null partition sources
     * (a null would otherwise silently shunt rows into the Hive default
@@ -113,11 +180,13 @@ final class KeyedLakeTable(spark: SparkSession, val spec: LakeTableSpec) {
 
   /** K1 — bootstrap: full overwrite of the table from a snapshot
     * (`initial_load.py:156-183`). */
-  def overwrite(df: DataFrame): Unit =
+  def overwrite(df: DataFrame): Unit = {
     clustered(prep(df)).write
       .mode(SaveMode.Overwrite)
       .partitionBy(partCols: _*)
       .parquet(path)
+    bumpCommit()
+  }
 
   /** K2/J1/U1 — incremental keyed merge: update-if-exists-else-insert with
     * latest-wins precombine, ties resolved for the incoming row
@@ -228,6 +297,7 @@ final class KeyedLakeTable(spark: SparkSession, val spec: LakeTableSpec) {
         .mode(SaveMode.Append)
         .partitionBy(partCols: _*)
         .parquet(path)
+      bumpCommit()
     } finally batch.unpersist(false)
   }
 
@@ -375,7 +445,7 @@ final class KeyedLakeTable(spark: SparkSession, val spec: LakeTableSpec) {
     // a normalized projection would scan every partition. Normalization to
     // zero-padded strings happens after the filter (projection over a
     // pruned scan).
-    val raw = spark.read.parquet(path)
+    val raw = rawRead(mergeSchema = false)
     val partTypes = raw.schema.fields.map(f => f.name -> f.dataType).toMap
     def partLit(c: String, v: String) = partTypes(c) match {
       case org.apache.spark.sql.types.StringType => lit(v)
@@ -453,11 +523,13 @@ final class KeyedLakeTable(spark: SparkSession, val spec: LakeTableSpec) {
 
     val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try clustered(materialized).write
-      .mode(SaveMode.Overwrite)
-      .partitionBy(partCols: _*)
-      .parquet(path)
-    finally prevMode match {
+    try {
+      clustered(materialized).write
+        .mode(SaveMode.Overwrite)
+        .partitionBy(partCols: _*)
+        .parquet(path)
+      bumpCommit()
+    } finally prevMode match {
       case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
@@ -484,7 +556,7 @@ final class KeyedLakeTable(spark: SparkSession, val spec: LakeTableSpec) {
     * scan — which is the price of evolution until a compaction pass
     * rewrites old partitions to the current schema. */
   def read(): DataFrame =
-    normalizeParts(spark.read.option("mergeSchema", "true").parquet(path))
+    normalizeParts(rawRead(mergeSchema = true))
 
   /** The LIVE rows of a soft-delete table: [[read]] minus tombstones —
     * what every analytic consumer queries. Tombstone rows stay in the

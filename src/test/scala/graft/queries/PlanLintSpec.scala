@@ -16,6 +16,16 @@ class PlanLintSpec extends AnyFunSuite with SparkSpec {
 
   private val sfDir = "/root/testdata/sf0.001"
 
+  /** ONE plan construction per query, shared by every all-query lint:
+    * building a query frame (some run eager fixture actions) plus its
+    * AQE-initial physical plan is the dominant cost of this suite
+    * (~10 min of the r17 sequential test wall), and the window lint and
+    * the cartesian lint were each paying it for all 164 queries. */
+  private lazy val allPlans: Seq[(String, SparkPlan)] =
+    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, q) =>
+      name -> q(spark, sfDir).queryExecution.executedPlan
+    }
+
   /** WindowExec nodes with an empty partition spec anywhere in the plan,
     * unless every row reaching them has already passed a LIMIT (a bounded
     * input makes the single partition harmless at any corpus size). */
@@ -49,10 +59,8 @@ class PlanLintSpec extends AnyFunSuite with SparkSpec {
   // only forces analysis/physical planning, and at sf0.001 any action a
   // query runs eagerly while building is cheap.
   test("no query plans an unbounded single-partition window") {
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, q) =>
-        val plan = q(spark, sfDir).queryExecution.executedPlan
-        globalWindows(plan).map(w => s"$name: ${w.simpleStringWithNodeId()}")
+    val offenders = allPlans.flatMap { case (name, plan) =>
+      globalWindows(plan).map(w => s"$name: ${w.simpleStringWithNodeId()}")
     }
     assert(offenders.isEmpty,
       s"global windows found:\n${offenders.mkString("\n")}")
@@ -168,10 +176,8 @@ class PlanLintSpec extends AnyFunSuite with SparkSpec {
     // cross join in the engine is broadcast (BroadcastNestedLoopJoin over
     // a bounded side) or a generator; a CartesianProduct anywhere is a
     // missing broadcast hint or a dropped join key.
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).filter {
-      case (_, q) =>
-        q(spark, sfDir).queryExecution.executedPlan.toString
-          .contains("CartesianProduct")
+    val offenders = allPlans.filter { case (_, plan) =>
+      plan.toString.contains("CartesianProduct")
     }.map(_._1)
     assert(offenders.isEmpty, s"cartesian products in: $offenders")
   }

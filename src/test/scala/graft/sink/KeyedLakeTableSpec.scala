@@ -325,4 +325,32 @@ class KeyedLakeTableSpec extends AnyFunSuite with SparkSpec {
     // the tombstone ROW is still in the raw table (resurrection guard)
     assert(table.read().filter($"id" === "k9" && $"is_deleted").count() == 1)
   }
+
+  test("commit-marker read memo: any instance's write invalidates; " +
+      "markerless tables never memoize") {
+    val log = Workload.generate(seed = 77, n = 300)
+    val batches = log.txns.grouped(150).toSeq
+    val path = tmpDir("lake-memo")
+    def instance() = new KeyedLakeTable(spark, LakeTableSpec(
+      path = path, recordKeys = Seq("id"),
+      precombine = "update_at", partitionSource = "create_at"))
+    val t1 = instance()
+    t1.overwrite(batches(0).toDF())
+    val marker = new java.io.File(path, "_graft_commit")
+    assert(marker.isFile, "every write must leave the commit marker")
+    val v1 = java.nio.file.Files.readString(marker.toPath)
+    // memoize t1's resolved read, then write through a DIFFERENT instance
+    val before = asState(t1.read())
+    assert(before === Workload.expectedTxnState(
+      Workload.Log(log.accounts, batches(0))).toSet)
+    val t2 = instance()
+    t2.upsert(batches(1).toDF())
+    val v2 = java.nio.file.Files.readString(marker.toPath)
+    assert(v2 !== v1, "a write must bump the marker value")
+    // t1's next read must see t2's write (memo invalidated by version)
+    assert(asState(t1.read()) === Workload.expectedTxnState(log).toSet)
+    // legacy/foreign layout: no marker → reads stay correct (no memo)
+    assert(marker.delete())
+    assert(asState(t1.read()) === Workload.expectedTxnState(log).toSet)
+  }
 }
