@@ -36,31 +36,25 @@ object GraftSession {
   def configure(b: SparkSession.Builder, cpus: Int): SparkSession.Builder =
     b.withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus.toString)
-      // Data-sized shuffle partitions via AQE (guide §2.1/§5): exchanges
-      // START at 8× the core count and AQE's coalescing folds small
-      // shuffles back down (parallelismFirst keeps ~cores partitions on
-      // the sub-second queries), so only shuffles that genuinely carry
-      // hundreds of MB keep many partitions — the scale-adaptive form of
-      // "partitions sized to data, not to the machine". Motivation (r17,
-      // VERDICT r16 #1): the 120M-edge wedge sort and the 65M-edge
-      // PageRank exchanges ran in `cores` partitions, so per-task sort
-      // state exceeded its execution-memory share and the decade entries
-      // serialized through spill — same speed at 8 and 32 cores. At 8×
-      // the per-task state drops under the spill threshold and the
-      // stages scale with cores again (numbers in OPTIMIZATION_r17.md).
+      // REFUTED engine-wide lever, kept as env experiment knobs (r17):
+      // `coalescePartitions.initialPartitionNum = 8×cores` +
+      // `advisoryPartitionSizeInBytes = 16m` DOES eliminate the decade
+      // sorts' spill (TriSpillProbe: 20 GB disk → 1.3 GB; interleaved
+      // wall win on the 120M-edge pass), but an initial partition count
+      // that differs from spark.sql.shuffle.partitions breaks CACHED
+      // co-partitioning reuse: EnsureRequirements re-exchanges the cached
+      // side of every iterative join (plans/r17/pagerank_iter_x100_after
+      // nodes 40/45: Exchange over InMemoryTableScan), so every cache-
+      // carrying iterative query regressed (q161 7.3 → 12.1 s, nothing
+      // else changed). Verdict: partition-to-data sizing belongs in the
+      // OPERATORS whose shuffles actually outgrow execution memory
+      // (Triangles.scala wedge path — stats-derived, clamped), not in a
+      // session constant; both knobs stay env-settable for experiments
+      // and default to Spark's own defaults.
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS",
-          (cpus * 8).toString))
-      // AQE coalescing targets COMPRESSED shuffle bytes; at the default
-      // 64m advisory a post-shuffle sort partition decompresses to
-      // ~0.5–1 GB of rows — far past a task's execution-memory share on
-      // any sanely-packed executor — and the decade-scale sorts spill
-      // (TriSpillProbe: 48–66 GB memory spill per ×1000 pass). 16m keeps
-      // the post-shuffle task state inside execution memory; small
-      // shuffles are unaffected (parallelismFirst already targets
-      // bytes/parallelism, well under 16m there).
+        sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS", cpus.toString))
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
-        sys.env.getOrElse("SPARK_GRAFT_ADVISORY_PARTITION", "16m"))
+        sys.env.getOrElse("SPARK_GRAFT_ADVISORY_PARTITION", "64m"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.columnarReaderBatchSize",

@@ -185,18 +185,50 @@ object Triangles {
       dstCol: String = "dst"): DataFrame =
     perNodeWedgeFromCanonical(canonical(edges, srcCol, dstCol))
 
+  /** Partition count for the wedge path's exchanges, derived from the
+    * graph's estimated source bytes (guide §2.1/§5: size partitions to
+    * DATA, not to the machine): one partition per ~4 MB of input so the
+    * post-shuffle sort state of the wedge joins stays inside a task's
+    * execution-memory share at any scale, floored at the session
+    * parallelism, capped at 4096. At the 120M-edge decade the session
+    * default (partitions = cores) put ~10M wedge rows in each sort and
+    * the stage serialized through 48 GB of spill — same speed at 8 and
+    * 32 cores (r16 driver artifact, ratio 1.03); sized to data the spill
+    * disappears and the stage scales with cores again (TriSpillProbe /
+    * TriAbProbe tables, OPTIMIZATION_r17.md §0–1). Conf override:
+    * `graft.triangles.wedgePartitions`. An engine-wide AQE
+    * initialPartitionNum was tried first and REFUTED — it breaks cached
+    * co-partitioning reuse for every OTHER operator (see GraftSession) —
+    * so the sizing lives here, scoped to the one plan that needs it. */
+  private def wedgePartitions(und: DataFrame): Int = {
+    val sess = und.sparkSession
+    sess.conf.getOption("graft.triangles.wedgePartitions")
+      .map(_.toInt).getOrElse {
+        val bytes = und.queryExecution.optimizedPlan.stats.sizeInBytes
+        val byData = (bytes / (4L * 1024 * 1024)).min(BigInt(4096)).toInt
+        math.max(sess.sparkContext.defaultParallelism, byData)
+      }
+  }
+
   private def perNodeWedgeFromCanonical(und: DataFrame): DataFrame = {
+    val n = wedgePartitions(und)
     val ori = oriented(und)
     // wedges from each u's (√m-bounded) out-neighborhood, neighbor pair
     // ordered by the same (degree, id) orientation so the closing edge
-    // can only be v -> w
-    val e1 = ori.select(col("u"), col("v").as("v1"), col("dv").as("dv1"))
-    val e2 = ori.select(col("u"), col("v").as("v2"), col("dv").as("dv2"))
+    // can only be v -> w. The explicit repartitions REPLACE the joins'
+    // own exchanges (EnsureRequirements accepts the matching layout), so
+    // the exchange count is unchanged — only their width is data-sized.
+    val oriU = ori.repartition(n, col("u"))
+    val e1 = oriU.select(col("u"), col("v").as("v1"), col("dv").as("dv1"))
+    val e2 = oriU.select(col("u"), col("v").as("v2"), col("dv").as("dv2"))
     val wedges = e1.join(e2, Seq("u"))
       .where(lt(col("dv1"), col("v1"), col("dv2"), col("v2")))
       .select(col("u"), col("v1").as("v"), col("v2").as("w"))
+      .repartition(n, col("v"), col("w"))
     val tri = wedges.join(
-      ori.select(col("u").as("v"), col("v").as("w")), Seq("v", "w"))
+      ori.select(col("u").as("v"), col("v").as("w"))
+        .repartition(n, col("v"), col("w")),
+      Seq("v", "w"))
     tri.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
   }
